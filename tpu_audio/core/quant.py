@@ -1,0 +1,106 @@
+"""MLX-format grouped affine quantization: unpack/dequantize and
+quantized-matmul application.
+
+The reference ecosystem ships 4/8-bit checkpoints in MLX ``quantize()``
+layout (consumed at e.g. LlamaTTS.swift:959-969, WhisperModel.swift:499-511):
+for a weight ``[out, in]`` with ``group_size`` g and ``bits`` b,
+
+- ``weight``: uint32 ``[out, in * b / 32]`` — ``32/b`` consecutive input-dim
+  elements packed per uint32, least-significant bits first
+- ``scales``: ``[out, in / g]``
+- ``biases``: ``[out, in / g]``
+
+and ``w[o, i] = scales[o, i // g] * q[o, i] + biases[o, i // g]``.
+
+On TPU we keep the packed weights in HBM and dequantize on the fly inside the
+jitted matmul — for memory-bound AR decode this reads 4-8x less HBM than a
+bf16 weight, which is a win, and XLA fuses the unpack+affine into the matmul
+producer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "dequantize",
+    "quantize",
+    "quantized_matmul",
+    "is_quantized",
+]
+
+
+def is_quantized(p: dict) -> bool:
+    return "scales" in p and "weight" in p and p["weight"].dtype == jnp.uint32
+
+
+def _unpack(w_packed, bits: int, out_features: int, in_features: int):
+    """uint32 [out, in*b/32] -> unsigned int values [out, in] (LSB-first)."""
+    per_word = 32 // bits
+    shifts = jnp.arange(per_word, dtype=jnp.uint32) * bits
+    # [out, words, per_word]
+    vals = (w_packed[..., None] >> shifts[None, None, :]) & jnp.uint32(
+        (1 << bits) - 1
+    )
+    return vals.reshape(out_features, in_features)
+
+
+def dequantize(
+    w_packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    biases: jnp.ndarray,
+    group_size: int = 64,
+    bits: int = 4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Packed uint32 + scales/biases -> dense [out, in] weight."""
+    out_features = w_packed.shape[0]
+    in_features = w_packed.shape[1] * (32 // bits)
+    q = _unpack(w_packed, bits, out_features, in_features).astype(dtype)
+    n_groups = in_features // group_size
+    q = q.reshape(out_features, n_groups, group_size)
+    w = q * scales[..., None].astype(dtype) + biases[..., None].astype(dtype)
+    return w.reshape(out_features, in_features)
+
+
+def quantized_matmul(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    biases: jnp.ndarray,
+    group_size: int = 64,
+    bits: int = 4,
+) -> jnp.ndarray:
+    """``x @ W.T`` with on-the-fly dequantization (W stays packed in HBM)."""
+    w = dequantize(w_packed, scales, biases, group_size, bits, dtype=x.dtype)
+    return x @ w.T
+
+
+def quantize(
+    w: np.ndarray, group_size: int = 64, bits: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side MLX-compatible quantizer (for tests/fixtures).
+
+    Per group: scale = (max - min) / (2^b - 1), bias = min, rounding to the
+    nearest level — the affine scheme MLX's ``quantize()`` uses.
+    """
+    w = np.asarray(w, np.float32)
+    out_features, in_features = w.shape
+    assert in_features % group_size == 0
+    n_groups = in_features // group_size
+    g = w.reshape(out_features, n_groups, group_size)
+    w_min = g.min(axis=-1)
+    w_max = g.max(axis=-1)
+    n_levels = (1 << bits) - 1
+    scales = (w_max - w_min) / n_levels
+    scales = np.where(scales == 0, 1e-8, scales)
+    biases = w_min
+    q = np.clip(np.round((g - biases[..., None]) / scales[..., None]), 0, n_levels)
+    q = q.astype(np.uint32).reshape(out_features, in_features)
+
+    per_word = 32 // bits
+    q = q.reshape(out_features, in_features // per_word, per_word)
+    shifts = (np.arange(per_word, dtype=np.uint32) * bits)[None, None, :]
+    packed = np.bitwise_or.reduce(q << shifts, axis=-1).astype(np.uint32)
+    return packed, scales.astype(np.float32), biases.astype(np.float32)
