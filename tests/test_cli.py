@@ -1,0 +1,66 @@
+"""End-to-end CLI tests with fixture checkpoints (real tokenizer.json)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_audio.core.audio_io import save_wav
+
+from fixtures import make_whisper_fixture, write_fixture_tokenizer
+
+
+@pytest.fixture(scope="module")
+def whisper_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("whisper_cli")
+    make_whisper_fixture(d)
+    write_fixture_tokenizer(d, 64)
+    return d
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("audio") / "in.wav"
+    rng = np.random.default_rng(0)
+    save_wav(p, rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    return p
+
+
+def test_stt_cli_txt(whisper_dir, wav_path, capsys):
+    from tpu_audio.cli import stt
+
+    rc = stt.main([str(wav_path), "--model", str(whisper_dir), "--max-tokens", "4"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "[stt]" in out.err
+
+
+def test_stt_cli_json_and_output_file(whisper_dir, wav_path, tmp_path, capsys):
+    from tpu_audio.cli import stt
+
+    out_file = tmp_path / "result.json"
+    rc = stt.main([str(wav_path), "--model", str(whisper_dir),
+                   "--max-tokens", "4", "--format", "json",
+                   "--output", str(out_file)])
+    assert rc == 0
+    data = json.loads(out_file.read_text())
+    assert "text" in data and "segments" in data
+
+
+def test_stt_cli_stream(whisper_dir, wav_path, capsys):
+    from tpu_audio.cli import stt
+
+    rc = stt.main([str(wav_path), "--model", str(whisper_dir),
+                   "--max-tokens", "4", "--stream"])
+    assert rc == 0
+
+
+def test_whisper_tokenizer_from_fixture(whisper_dir):
+    from tpu_audio.models.stt.whisper import WhisperTokenizer
+
+    tok = WhisperTokenizer.from_dir(whisper_dir, 64)
+    assert tok.eot == 63
+    assert tok.sot == 62
+    prompt = tok.build_prompt_tokens(None)
+    assert prompt[0] == tok.sot
+    assert tok.decode([1, 2, tok.eot]) == "w1 w2"

@@ -37,9 +37,12 @@ def test_quantized_linear_close_to_dense():
     w = rng.standard_normal((64, 128)).astype(np.float32) * 0.1
     x = rng.standard_normal((2, 3, 128)).astype(np.float32)
     packed, scales, biases = quant.quantize(w, 64, 8)
-    p = {"weight": jnp.asarray(packed), "scales": jnp.asarray(scales),
-         "biases": jnp.asarray(biases), "group_size": 64, "bits": 8}
-    got = np.asarray(nn.linear(p, jnp.asarray(x)))
+    p = quant.tag_quantized({"weight": jnp.asarray(packed),
+                             "scales": jnp.asarray(scales),
+                             "biases": jnp.asarray(biases)}, 64, 8)
+    assert isinstance(p["weight"], quant.QuantizedTensor)
+    # QuantizedTensor must survive jit with static metadata
+    got = np.asarray(jax.jit(nn.linear)(p, jnp.asarray(x)))
     want = x @ w.T
     assert np.abs(got - want).max() < 0.05
     # 8-bit quantized matmul should be within ~1% mean relative error

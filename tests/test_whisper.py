@@ -1,0 +1,197 @@
+"""Whisper fixture-model tests through the real loading path: shapes,
+KV-cached decode parity vs full forward, sanitizer remaps, chunk loop,
+quantized checkpoint loading."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.core import kv_cache, loading
+from tpu_audio.core.generation import STTGenerateParameters
+from tpu_audio.models.stt import load_model
+from tpu_audio.models.stt import whisper as W
+
+from fixtures import FakeWhisperTokenizer, make_whisper_fixture, modulo_values
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = make_whisper_fixture(tmp_path_factory.mktemp("whisper_tiny"))
+    model = W.Whisper.from_pretrained(str(path), dtype=jnp.float32)
+    model.tokenizer = FakeWhisperTokenizer(vocab=model.config.vocab_size)
+    return model
+
+
+def test_factory_dispatch(tmp_path):
+    path = make_whisper_fixture(tmp_path / "m")
+    model = load_model(str(path), dtype=jnp.float32)
+    assert isinstance(model, W.Whisper)
+
+
+def test_encoder_shapes(tiny_model):
+    feats = tiny_model.encoder_features(np.zeros(16000, np.float32))
+    assert feats.shape == (1, 3000, 80)
+    enc = tiny_model._encode(tiny_model.params, feats)
+    assert enc.shape == (1, 1500, tiny_model.config.d_model)
+
+
+def test_generate_end_to_end(tiny_model):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    out = tiny_model.generate(audio, STTGenerateParameters(max_tokens=8))
+    assert out.generation_token_count <= 8
+    assert out.total_time > 0
+    assert out.language == "en"
+
+
+def test_decode_is_deterministic_greedy(tiny_model):
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(8000).astype(np.float32) * 0.1
+    p = STTGenerateParameters(max_tokens=6, temperature=0.0)
+    a = tiny_model.generate(audio, p)
+    b = tiny_model.generate(audio, p)
+    assert a.text == b.text
+    assert [s.tokens for s in a.segments] == [s.tokens for s in b.segments]
+
+
+def test_kv_cached_decode_matches_full_forward(tiny_model):
+    """Parity invariant: incremental cached decode must equal running the
+    decoder over the whole sequence at once (the fixture-parity pattern of
+    ParakeetBatchParityTests)."""
+    cfg = tiny_model.config
+    params = tiny_model.params
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((1, 3000, cfg.num_mel_bins)).astype(np.float32))
+    enc = W.encoder_forward(params, feats, cfg)
+    cross_k, cross_v = W._cross_kv(params, enc, cfg)
+    seq = [5, 9, 3, 7, 1]
+    hd = cfg.d_model // cfg.decoder_attention_heads
+
+    # full forward in one step
+    cache_full = kv_cache.init_cache(cfg.decoder_layers, 1,
+                                     cfg.decoder_attention_heads, hd, 16, jnp.float32)
+    logits_full, _ = W.decoder_step(params, jnp.asarray([seq]), 0, cache_full,
+                                    cross_k, cross_v, cfg)
+
+    # incremental
+    cache = kv_cache.init_cache(cfg.decoder_layers, 1,
+                                cfg.decoder_attention_heads, hd, 16, jnp.float32)
+    step_logits = []
+    for t, tok in enumerate(seq):
+        lg, cache = W.decoder_step(params, jnp.asarray([[tok]]), t, cache,
+                                   cross_k, cross_v, cfg)
+        step_logits.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(
+        np.stack(step_logits), np.asarray(logits_full[0]), atol=2e-4
+    )
+
+
+def test_chunking_long_audio(tiny_model):
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(16000 * 61).astype(np.float32) * 0.05
+    out = tiny_model.generate(audio, STTGenerateParameters(max_tokens=4))
+    # 61 s -> 3 chunks of <=30 s
+    assert out.prompt_token_count == 3 * 4
+    if out.segments:
+        assert out.segments[-1].end == pytest.approx(61.0, abs=0.1)
+
+
+def test_mlx_whisper_sanitizer():
+    flat = {
+        "encoder.positional_embedding": np.zeros((1500, 8), np.float32),
+        "decoder.positional_embedding": np.zeros((448, 8), np.float32),
+        "decoder.token_embedding.weight": np.zeros((10, 8), np.float32),
+        "encoder.conv1.weight": np.zeros((8, 3, 4), np.float32),  # [O,K,I] mlx
+        "encoder.conv1.bias": np.zeros((8,), np.float32),
+        "encoder.ln_post.weight": np.zeros((8,), np.float32),
+        "decoder.ln.weight": np.zeros((8,), np.float32),
+        "encoder.blocks.0.attn.query.weight": np.zeros((8, 8), np.float32),
+        "encoder.blocks.0.attn_ln.weight": np.zeros((8,), np.float32),
+        "encoder.blocks.0.mlp1.weight": np.zeros((16, 8), np.float32),
+        "decoder.blocks.1.cross_attn.key.weight": np.zeros((8, 8), np.float32),
+        "decoder.blocks.1.cross_attn_ln.bias": np.zeros((8,), np.float32),
+        "alignment_heads": np.zeros((2, 2), np.float32),
+    }
+    out = W.sanitize(flat)
+    assert "model.encoder.embed_positions.weight" in out
+    assert "model.decoder.embed_tokens.weight" in out
+    assert out["model.encoder.conv1.weight"].shape == (8, 4, 3)  # -> [O,I,K]
+    assert "model.encoder.layers.0.self_attn.q_proj.weight" in out
+    assert "model.encoder.layers.0.self_attn_layer_norm.weight" in out
+    assert "model.encoder.layers.0.fc1.weight" in out
+    assert "model.decoder.layers.1.encoder_attn.k_proj.weight" in out
+    assert "model.decoder.layers.1.encoder_attn_layer_norm.bias" in out
+    assert "alignment_heads" not in out
+
+
+def test_hf_sanitizer_strips_proj_out():
+    flat = {
+        "model.encoder.conv1.weight": np.zeros((4, 2, 3), np.float32),
+        "proj_out.weight": np.zeros((10, 4), np.float32),
+        "encoder.layer_norm.weight": np.zeros((4,), np.float32),
+    }
+    out = W.sanitize(flat)
+    assert "proj_out.weight" not in out
+    assert "model.encoder.layer_norm.weight" in out
+    # HF conv layout passes through untouched (already [O,I,K])
+    assert out["model.encoder.conv1.weight"].shape == (4, 2, 3)
+
+
+def test_sinusoid_synthesis_matches_reference_formula():
+    sins = W.whisper_sinusoids(4, 6)
+    assert sins.shape == (4, 6)
+    # position 0: sin=0, cos=1
+    np.testing.assert_allclose(sins[0, :3], 0.0, atol=1e-7)
+    np.testing.assert_allclose(sins[0, 3:], 1.0, atol=1e-7)
+
+
+def test_quantized_fixture_loads_and_runs(tmp_path):
+    """Quantize the fixture's linears to MLX 4-bit layout and run the full
+    generate path (mirrors WhisperQuantizedTiedEmbeddingTests)."""
+    from safetensors.numpy import save_file
+
+    from tpu_audio.core import quant
+
+    src = make_whisper_fixture(tmp_path / "f32", d_model=32, vocab=64)
+    flat = loading.load_safetensors(src)
+    qflat = {}
+    group_size, bits = 16, 4
+    for k, v in flat.items():
+        is_linear = (
+            v.ndim == 2 and k.endswith(".weight")
+            and ("proj" in k or "fc" in k or k.endswith("embed_tokens.weight"))
+        )
+        if is_linear and v.shape[1] % group_size == 0:
+            packed, scales, biases = quant.quantize(v, group_size, bits)
+            qflat[k] = packed
+            qflat[k.replace(".weight", ".scales")] = scales
+            qflat[k.replace(".weight", ".biases")] = biases
+        else:
+            qflat[k] = v
+    qdir = tmp_path / "q4"
+    qdir.mkdir()
+    cfg = json.loads((src / "config.json").read_text())
+    cfg["quantization"] = {"group_size": group_size, "bits": bits}
+    (qdir / "config.json").write_text(json.dumps(cfg))
+    save_file(qflat, str(qdir / "model.safetensors"))
+
+    model = W.Whisper.from_pretrained(str(qdir), dtype=jnp.float32)
+    model.tokenizer = FakeWhisperTokenizer(vocab=model.config.vocab_size)
+    # tied embedding must be dequantized for lookup AND used quantized as head
+    from tpu_audio.core import quant
+
+    emb = model.params["model"]["decoder"]["embed_tokens"]
+    assert isinstance(emb["weight"], quant.QuantizedTensor)
+    assert emb["weight"].weight.dtype == jnp.uint32
+    out = model.generate(np.zeros(8000, np.float32), STTGenerateParameters(max_tokens=4))
+    assert out.generation_token_count <= 4
+
+
+def test_detect_language(tiny_model):
+    lang, prob = tiny_model.detect_language(np.zeros(8000, np.float32))
+    assert lang in ("en", "fr")
+    assert 0.0 <= prob <= 1.0

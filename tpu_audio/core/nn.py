@@ -36,14 +36,12 @@ __all__ = [
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """``x @ W.T + b``; transparently handles MLX-quantized weights."""
-    if quant.is_quantized(p):
-        gs = p.get("group_size", 64)
-        bits = p.get("bits", 4)
-        y = quant.quantized_matmul(x, p["weight"], p["scales"], p["biases"],
-                                   group_size=gs, bits=bits)
+    """``x @ W.T + b``; transparently handles MLX-quantized weights
+    (as :class:`quant.QuantizedTensor` nodes tagged at load time)."""
+    w = p["weight"]
+    if isinstance(w, quant.QuantizedTensor):
+        y = x @ w.dequantize(x.dtype).T
     else:
-        w = p["weight"]
         y = x @ w.T.astype(x.dtype) if w.dtype != x.dtype else x @ w.T
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
@@ -53,22 +51,16 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
     """Token embedding lookup; dequantizes packed tables on the fly."""
     w = p["weight"]
-    if quant.is_quantized(p):
-        w = quant.dequantize(
-            w, p["scales"], p["biases"],
-            group_size=p.get("group_size", 64), bits=p.get("bits", 4),
-        )
+    if isinstance(w, quant.QuantizedTensor):
+        w = w.dequantize()
     return w[ids]
 
 
 def embedding_as_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding output head: ``x @ E.T``."""
     w = p["weight"]
-    if quant.is_quantized(p):
-        return quant.quantized_matmul(
-            x, w, p["scales"], p["biases"],
-            group_size=p.get("group_size", 64), bits=p.get("bits", 4),
-        )
+    if isinstance(w, quant.QuantizedTensor):
+        return x @ w.dequantize(x.dtype).T
     return x @ w.T.astype(x.dtype)
 
 

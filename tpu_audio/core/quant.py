@@ -28,11 +28,73 @@ __all__ = [
     "quantize",
     "quantized_matmul",
     "is_quantized",
+    "QuantizedTensor",
+    "tag_quantized",
 ]
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedTensor:
+    """Packed quantized weight with *static* group_size/bits metadata, so the
+    config never leaks into jit traces as a tracer."""
+
+    __slots__ = ("weight", "scales", "biases", "group_size", "bits")
+
+    def __init__(self, weight, scales, biases, group_size: int = 64, bits: int = 4):
+        self.weight = weight
+        self.scales = scales
+        self.biases = biases
+        self.group_size = int(group_size)
+        self.bits = int(bits)
+
+    def tree_flatten(self):
+        return (self.weight, self.scales, self.biases), (self.group_size, self.bits)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def dequantize(self, dtype=jnp.float32):
+        return dequantize(self.weight, self.scales, self.biases,
+                          self.group_size, self.bits, dtype)
+
+
+def tag_quantized(params: dict, group_size: int = 64, bits: int = 4) -> dict:
+    """Walk a loaded param tree, folding ``{weight(uint32), scales, biases}``
+    triples into :class:`QuantizedTensor` nodes under the ``weight`` key
+    (any sibling linear ``bias`` is preserved)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if (
+            "scales" in node and "biases" in node and "weight" in node
+            and hasattr(node["weight"], "dtype")
+            and node["weight"].dtype == jnp.uint32
+        ):
+            new = {
+                "weight": QuantizedTensor(
+                    node["weight"], node["scales"], node["biases"],
+                    group_size, bits,
+                )
+            }
+            if "bias" in node:
+                new["bias"] = node["bias"]
+            return new
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
 
 
 def is_quantized(p: dict) -> bool:
-    return "scales" in p and "weight" in p and p["weight"].dtype == jnp.uint32
+    if isinstance(p.get("weight"), QuantizedTensor):
+        return True
+    return (
+        "scales" in p and "weight" in p
+        and hasattr(p["weight"], "dtype") and p["weight"].dtype == jnp.uint32
+    )
 
 
 def _unpack(w_packed, bits: int, out_features: int, in_features: int):

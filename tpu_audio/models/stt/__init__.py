@@ -1,0 +1,43 @@
+"""STT task module: model registry + factory.
+
+Mirrors the reference's `STT.loadModel` factory
+(Sources/MLXAudioSTT/MLXAudioSTT.swift:23-85): resolve the checkpoint,
+read ``model_type`` from config.json, dispatch to the model family.
+"""
+
+from __future__ import annotations
+
+from tpu_audio.core import hub
+
+_REGISTRY: dict[str, str] = {
+    # model_type -> "module:Class"
+    "whisper": "tpu_audio.models.stt.whisper:Whisper",
+}
+
+
+def register(model_type: str, target: str) -> None:
+    _REGISTRY[model_type] = target
+
+
+def load_model(repo_or_path: str, **kwargs):
+    """Load any supported STT model from a local dir or HF repo id."""
+    model_dir = hub.resolve_or_download_model(repo_or_path)
+    cfg = hub.load_config(model_dir)
+    model_type = hub.resolve_model_type(cfg, str(repo_or_path))
+    if model_type is None or model_type not in _REGISTRY:
+        # repo-name inference fallback (reference MLXAudioSTT.swift:51-85)
+        name = str(repo_or_path).lower()
+        for key in _REGISTRY:
+            if key.replace("_", "") in name.replace("-", "").replace("_", ""):
+                model_type = key
+                break
+    if model_type is None or model_type not in _REGISTRY:
+        raise ValueError(
+            f"unsupported STT model_type {model_type!r} "
+            f"(supported: {sorted(_REGISTRY)})"
+        )
+    module_name, cls_name = _REGISTRY[model_type].split(":")
+    import importlib
+
+    cls = getattr(importlib.import_module(module_name), cls_name)
+    return cls.from_pretrained(str(model_dir), **kwargs)

@@ -1,0 +1,599 @@
+"""Whisper STT: conv stem + encoder-decoder transformer with a fully
+on-device KV-cached greedy/temperature decode loop.
+
+TPU-first rebuild of the reference's Whisper
+(Sources/MLXAudioSTT/Models/Whisper/WhisperModel.swift,
+WhisperLayers.swift, WhisperAudio.swift). Key design deltas from the
+reference, driven by XLA semantics:
+
+- The whole per-chunk generation (prompt prefill + AR decode + sampling +
+  token suppression + EOT stop) is ONE jitted ``lax.while_loop`` — the
+  reference syncs the device every token (`eval(logits)` / `.item()`,
+  WhisperModel.swift:228-269), which would be fatal on TPU. Prompt tokens are
+  teacher-forced through the same single-token step so there is exactly one
+  compiled graph regardless of prompt length.
+- Cross-attention K/V are computed once per chunk and passed into the loop.
+- 30 s chunks are padded to a fixed shape so every chunk reuses the compiled
+  encoder (WhisperModel.swift:165-182 chunk loop semantics preserved).
+
+Checkpoint support mirrors WhisperModel.sanitize (WhisperModel.swift:321-480):
+both HF `transformers` layout and OpenAI/mlx-whisper layout, sinusoid
+synthesis for the missing encoder positional embedding, and MLX 4/8-bit
+quantized checkpoints (gated on `.scales` keys, WhisperModel.swift:499-511).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.core import dsp, hub, kv_cache, loading, nn
+from tpu_audio.core.generation import (
+    STTGenerateParameters,
+    STTOutput,
+    STTSegment,
+)
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH_SECONDS = 30
+CHUNK_LENGTH_SAMPLES = CHUNK_LENGTH_SECONDS * SAMPLE_RATE
+FRAMES_PER_CHUNK = 3000
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WhisperConfig:
+    num_mel_bins: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    encoder_attention_heads: int = 6
+    encoder_ffn_dim: int = 1536
+    decoder_layers: int = 4
+    decoder_attention_heads: int = 6
+    decoder_ffn_dim: int = 1536
+    vocab_size: int = 51865
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    quantization: dict | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "WhisperConfig":
+        keys = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in keys})
+
+
+@dataclass
+class WhisperGenerationConfig:
+    suppress_tokens: list[int] = field(default_factory=list)
+    begin_suppress_tokens: list[int] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "WhisperGenerationConfig":
+        return cls(
+            suppress_tokens=d.get("suppress_tokens") or [],
+            begin_suppress_tokens=d.get("begin_suppress_tokens") or [],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+WHISPER_LANGUAGES = [
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+]
+
+
+class WhisperTokenizer:
+    """Thin adapter over a `tokenizers.Tokenizer`, providing the special-token
+    ids and prompt construction the decode loop needs
+    (reference WhisperTokenizer.swift semantics)."""
+
+    def __init__(self, tok, vocab_size: int):
+        self._tok = tok
+        self.is_multilingual = vocab_size >= 51865
+        self.sot = self._id("<|startoftranscript|>")
+        self.eot = self._id("<|endoftext|>")
+        self.transcribe = self._id("<|transcribe|>")
+        self.translate = self._id("<|translate|>")
+        self.no_timestamps = self._id("<|notimestamps|>")
+        self.no_speech = self._id("<|nospeech|>")
+        if self.no_speech is None:
+            self.no_speech = self._id("<|nocaptions|>")
+        self.timestamp_begin = self._id("<|0.00|>")
+        if self.timestamp_begin is None and self.no_timestamps is not None:
+            self.timestamp_begin = self.no_timestamps + 1
+        self.language_to_id = {}
+        if self.is_multilingual:
+            for code in WHISPER_LANGUAGES:
+                tid = self._id(f"<|{code}|>")
+                if tid is not None:
+                    self.language_to_id[code] = tid
+        self.id_to_language = {v: k for k, v in self.language_to_id.items()}
+
+    def _id(self, token: str) -> int | None:
+        tid = self._tok.token_to_id(token)
+        return tid
+
+    @classmethod
+    def from_dir(cls, model_dir: str | Path, vocab_size: int) -> "WhisperTokenizer":
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_file(str(Path(model_dir) / "tokenizer.json"))
+        return cls(tok, vocab_size)
+
+    def build_prompt_tokens(self, language: str | None, task: str = "transcribe") -> list[int]:
+        if not self.is_multilingual:
+            return [self.sot, self.no_timestamps]
+        lang_id = self.language_to_id.get(language or "en", None)
+        if lang_id is None:
+            lang_id = self.language_to_id.get("en")
+        task_id = self.translate if task == "translate" else self.transcribe
+        return [self.sot, lang_id, task_id, self.no_timestamps]
+
+    def decode(self, tokens: list[int]) -> str:
+        tokens = [t for t in tokens if t < self.sot]
+        return self._tok.decode(tokens, skip_special_tokens=True)
+
+
+# ---------------------------------------------------------------------------
+# Model graph (pure functions over the param tree, HF key names)
+# ---------------------------------------------------------------------------
+
+
+def _attention(p, x, kv_x=None, mask=None, n_heads=8):
+    """MHA; kv_x != None → cross attention. q/v/out have bias, k doesn't."""
+    b, t, d = x.shape
+    src = x if kv_x is None else kv_x
+    q = nn.linear(p["q_proj"], x)
+    k = nn.linear(p["k_proj"], src)
+    v = nn.linear(p["v_proj"], src)
+    hd = d // n_heads
+    q = q.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, n_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, -1, n_heads, hd).transpose(0, 2, 1, 3)
+    o = nn.sdpa(q, k, v, mask=mask)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return nn.linear(p["out_proj"], o)
+
+
+def encoder_forward(params, mel, cfg: WhisperConfig):
+    """mel [B, T=3000, n_mels] -> hidden [B, 1500, D]
+    (reference WhisperLayers.swift:110 encoder)."""
+    p = params["model"]["encoder"]
+    x = nn.gelu(nn.conv1d(p["conv1"], mel, stride=1, padding=1))
+    x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
+    x = x + p["embed_positions"]["weight"][: x.shape[1]].astype(x.dtype)
+    for i in range(cfg.encoder_layers):
+        lp = p["layers"][str(i)]
+        h = nn.layer_norm(lp["self_attn_layer_norm"], x)
+        x = x + _attention(lp["self_attn"], h, n_heads=cfg.encoder_attention_heads)
+        h = nn.layer_norm(lp["final_layer_norm"], x)
+        x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+    return nn.layer_norm(p["layer_norm"], x)
+
+
+def _cross_kv(params, enc_out, cfg: WhisperConfig):
+    """Precompute per-layer cross-attention K/V: [L, B, H, S_src, Dh] each."""
+    p = params["model"]["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    b, s, d = enc_out.shape
+    hd = d // n_heads
+    ks, vs = [], []
+    for i in range(cfg.decoder_layers):
+        ap = p["layers"][str(i)]["encoder_attn"]
+        k = nn.linear(ap["k_proj"], enc_out).reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
+        v = nn.linear(ap["v_proj"], enc_out).reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
+        ks.append(k)
+        vs.append(v)
+    return jnp.stack(ks), jnp.stack(vs)
+
+
+def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
+                 cfg: WhisperConfig):
+    """One decode step: tokens [B, T] at positions pos..pos+T.
+    Returns (logits [B, T, V], new cache)."""
+    p = params["model"]["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    b, t = tokens.shape
+    x = nn.embedding(p["embed_tokens"], tokens)
+    pos_emb = jax.lax.dynamic_slice_in_dim(
+        p["embed_positions"]["weight"], pos, t, axis=0
+    )
+    x = x + pos_emb.astype(x.dtype)
+    d = x.shape[-1]
+    hd = d // n_heads
+    mask = kv_cache.attention_mask(cache, t)
+    for i in range(cfg.decoder_layers):
+        lp = p["layers"][str(i)]
+        h = nn.layer_norm(lp["self_attn_layer_norm"], x)
+        ap = lp["self_attn"]
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+        o = nn.sdpa(q, k_full, v_full, mask=mask)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + nn.linear(ap["out_proj"], o)
+
+        h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
+        cp = lp["encoder_attn"]
+        q = nn.linear(cp["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        o = nn.sdpa(q, cross_k[i], cross_v[i])
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + nn.linear(cp["out_proj"], o)
+
+        h = nn.layer_norm(lp["final_layer_norm"], x)
+        x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+    x = nn.layer_norm(p["layer_norm"], x)
+    logits = nn.embedding_as_linear(p["embed_tokens"], x)
+    cache = cache._replace(offset=cache.offset + t)
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Sanitizers (WhisperModel.swift:321-480)
+# ---------------------------------------------------------------------------
+
+
+def whisper_sinusoids(length: int, channels: int) -> np.ndarray:
+    half = channels // 2
+    log_inc = math.log(10000.0) / max(half - 1, 1)
+    scaled = np.arange(length)[:, None] * np.exp(-log_inc * np.arange(half))[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+_MLX_ATTN_MAP = {"query": "q_proj", "key": "k_proj", "value": "v_proj", "out": "out_proj"}
+_MLX_SUFFIX_MAP = {
+    "attn_ln": "self_attn_layer_norm",
+    "cross_attn_ln": "encoder_attn_layer_norm",
+    "mlp_ln": "final_layer_norm",
+    "mlp1": "fc1",
+    "mlp2": "fc2",
+}
+
+
+def _remap_mlx_key(key: str) -> str | None:
+    if key == "encoder.positional_embedding":
+        return "model.encoder.embed_positions.weight"
+    if key == "decoder.positional_embedding":
+        return "model.decoder.embed_positions.weight"
+    if key.startswith("decoder.token_embedding."):
+        return "model.decoder.embed_tokens." + key[len("decoder.token_embedding."):]
+    for conv in ("encoder.conv1.", "encoder.conv2."):
+        if key.startswith(conv):
+            return "model." + key
+    if key.startswith("encoder.ln_post."):
+        return "model.encoder.layer_norm." + key[len("encoder.ln_post."):]
+    if key.startswith("decoder.ln."):
+        return "model.decoder.layer_norm." + key[len("decoder.ln."):]
+    for stem in ("encoder", "decoder"):
+        prefix = f"{stem}.blocks."
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        layer, _, suffix = rest.partition(".")
+        head, _, tail = suffix.partition(".")
+        if head in _MLX_SUFFIX_MAP:
+            mapped = f"{_MLX_SUFFIX_MAP[head]}.{tail}"
+        elif head in ("attn", "cross_attn"):
+            container = "self_attn" if head == "attn" else "encoder_attn"
+            proj, _, t2 = tail.partition(".")
+            if proj not in _MLX_ATTN_MAP:
+                return None
+            mapped = f"{container}.{_MLX_ATTN_MAP[proj]}.{t2}"
+        else:
+            return None
+        return f"model.{stem}.layers.{layer}.{mapped}"
+    return None
+
+
+def sanitize(weights: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    is_mlx = any(".blocks." in k for k in weights)
+    out: dict[str, np.ndarray] = {}
+    if not is_mlx:
+        for key, value in weights.items():
+            if key in ("proj_out.weight", "model.proj_out.weight"):
+                continue  # tied to embed_tokens
+            if not key.startswith("model.") and key.startswith(("encoder.", "decoder.")):
+                key = "model." + key
+            out[key] = value
+    else:
+        for key, value in weights.items():
+            if key == "alignment_heads":
+                continue
+            mapped = _remap_mlx_key(key)
+            if mapped is None:
+                continue
+            # mlx Conv1d layout [O, K, I] -> torch [O, I, K]
+            if mapped.endswith(("conv1.weight", "conv2.weight")) and value.ndim == 3:
+                value = np.transpose(value, (0, 2, 1))
+            out[mapped] = value
+        if "model.encoder.embed_positions.weight" not in out:
+            conv2 = out.get("model.encoder.conv2.weight")
+            if conv2 is not None:
+                out["model.encoder.embed_positions.weight"] = whisper_sinusoids(
+                    1500, conv2.shape[0]
+                )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Model wrapper
+# ---------------------------------------------------------------------------
+
+
+class Whisper:
+    """Whisper STT with `from_pretrained` / `generate` / `generate_stream`."""
+
+    def __init__(self, config: WhisperConfig, params, tokenizer=None,
+                 generation_config: WhisperGenerationConfig | None = None,
+                 dtype=jnp.bfloat16):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.generation_config = generation_config or WhisperGenerationConfig()
+        self.dtype = dtype
+        cfg = config
+        self._encode = jax.jit(
+            functools.partial(encoder_forward, cfg=cfg)
+        )
+        self._decode_loop = jax.jit(
+            functools.partial(_decode_loop, cfg=cfg),
+            static_argnames=("max_total",),
+        )
+        if config.quantization:
+            from tpu_audio.core import quant
+
+            q = config.quantization
+            self.params = quant.tag_quantized(
+                self.params, q.get("group_size", 64), q.get("bits", 4)
+            )
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, repo_or_path: str, dtype=jnp.bfloat16) -> "Whisper":
+        model_dir = hub.resolve_or_download_model(repo_or_path)
+        cfg_dict = hub.load_config(model_dir)
+        config = WhisperConfig.from_dict(cfg_dict)
+        config.quantization = cfg_dict.get("quantization")
+        gen_cfg = None
+        gc_path = Path(model_dir) / "generation_config.json"
+        if gc_path.exists():
+            gen_cfg = WhisperGenerationConfig.from_dict(json.loads(gc_path.read_text()))
+        elif "suppress_tokens" in cfg_dict or "begin_suppress_tokens" in cfg_dict:
+            gen_cfg = WhisperGenerationConfig.from_dict(cfg_dict)
+        params = loading.load_params(
+            model_dir, sanitize=sanitize, dtype=dtype, expected_prefixes=("model",)
+        )
+        tokenizer = None
+        if (Path(model_dir) / "tokenizer.json").exists():
+            tokenizer = WhisperTokenizer.from_dir(model_dir, config.vocab_size)
+        return cls(config, params, tokenizer, gen_cfg, dtype)
+
+    # -- features -----------------------------------------------------------
+
+    def encoder_features(self, audio: np.ndarray) -> jnp.ndarray:
+        """Pad/trim to 30 s and compute [1, 3000, n_mels] features
+        (WhisperAudio.encoderFeatures)."""
+        audio = np.asarray(audio, np.float32)
+        if audio.shape[0] > CHUNK_LENGTH_SAMPLES:
+            audio = audio[:CHUNK_LENGTH_SAMPLES]
+        elif audio.shape[0] < CHUNK_LENGTH_SAMPLES:
+            audio = np.pad(audio, (0, CHUNK_LENGTH_SAMPLES - audio.shape[0]))
+        mel = dsp.log_mel_spectrogram(audio, n_mels=self.config.num_mel_bins)
+        return mel.T[None].astype(self.dtype)
+
+    # -- suppression masks ----------------------------------------------------
+
+    def _suppress_masks(self, tokenizer) -> tuple[np.ndarray, np.ndarray]:
+        v = self.config.vocab_size
+        suppress = np.zeros((v,), np.float32)
+        for tid in self.generation_config.suppress_tokens:
+            if 0 <= tid < v:
+                suppress[tid] = -1e9
+        # suppress all timestamp tokens (reference suppressFromIndex)
+        if tokenizer is not None and tokenizer.timestamp_begin is not None:
+            suppress[tokenizer.timestamp_begin :] = -1e9
+        begin = np.zeros((v,), np.float32)
+        begin_ids = self.generation_config.begin_suppress_tokens or (
+            [tokenizer.eot] if tokenizer is not None else []
+        )
+        for tid in begin_ids:
+            if 0 <= tid < v:
+                begin[tid] = -1e9
+        return suppress, begin
+
+    # -- generation -----------------------------------------------------------
+
+    def generate(self, audio: np.ndarray,
+                 generation_parameters: STTGenerateParameters | None = None
+                 ) -> STTOutput:
+        params = generation_parameters or STTGenerateParameters()
+        tokenizer = self.tokenizer
+        if tokenizer is None:
+            raise RuntimeError("tokenizer not loaded; use from_pretrained")
+        t_start = time.perf_counter()
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=-1)
+
+        chunks = [
+            (audio[s : s + CHUNK_LENGTH_SAMPLES], s / SAMPLE_RATE)
+            for s in range(0, max(len(audio), 1), CHUNK_LENGTH_SAMPLES)
+        ]
+        suppress, begin = self._suppress_masks(tokenizer)
+        prompt = tokenizer.build_prompt_tokens(params.language, params.task)
+
+        all_text, segments = [], []
+        total_prompt = total_gen = 0
+        for chunk, offset in chunks:
+            tokens = self._transcribe_chunk(chunk, prompt, suppress, begin, params)
+            total_prompt += len(prompt)
+            total_gen += len(tokens)
+            text = tokenizer.decode(tokens).strip()
+            if text:
+                all_text.append(text)
+                segments.append(STTSegment(
+                    text=text, start=offset,
+                    end=offset + len(chunk) / SAMPLE_RATE, tokens=tokens,
+                ))
+        elapsed = time.perf_counter() - t_start
+        lang = params.language
+        if lang is None and tokenizer.is_multilingual and len(prompt) > 1:
+            lang = tokenizer.id_to_language.get(prompt[1])
+        return STTOutput(
+            text=" ".join(all_text), segments=segments, language=lang,
+            prompt_token_count=total_prompt, generation_token_count=total_gen,
+            prompt_time=elapsed, generation_time=elapsed, total_time=elapsed,
+        )
+
+    def generate_stream(self, audio: np.ndarray,
+                        generation_parameters: STTGenerateParameters | None = None):
+        """Generator yielding per-chunk text deltas then the final STTOutput
+        (reference generateStream, WhisperModel.swift:93-156)."""
+        params = generation_parameters or STTGenerateParameters()
+        tokenizer = self.tokenizer
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=-1)
+        suppress, begin = self._suppress_masks(tokenizer)
+        prompt = tokenizer.build_prompt_tokens(params.language, params.task)
+        t_start = time.perf_counter()
+        all_text, segments = [], []
+        total_gen = 0
+        for s in range(0, max(len(audio), 1), CHUNK_LENGTH_SAMPLES):
+            chunk = audio[s : s + CHUNK_LENGTH_SAMPLES]
+            tokens = self._transcribe_chunk(chunk, prompt, suppress, begin, params)
+            total_gen += len(tokens)
+            text = tokenizer.decode(tokens).strip()
+            if text:
+                yield {"type": "token", "text": text}
+                all_text.append(text)
+                segments.append(STTSegment(
+                    text=text, start=s / SAMPLE_RATE,
+                    end=(s + len(chunk)) / SAMPLE_RATE, tokens=tokens))
+        elapsed = time.perf_counter() - t_start
+        yield {"type": "result", "output": STTOutput(
+            text=" ".join(all_text), segments=segments,
+            prompt_token_count=len(prompt) * max(1, len(segments)),
+            generation_token_count=total_gen,
+            total_time=elapsed, generation_time=elapsed)}
+
+    def _transcribe_chunk(self, chunk, prompt, suppress, begin,
+                          params: STTGenerateParameters) -> list[int]:
+        features = self.encoder_features(chunk)
+        enc_out = self._encode(self.params, features)
+        max_total = min(
+            self.config.max_target_positions,
+            len(prompt) + max(1, params.max_tokens),
+        )
+        prompt_buf = np.full((self.config.max_target_positions,), 0, np.int32)
+        prompt_buf[: len(prompt)] = prompt
+        rng = jax.random.PRNGKey(0)
+        tokens, count = self._decode_loop(
+            self.params, enc_out,
+            jnp.asarray(prompt_buf), jnp.int32(len(prompt)),
+            jnp.int32(self.tokenizer.eot), jnp.asarray(suppress),
+            jnp.asarray(begin), jnp.float32(params.temperature), rng,
+            max_total=max_total,
+        )
+        tokens = np.asarray(tokens)
+        count = int(count)
+        gen = tokens[len(prompt) : count].tolist()
+        eot = self.tokenizer.eot if self.tokenizer else None
+        if eot in gen:
+            gen = gen[: gen.index(eot)]
+        return gen
+
+    def detect_language(self, audio: np.ndarray) -> tuple[str, float]:
+        """Single forward pass from SOT, argmax over language tokens."""
+        tokenizer = self.tokenizer
+        features = self.encoder_features(np.asarray(audio, np.float32))
+        enc_out = self._encode(self.params, features)
+        cfg = self.config
+        cross_k, cross_v = _cross_kv(self.params, enc_out, cfg)
+        cache = kv_cache.init_cache(
+            cfg.decoder_layers, 1, cfg.decoder_attention_heads,
+            cfg.d_model // cfg.decoder_attention_heads,
+            cfg.max_target_positions, self.dtype,
+        )
+        logits, _ = decoder_step(
+            self.params, jnp.asarray([[tokenizer.sot]]), 0, cache,
+            cross_k, cross_v, cfg,
+        )
+        probs = jax.nn.softmax(logits[0, -1].astype(jnp.float32))
+        lang_ids = np.asarray(sorted(tokenizer.language_to_id.values()))
+        lang_probs = np.asarray(probs)[lang_ids]
+        best = int(np.argmax(lang_probs))
+        return tokenizer.id_to_language[int(lang_ids[best])], float(lang_probs[best])
+
+
+def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
+                 begin, temperature, rng, *, max_total: int, cfg: WhisperConfig):
+    """One jitted graph: cross-KV precompute + prompt prefill (teacher-forced
+    through the single-token step) + AR decode with fused suppression and
+    sampling + on-device EOT stop."""
+    b = enc_out.shape[0]
+    n_heads = cfg.decoder_attention_heads
+    head_dim = cfg.d_model // n_heads
+    cross_k, cross_v = _cross_kv(params, enc_out, cfg)
+    cache = kv_cache.init_cache(
+        cfg.decoder_layers, b, n_heads, head_dim, max_total,
+        enc_out.dtype,
+    )
+    tokens0 = prompt_buf[:max_total] if prompt_buf.shape[0] >= max_total else jnp.pad(
+        prompt_buf, (0, max_total - prompt_buf.shape[0])
+    )
+
+    def cond(carry):
+        tokens, i, cache, finished, rng = carry
+        return jnp.logical_and(~finished, i < max_total - 1)
+
+    def body(carry):
+        tokens, i, cache, finished, rng = carry
+        tok = jax.lax.dynamic_slice(tokens, (i,), (1,))[None]  # [1,1]
+        logits, cache = decoder_step(params, tok, i, cache, cross_k, cross_v, cfg)
+        logits = logits[:, -1].astype(jnp.float32)  # [B, V]
+        is_gen = i >= prompt_len - 1
+        is_first = i == prompt_len - 1
+        step_logits = logits + suppress[None]
+        step_logits = jnp.where(is_first, step_logits + begin[None], step_logits)
+        rng, sub = jax.random.split(rng)
+        greedy = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        sampled = jax.random.categorical(
+            sub, step_logits / jnp.maximum(temperature, 1e-6), axis=-1
+        ).astype(jnp.int32)
+        next_tok = jnp.where(temperature <= 0.0, greedy, sampled)[0]
+        # teacher-force remaining prompt tokens
+        next_tok = jnp.where(is_gen, next_tok, tokens[i + 1])
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[None], (i + 1,))
+        finished = jnp.logical_and(is_gen, next_tok == eot_id)
+        return (tokens, i + 1, cache, finished, rng)
+
+    init = (tokens0, jnp.int32(0), cache, jnp.bool_(False), rng)
+    tokens, count, *_ = jax.lax.while_loop(cond, body, init)
+    return tokens, count + 1
