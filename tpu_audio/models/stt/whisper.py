@@ -253,6 +253,106 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
     return logits, cache
 
 
+def decoder_forward(params, tokens, enc_out, cfg: WhisperConfig):
+    """Full-sequence decoder forward (causal, no cache): tokens [B, T] ->
+    logits [B, T, V]. Used for training steps and parity tests."""
+    p = params["model"]["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    b, t = tokens.shape
+    x = nn.embedding(p["embed_tokens"], tokens)
+    x = x + p["embed_positions"]["weight"][:t].astype(x.dtype)
+    for i in range(cfg.decoder_layers):
+        lp = p["layers"][str(i)]
+        h = nn.layer_norm(lp["self_attn_layer_norm"], x)
+        ap = lp["self_attn"]
+        d = x.shape[-1]
+        hd = d // n_heads
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
+        o = nn.sdpa(q, k, v, is_causal=True)
+        x = x + nn.linear(ap["out_proj"], o.transpose(0, 2, 1, 3).reshape(b, t, d))
+
+        h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
+        x = x + _attention(lp["encoder_attn"], h, kv_x=enc_out, n_heads=n_heads)
+        h = nn.layer_norm(lp["final_layer_norm"], x)
+        x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+    x = nn.layer_norm(p["layer_norm"], x)
+    return nn.embedding_as_linear(p["embed_tokens"], x)
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random-initialized parameter tree in the canonical (HF) layout —
+    for benchmarks, graft entries and sharding dryruns (no real weights)."""
+    rng = np.random.default_rng(seed)
+    d, ffn, v = cfg.d_model, cfg.decoder_ffn_dim, cfg.vocab_size
+    scale = 0.02
+
+    def rand(*shape):
+        return rng.standard_normal(shape, dtype=np.float32) * scale
+
+    def ones(*shape):
+        return np.ones(shape, np.float32)
+
+    def zeros(*shape):
+        return np.zeros(shape, np.float32)
+
+    enc_layers = {}
+    dec_layers = {}
+    for i in range(cfg.encoder_layers):
+        enc_layers[str(i)] = {
+            "self_attn": {
+                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "k_proj": {"weight": rand(d, d)},
+                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
+            },
+            "self_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+            "fc1": {"weight": rand(cfg.encoder_ffn_dim, d), "bias": zeros(cfg.encoder_ffn_dim)},
+            "fc2": {"weight": rand(d, cfg.encoder_ffn_dim), "bias": zeros(d)},
+            "final_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+        }
+    for i in range(cfg.decoder_layers):
+        dec_layers[str(i)] = {
+            "self_attn": {
+                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "k_proj": {"weight": rand(d, d)},
+                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
+            },
+            "self_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+            "encoder_attn": {
+                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "k_proj": {"weight": rand(d, d)},
+                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
+                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
+            },
+            "encoder_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+            "fc1": {"weight": rand(ffn, d), "bias": zeros(ffn)},
+            "fc2": {"weight": rand(d, ffn), "bias": zeros(d)},
+            "final_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+        }
+    params = {
+        "model": {
+            "encoder": {
+                "conv1": {"weight": rand(d, cfg.num_mel_bins, 3), "bias": zeros(d)},
+                "conv2": {"weight": rand(d, d, 3), "bias": zeros(d)},
+                "embed_positions": {"weight": whisper_sinusoids(cfg.max_source_positions, d)},
+                "layers": enc_layers,
+                "layer_norm": {"weight": ones(d), "bias": zeros(d)},
+            },
+            "decoder": {
+                "embed_tokens": {"weight": rand(v, d)},
+                "embed_positions": {"weight": rand(cfg.max_target_positions, d)},
+                "layers": dec_layers,
+                "layer_norm": {"weight": ones(d), "bias": zeros(d)},
+            },
+        }
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    return loading.cast_floats(params, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Sanitizers (WhisperModel.swift:321-480)
 # ---------------------------------------------------------------------------
