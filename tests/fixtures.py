@@ -94,6 +94,129 @@ def make_whisper_fixture(
     return path
 
 
+def make_snac_fixture(
+    path: Path,
+    sampling_rate: int = 24000,
+    encoder_dim: int = 16,
+    encoder_rates=(2, 2),
+    decoder_dim: int = 64,
+    decoder_rates=(2, 2),
+    vq_strides=(2, 1),
+    codebook_size: int = 32,
+    codebook_dim: int = 4,
+    attn_window_size=None,
+    noise: bool = True,
+    depthwise: bool = True,
+) -> Path:
+    """Write a tiny torch-layout SNAC checkpoint (weight_g/weight_v pairs)."""
+    import math as _math
+
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cfg = dict(
+        sampling_rate=sampling_rate, encoder_dim=encoder_dim,
+        encoder_rates=list(encoder_rates), decoder_dim=decoder_dim,
+        decoder_rates=list(decoder_rates), attn_window_size=attn_window_size,
+        codebook_size=codebook_size, codebook_dim=codebook_dim,
+        vq_strides=list(vq_strides), noise=noise, depthwise=depthwise,
+    )
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w: dict[str, np.ndarray] = {}
+    counter = [0]
+
+    def wn_conv(prefix, out_c, in_c, k, bias=True, transpose=False):
+        counter[0] += 1
+        shape = (in_c, out_c, k) if transpose else (out_c, in_c, k)
+        v = modulo_values(shape, modulus=11 + counter[0] % 7, scale=1.0)
+        g = np.abs(modulo_values((shape[0], 1, 1), modulus=9 + counter[0] % 5,
+                                 scale=0.8)) + 0.2
+        w[f"{prefix}.weight_v"] = v
+        w[f"{prefix}.weight_g"] = g.astype(np.float32)
+        if bias:
+            w[f"{prefix}.bias"] = modulo_values((out_c,), scale=0.01)
+
+    def snake_p(prefix, c):
+        w[f"{prefix}.alpha"] = np.ones((1, c, 1), np.float32)
+
+    def res_unit(prefix, dim, groups):
+        snake_p(f"{prefix}.block.0", dim)
+        wn_conv(f"{prefix}.block.1", dim, dim // groups, 7)
+        snake_p(f"{prefix}.block.2", dim)
+        wn_conv(f"{prefix}.block.3", dim, dim, 1)
+
+    def mha(prefix, dim):
+        w[f"{prefix}.norm.weight"] = np.ones((dim,), np.float32)
+        w[f"{prefix}.norm.bias"] = np.zeros((dim,), np.float32)
+        w[f"{prefix}.to_qkv.weight"] = modulo_values((dim * 3, dim), scale=0.3)
+        w[f"{prefix}.to_out.weight"] = modulo_values((dim, dim), scale=0.3)
+
+    # encoder
+    wn_conv("encoder.block.0", encoder_dim, 1, 7)
+    d = encoder_dim
+    idx = 1
+    for s in encoder_rates:
+        d *= 2
+        in_d = d // 2
+        groups = in_d if depthwise else 1
+        base = f"encoder.block.{idx}.block"
+        for j in range(3):
+            res_unit(f"{base}.{j}", in_d, groups)
+        snake_p(f"{base}.3", in_d)
+        wn_conv(f"{base}.4", d, in_d, 2 * s)
+        idx += 1
+    if attn_window_size:
+        mha(f"encoder.block.{idx}", d)
+        idx += 1
+    groups = d if depthwise else 1
+    wn_conv(f"encoder.block.{idx}", d, d // groups, 7)
+
+    latent = encoder_dim * (2 ** len(encoder_rates))
+    # quantizers
+    for i in range(len(vq_strides)):
+        q = f"quantizer.quantizers.{i}"
+        wn_conv(f"{q}.in_proj", codebook_dim, latent, 1)
+        wn_conv(f"{q}.out_proj", latent, codebook_dim, 1)
+        w[f"{q}.codebook.weight"] = modulo_values(
+            (codebook_size, codebook_dim), modulus=23, scale=1.0)
+
+    # decoder
+    idx = 0
+    if depthwise:
+        wn_conv(f"decoder.model.{idx}", latent, 1, 7)  # dw: in/groups = 1
+        idx += 1
+        wn_conv(f"decoder.model.{idx}", decoder_dim, latent, 1)
+        idx += 1
+    else:
+        wn_conv(f"decoder.model.{idx}", decoder_dim, latent, 7)
+        idx += 1
+    if attn_window_size:
+        mha(f"decoder.model.{idx}", decoder_dim)
+        idx += 1
+    ch = decoder_dim
+    for i, s in enumerate(decoder_rates):
+        in_d = ch // (2**i)
+        out_d = ch // (2 ** (i + 1))
+        groups = out_d if depthwise else 1
+        base = f"decoder.model.{idx}.block"
+        j = 0
+        snake_p(f"{base}.{j}", in_d); j += 1
+        wn_conv(f"{base}.{j}", out_d, in_d, 2 * s, transpose=True); j += 1
+        if noise:
+            wn_conv(f"{base}.{j}.linear", out_d, out_d, 1, bias=False); j += 1
+        for _ in range(3):
+            res_unit(f"{base}.{j}", out_d, groups); j += 1
+        idx += 1
+    final = ch // (2 ** len(decoder_rates))
+    snake_p(f"decoder.model.{idx}", final); idx += 1
+    wn_conv(f"decoder.model.{idx}", 1, final, 7)
+
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""
