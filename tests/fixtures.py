@@ -217,6 +217,97 @@ def make_snac_fixture(
     return path
 
 
+def make_llama_tts_fixture(path: Path, vocab: int = 400,
+                           codebook_size: int = 32) -> Path:
+    """Tiny Orpheus-style checkpoint: Llama backbone + scaled-down special
+    token table (audio_token_offset=100, 7*codebook_size audio tokens)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cfg = {
+        "model_type": "llama_tts",
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "intermediate_size": 64,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "rms_norm_eps": 1e-5,
+        "vocab_size": vocab,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": True,
+        "sample_rate": 24000,
+        # scaled-down Orpheus token table
+        "start_of_human": 90, "end_of_human": 91, "end_of_text": 92,
+        "start_of_speech": 93, "end_of_speech": 94, "pad_token": 95,
+        "audio_start": 96, "audio_end": 97,
+        "audio_token_offset": 100, "codebook_size": codebook_size,
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    d, ffn, hd = 32, 64, 8
+    w = {"model.embed_tokens.weight": modulo_values((vocab, d), scale=0.5),
+         "model.norm.weight": np.ones((d,), np.float32)}
+    for i in range(2):
+        base = f"model.layers.{i}"
+        w[f"{base}.input_layernorm.weight"] = np.ones((d,), np.float32)
+        w[f"{base}.post_attention_layernorm.weight"] = np.ones((d,), np.float32)
+        w[f"{base}.self_attn.q_proj.weight"] = modulo_values((4 * hd, d), 13 + i, 0.3)
+        w[f"{base}.self_attn.k_proj.weight"] = modulo_values((2 * hd, d), 11 + i, 0.3)
+        w[f"{base}.self_attn.v_proj.weight"] = modulo_values((2 * hd, d), 17 + i, 0.3)
+        w[f"{base}.self_attn.o_proj.weight"] = modulo_values((d, 4 * hd), 19 + i, 0.3)
+        w[f"{base}.mlp.gate_proj.weight"] = modulo_values((ffn, d), 7 + i, 0.3)
+        w[f"{base}.mlp.up_proj.weight"] = modulo_values((ffn, d), 5 + i, 0.3)
+        w[f"{base}.mlp.down_proj.weight"] = modulo_values((d, ffn), 3 + i, 0.3)
+    save_file(w, str(path / "model.safetensors"))
+
+    # WordLevel tokenizer covering w0..w79 (ids 0-79)
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(60)}
+    vocab_map.update({"hello": 60, "world": 61, "tara": 62, ":": 63})
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    return path
+
+
+def make_silero_fixture(path: Path) -> Path:
+    """Tiny Silero VAD checkpoint in the MLX-converted layout the reference
+    consumes (vad_16k/vad_8k prefixes, conv [O,K,I], LSTM Wx/Wh/bias)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "silero_vad", "threshold": 0.5,
+        "min_speech_duration_ms": 250, "min_silence_duration_ms": 100,
+        "speech_pad_ms": 30,
+    }))
+    w = {}
+    for prefix, cutoff, filt in (("vad_16k", 129, 256), ("vad_8k", 65, 128)):
+        m = 7 if prefix == "vad_16k" else 11
+
+        def conv(name, o, i, k, bias=True):
+            w[f"{prefix}.{name}.weight"] = modulo_values((o, k, i), m, 0.2)  # [O,K,I]
+            if bias:
+                w[f"{prefix}.{name}.bias"] = modulo_values((o,), m, 0.01)
+
+        conv("stft_conv", cutoff * 2, 1, filt, bias=False)
+        conv("conv1", 128, cutoff, 3)
+        conv("conv2", 64, 128, 3)
+        conv("conv3", 64, 64, 3)
+        conv("conv4", 128, 64, 3)
+        w[f"{prefix}.lstm.Wx"] = modulo_values((512, 128), m, 0.1)
+        w[f"{prefix}.lstm.Wh"] = modulo_values((512, 128), m + 2, 0.1)
+        w[f"{prefix}.lstm.bias"] = modulo_values((512,), m, 0.01)
+        conv("final_conv", 1, 128, 1)
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -1,0 +1,99 @@
+"""TTS command line: text -> wav.
+
+Rebuild of the reference CLI (Sources/Tools/mlx-audio-swift-tts/App.swift):
+--voice / --ref_audio / --ref_text conditioning, --stream chunked synthesis,
+--benchmark TTFB + RTFx metrics from the event stream (App.swift:128-175).
+
+Usage: ``python -m tpu_audio.cli.tts "Hello" --model <dir-or-repo> -o out.wav``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="tpu-audio-tts", description=__doc__)
+    parser.add_argument("text")
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--voice", default=None)
+    parser.add_argument("--ref-audio", default=None, help="reference wav for cloning")
+    parser.add_argument("--ref-text", default=None, help="transcript of --ref-audio")
+    parser.add_argument("--codec", default=None, help="codec dir/repo override")
+    parser.add_argument("-o", "--output", default="output.wav")
+    parser.add_argument("--max-tokens", type=int, default=1200)
+    parser.add_argument("--temperature", type=float, default=None)
+    parser.add_argument("--top-p", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--stream", action="store_true",
+                        help="write audio incrementally as it is generated")
+    parser.add_argument("--benchmark", action="store_true",
+                        help="report TTFB and RTFx from the stream")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from tpu_audio.core.audio_io import StreamingWAVWriter, load_audio, save_wav
+    from tpu_audio.core.generation import AudioGenerationKind
+    from tpu_audio.models.tts import load_model
+
+    kwargs = {}
+    if args.codec:
+        kwargs["snac_repo"] = args.codec
+    model = load_model(args.model, **kwargs)
+    params = model.default_generation_parameters()
+    params.max_tokens = args.max_tokens
+    if args.temperature is not None:
+        params.temperature = args.temperature
+    if args.top_p is not None:
+        params.top_p = args.top_p
+    if args.seed is not None:
+        params.seed = args.seed
+
+    ref_audio = None
+    if args.ref_audio:
+        ref_audio, _ = load_audio(args.ref_audio, sample_rate=model.sample_rate)
+
+    if args.stream or args.benchmark:
+        t0 = time.perf_counter()
+        ttfb = None
+        total_samples = 0
+        info = None
+        with StreamingWAVWriter(args.output, model.sample_rate) as writer:
+            for ev in model.generate_stream(
+                args.text, voice=args.voice, ref_audio=ref_audio,
+                ref_text=args.ref_text, generation_parameters=params,
+            ):
+                if ev.kind == AudioGenerationKind.AUDIO:
+                    if ttfb is None:
+                        ttfb = time.perf_counter() - t0
+                    writer.append(ev.audio)
+                    total_samples += len(ev.audio)
+                elif ev.kind == AudioGenerationKind.INFO:
+                    info = ev.info
+        wall = time.perf_counter() - t0
+        dur = total_samples / model.sample_rate
+        rtfx = dur / wall if wall else 0.0
+        print(f"[tts] {dur:.2f}s audio -> {args.output}", file=sys.stderr)
+        if args.benchmark:
+            print(f"[bench] TTFB {ttfb:.3f}s  RTFx {rtfx:.2f}x  wall {wall:.2f}s"
+                  + (f"  tok/s {info.tokens_per_second:.1f}" if info else ""),
+                  file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        audio = model.generate(
+            args.text, voice=args.voice, ref_audio=ref_audio,
+            ref_text=args.ref_text, generation_parameters=params,
+        )
+        wall = time.perf_counter() - t0
+        save_wav(args.output, np.asarray(audio), model.sample_rate)
+        dur = len(audio) / model.sample_rate
+        print(f"[tts] {dur:.2f}s audio in {wall:.2f}s "
+              f"(RTFx {dur/wall:.2f}x) -> {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

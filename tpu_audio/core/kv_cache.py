@@ -23,11 +23,14 @@ __all__ = ["KVCache", "init_cache", "update_cache", "attention_mask"]
 
 class KVCache(NamedTuple):
     """Stacked-layer KV cache. ``k``/``v``: [L, B, H_kv, S_max, D];
-    ``offset``: int32 scalar — number of valid positions."""
+    ``offset``: int32 scalar — number of written positions;
+    ``valid_from``: int32 scalar — first attendable position (positions
+    below it are left padding from prompt bucketing and stay masked)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     offset: jnp.ndarray
+    valid_from: jnp.ndarray
 
     @property
     def max_len(self) -> int:
@@ -35,12 +38,13 @@ class KVCache(NamedTuple):
 
 
 def init_cache(n_layers: int, batch: int, n_kv_heads: int, head_dim: int,
-               max_len: int, dtype=jnp.bfloat16) -> KVCache:
+               max_len: int, dtype=jnp.bfloat16, valid_from: int = 0) -> KVCache:
     shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         offset=jnp.zeros((), jnp.int32),
+        valid_from=jnp.asarray(valid_from, jnp.int32),
     )
 
 
@@ -63,8 +67,10 @@ def update_cache(cache: KVCache, layer: int, k_new: jnp.ndarray,
 
 def attention_mask(cache: KVCache, q_len: int) -> jnp.ndarray:
     """Boolean mask ``[1, 1, q_len, S_max]``: causal over the new positions,
-    allowing all previously cached positions."""
+    allowing previously cached positions except left padding."""
     s_max = cache.max_len
     key_pos = jnp.arange(s_max)
     query_pos = cache.offset + jnp.arange(q_len)
-    return (key_pos[None, :] <= query_pos[:, None])[None, None]
+    causal = key_pos[None, :] <= query_pos[:, None]
+    valid = key_pos[None, :] >= cache.valid_from
+    return (causal & valid)[None, None]

@@ -290,15 +290,19 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         rep = n_heads // n_kv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
+    # Large-finite masking (not -inf): fully-masked rows (left padding) must
+    # produce finite garbage rather than NaN, which would otherwise poison
+    # downstream KV entries via 0 * NaN in the value contraction.
+    neg = jnp.asarray(-1e9, jnp.float32)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if is_causal:
         s_k = k.shape[2]
         causal = jnp.tril(jnp.ones((s_q, s_k), bool), k=s_k - s_q)
-        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        scores = jnp.where(causal[None, None], scores, neg)
     if mask is not None:
         if mask.dtype == jnp.bool_:
-            scores = jnp.where(mask, scores, -jnp.inf)
+            scores = jnp.where(mask, scores, neg)
         else:
             scores = scores + mask.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
@@ -323,7 +327,8 @@ def lstm(p: dict, x: jnp.ndarray, h0=None, c0=None):
     if "bias_ih_l0" in p or "bias_ih" in p:
         b_ih = p.get("bias_ih_l0", p.get("bias_ih"))
         b_hh = p.get("bias_hh_l0", p.get("bias_hh"))
-        b = (b_ih + b_hh).astype(x.dtype)
+        b = b_ih if b_hh is None else b_ih + b_hh  # MLX LSTMs have one bias
+        b = b.astype(x.dtype)
     hidden = w_hh.shape[1]
     bsz = x.shape[0]
     x_proj = x @ w_ih.T.astype(x.dtype)  # [B, T, 4H]

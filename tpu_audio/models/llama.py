@@ -1,0 +1,183 @@
+"""Generic Llama-family decoder backbone (HF layout) with KV-cached steps.
+
+Shared by LlamaTTS/Orpheus, Qwen3/VyvoTTS and other AR audio models — the
+TPU rebuild of the reference's per-model Llama copies
+(LlamaTTS.swift:206-379). Supports GQA, Llama-3 NTK rope scaling, optional
+QK-norm (Qwen3), attention bias (Qwen2), tied embeddings and MLX-quantized
+weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.core import kv_cache, nn
+
+__all__ = ["LlamaConfig", "forward", "init_random_params"]
+
+
+@dataclass
+class LlamaConfig:
+    hidden_size: int = 2048
+    num_hidden_layers: int = 16
+    intermediate_size: int = 8192
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int | None = None
+    rms_norm_eps: float = 1e-5
+    vocab_size: int = 128256
+    rope_theta: float = 500000.0
+    rope_scaling: dict | None = None
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+    qk_norm: bool = False  # Qwen3-style per-head q/k RMSNorm
+    max_position_embeddings: int = 8192
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LlamaConfig":
+        keys = set(cls.__dataclass_fields__)
+        kw = {k: v for k, v in d.items() if k in keys}
+        return cls(**kw)
+
+
+def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
+    scaling = None
+    rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        scaling = rs
+    inv_freq = nn.rope_freqs(cfg.resolved_head_dim, cfg.rope_theta, scaling)
+    ang = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig):
+    """Decoder forward over ``tokens [B, T]`` appending to ``cache``.
+
+    Returns (logits [B, T, V], cache). Left padding from prompt bucketing is
+    masked via ``cache.valid_from`` (RoPE is relative under causal masking,
+    so the absolute position shift is harmless).
+    """
+    p = params["model"]
+    n_heads = cfg.num_attention_heads
+    n_kv = cfg.num_key_value_heads
+    hd = cfg.resolved_head_dim
+    b, t = tokens.shape
+
+    x = nn.embedding(p["embed_tokens"], tokens)
+    offset = cache.offset if cache is not None else 0
+    positions = offset + jnp.arange(t)
+    cos, sin = _rope_tables(cfg, positions)
+
+    mask = kv_cache.attention_mask(cache, t) if cache is not None else None
+
+    for i in range(cfg.num_hidden_layers):
+        lp = p["layers"][str(i)]
+        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        ap = lp["self_attn"]
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
+        if cfg.qk_norm:
+            q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps)
+            k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q = nn.apply_rope(q, cos, sin)
+        k = nn.apply_rope(k, cos, sin)
+        if cache is not None:
+            cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+            o = nn.sdpa(q, k_full, v_full, mask=mask)
+        else:
+            o = nn.sdpa(q, k, v, is_causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
+        x = x + nn.linear(ap["o_proj"], o)
+
+        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        mp = lp["mlp"]
+        x = x + nn.linear(
+            mp["down_proj"],
+            nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h),
+        )
+
+    x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
+    if "lm_head" in params and not cfg.tie_word_embeddings:
+        logits = nn.linear(params["lm_head"], x)
+    else:
+        logits = nn.embedding_as_linear(p["embed_tokens"], x)
+    if cache is not None:
+        cache = cache._replace(offset=cache.offset + t)
+    return logits, cache
+
+
+def make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return kv_cache.init_cache(
+        cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
+        cfg.resolved_head_dim, max_len, dtype,
+    )
+
+
+def sanitize(weights: dict[str, np.ndarray], cfg: LlamaConfig) -> dict:
+    """Drop rotary inv_freq buffers; drop lm_head when embeddings are tied
+    (reference LlamaTTS.sanitize, LlamaTTS.swift:583-593)."""
+    out = {}
+    for k, v in weights.items():
+        if "self_attn.rotary_emb.inv_freq" in k:
+            continue
+        if cfg.tie_word_embeddings and k == "lm_head.weight":
+            continue
+        out[k] = v
+    return out
+
+
+def init_random_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random params in HF layout, for benchmarks/fixtures."""
+    rng = np.random.default_rng(seed)
+    d, ffn, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    hd = cfg.resolved_head_dim
+
+    def rand(*shape):
+        return rng.standard_normal(shape, dtype=np.float32) * 0.02
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        attn = {
+            "q_proj": {"weight": rand(cfg.num_attention_heads * hd, d)},
+            "k_proj": {"weight": rand(cfg.num_key_value_heads * hd, d)},
+            "v_proj": {"weight": rand(cfg.num_key_value_heads * hd, d)},
+            "o_proj": {"weight": rand(d, cfg.num_attention_heads * hd)},
+        }
+        if cfg.qk_norm:
+            attn["q_norm"] = {"weight": np.ones((hd,), np.float32)}
+            attn["k_norm"] = {"weight": np.ones((hd,), np.float32)}
+        layers[str(i)] = {
+            "input_layernorm": {"weight": np.ones((d,), np.float32)},
+            "self_attn": attn,
+            "post_attention_layernorm": {"weight": np.ones((d,), np.float32)},
+            "mlp": {
+                "gate_proj": {"weight": rand(ffn, d)},
+                "up_proj": {"weight": rand(ffn, d)},
+                "down_proj": {"weight": rand(d, ffn)},
+            },
+        }
+    params = {
+        "model": {
+            "embed_tokens": {"weight": rand(v, d)},
+            "layers": layers,
+            "norm": {"weight": np.ones((d,), np.float32)},
+        }
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": rand(v, d)}
+    params = jax.tree.map(jnp.asarray, params)
+    from tpu_audio.core import loading
+
+    return loading.cast_floats(params, dtype)

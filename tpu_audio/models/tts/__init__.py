@@ -1,0 +1,39 @@
+"""TTS task module: model registry + factory (reference TTS.loadModel,
+Sources/MLXAudioTTS/TTSModel.swift:38-333)."""
+
+from __future__ import annotations
+
+from tpu_audio.core import hub
+
+_REGISTRY: dict[str, str] = {
+    "llama_tts": "tpu_audio.models.tts.llama_tts:LlamaTTS",
+    # repo-name fallbacks
+    "orpheus": "tpu_audio.models.tts.llama_tts:LlamaTTS",
+}
+
+
+def register(model_type: str, target: str) -> None:
+    _REGISTRY[model_type] = target
+
+
+def load_model(repo_or_path: str, **kwargs):
+    model_dir = hub.resolve_or_download_model(repo_or_path)
+    cfg = hub.load_config(model_dir)
+    model_type = hub.resolve_model_type(cfg, str(repo_or_path))
+    if model_type is None or model_type not in _REGISTRY:
+        # repo-name inference fallback (TTSModel.swift:273-333)
+        name = str(repo_or_path).lower()
+        for key in _REGISTRY:
+            if key.replace("_", "") in name.replace("-", "").replace("_", ""):
+                model_type = key
+                break
+    if model_type is None or model_type not in _REGISTRY:
+        raise ValueError(
+            f"unsupported TTS model_type {model_type!r} "
+            f"(supported: {sorted(_REGISTRY)})"
+        )
+    import importlib
+
+    module_name, cls_name = _REGISTRY[model_type].split(":")
+    cls = getattr(importlib.import_module(module_name), cls_name)
+    return cls.from_pretrained(str(model_dir), **kwargs)

@@ -1,0 +1,364 @@
+"""LlamaTTS (Orpheus): Llama-3 AR decoder emitting 7-token SNAC frames.
+
+TPU-first rebuild of the reference's Orpheus runtime
+(Sources/MLXAudioTTS/Models/Llama/LlamaTTS.swift): special-token prompt
+framing (:446-553), 7-token frame ungrouping to 3 SNAC layers (:41-69),
+voice-prefix conditioning (:474), ref-audio cloning via SNAC encode
+(:457-469), temperature/top-p/repetition sampling (:691-692).
+
+The decode loop is the shared ``core.ar_loop`` chunked ``lax.while_loop`` —
+one host sync per chunk instead of the reference's per-token ``.item()``
+(:727-744). Streaming decodes the SNAC code prefix incrementally and emits
+waveform deltas, giving real incremental audio rather than the reference's
+single final ``.audio`` event.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.core import hub, loading
+from tpu_audio.core.ar_loop import make_decode_chunk
+from tpu_audio.core.generation import (
+    AudioGenerateParameters,
+    AudioGeneration,
+    AudioGenerationError,
+    AudioGenerationInfo,
+)
+from tpu_audio.core.sampling import SamplingParams
+from tpu_audio.models import llama
+
+__all__ = ["LlamaTTS", "LlamaTTSConfig", "OrpheusTokens"]
+
+
+@dataclass(frozen=True)
+class OrpheusTokens:
+    """Orpheus special token ids (reference LlamaTTS.swift:20-30)."""
+
+    start_of_human: int = 128259
+    end_of_human: int = 128260
+    end_of_text: int = 128009
+    start_of_speech: int = 128257
+    end_of_speech: int = 128258
+    pad_token: int = 128263
+    audio_start: int = 128261
+    audio_end: int = 128262
+    audio_token_offset: int = 128266
+    codebook_size: int = 4096
+
+
+@dataclass
+class LlamaTTSConfig(llama.LlamaConfig):
+    sample_rate: int = 24000
+    snac_repo: str = "mlx-community/snac_24khz"
+    quantization: dict | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LlamaTTSConfig":
+        keys = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in d.items() if k in keys})
+
+
+def ungroup_codes(code_list: list[int], codebook_size: int = 4096):
+    """7-token frames -> 3 SNAC layers (reference
+    llamaDecodeAudioFromCodes, LlamaTTS.swift:41-69)."""
+    l1, l2, l3 = [], [], []
+    for g in range(len(code_list) // 7):
+        b = 7 * g
+        l1.append(code_list[b])
+        l2.append(code_list[b + 1] - codebook_size)
+        l3.append(code_list[b + 2] - 2 * codebook_size)
+        l3.append(code_list[b + 3] - 3 * codebook_size)
+        l2.append(code_list[b + 4] - 4 * codebook_size)
+        l3.append(code_list[b + 5] - 5 * codebook_size)
+        l3.append(code_list[b + 6] - 6 * codebook_size)
+    return l1, l2, l3
+
+
+def group_codes(l1, l2, l3, codebook_size: int = 4096) -> list[int]:
+    """3 SNAC layers -> interleaved 7-token frames (reference
+    llamaEncodeAudioToCodes, LlamaTTS.swift:73-103)."""
+    out = []
+    for i in range(len(l1)):
+        out += [
+            int(l1[i]),
+            int(l2[2 * i]) + codebook_size,
+            int(l3[4 * i]) + 2 * codebook_size,
+            int(l3[4 * i + 1]) + 3 * codebook_size,
+            int(l2[2 * i + 1]) + 4 * codebook_size,
+            int(l3[4 * i + 2]) + 5 * codebook_size,
+            int(l3[4 * i + 3]) + 6 * codebook_size,
+        ]
+    return out
+
+
+class LlamaTTS:
+    """Orpheus-style TTS with generate / generate_stream."""
+
+    def __init__(self, config: LlamaTTSConfig, params, tokenizer=None,
+                 codec=None, tokens: OrpheusTokens = OrpheusTokens(),
+                 dtype=jnp.bfloat16):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.codec = codec
+        self.tokens = tokens
+        self.dtype = dtype
+        cfg = config
+
+        def prefill(params, ids, cache):
+            return llama.forward(params, ids, cache, cfg)
+
+        self._prefill = jax.jit(prefill, donate_argnums=(2,))
+
+        def step_fn(params, tok, cache):
+            logits, cache = llama.forward(params, tok, cache, cfg)
+            return logits[:, -1], cache
+
+        self._step_fn = step_fn
+        self._decoders: dict = {}
+
+    # -- loading --------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, repo_or_path: str, codec=None,
+                        snac_repo: str | None = None,
+                        dtype=jnp.bfloat16) -> "LlamaTTS":
+        model_dir = hub.resolve_or_download_model(repo_or_path)
+        cfg_dict = hub.load_config(model_dir)
+        config = LlamaTTSConfig.from_dict(cfg_dict)
+        config.quantization = cfg_dict.get("quantization")
+        params = loading.load_params(
+            model_dir, sanitize=lambda w: llama.sanitize(w, config),
+            dtype=dtype, expected_prefixes=("model",),
+        )
+        if config.quantization:
+            from tpu_audio.core import quant
+
+            q = config.quantization
+            params = quant.tag_quantized(params, q.get("group_size", 64),
+                                         q.get("bits", 4))
+        tokenizer = None
+        from pathlib import Path
+
+        if (Path(model_dir) / "tokenizer.json").exists():
+            from tokenizers import Tokenizer
+
+            tokenizer = Tokenizer.from_file(str(Path(model_dir) / "tokenizer.json"))
+        if codec is None:
+            # post_load_hook: SNAC auto-fetch (reference LlamaTTS.swift:600)
+            from tpu_audio.codecs import load_codec
+
+            try:
+                codec = load_codec(snac_repo or config.snac_repo,
+                                   codec_type="snac")
+            except Exception:
+                codec = None  # decode unavailable; token generation still works
+        # token table scaled for tiny fixture vocabs
+        tokens = OrpheusTokens()
+        if config.vocab_size < tokens.audio_token_offset:
+            base = cfg_dict.get("audio_token_offset")
+            if base is None:
+                raise ValueError(
+                    "vocab smaller than Orpheus token table; set "
+                    "audio_token_offset etc. in config.json")
+            tokens = OrpheusTokens(
+                start_of_human=cfg_dict["start_of_human"],
+                end_of_human=cfg_dict["end_of_human"],
+                end_of_text=cfg_dict["end_of_text"],
+                start_of_speech=cfg_dict["start_of_speech"],
+                end_of_speech=cfg_dict["end_of_speech"],
+                pad_token=cfg_dict["pad_token"],
+                audio_start=cfg_dict["audio_start"],
+                audio_end=cfg_dict["audio_end"],
+                audio_token_offset=base,
+                codebook_size=cfg_dict.get("codebook_size", 4096),
+            )
+        return cls(config, params, tokenizer, codec, tokens, dtype)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def default_generation_parameters(self) -> AudioGenerateParameters:
+        # reference defaultGenerationParameters (LlamaTTS.swift:573-581)
+        return AudioGenerateParameters(
+            max_tokens=1200, temperature=0.6, top_p=0.8,
+            repetition_penalty=1.3, repetition_context_size=20,
+        )
+
+    # -- prompt framing ---------------------------------------------------------
+
+    def prepare_input_ids(self, text: str, voice: str | None = None,
+                          ref_audio=None, ref_text: str | None = None) -> list[int]:
+        T = self.tokens
+        prompt = f"{voice}: {text}" if voice else text
+        ids = list(self.tokenizer.encode(prompt).ids)
+        parts = []
+        if ref_audio is not None and ref_text is not None:
+            if self.codec is None:
+                raise AudioGenerationError("SNAC codec required for ref audio")
+            codes = self.codec.encode(np.asarray(ref_audio, np.float32))
+            l1 = np.asarray(codes[0])[0].tolist()
+            l2 = np.asarray(codes[1])[0].tolist()
+            l3 = np.asarray(codes[2])[0].tolist()
+            audio_ids = [c + T.audio_token_offset
+                         for c in group_codes(l1, l2, l3, T.codebook_size)]
+            ref_ids = list(self.tokenizer.encode(ref_text).ids)
+            parts += [T.start_of_human, *ref_ids, T.end_of_text, T.end_of_human,
+                      T.audio_start, T.start_of_speech, *audio_ids,
+                      T.end_of_speech, T.audio_end]
+        parts += [T.start_of_human, *ids, T.end_of_text, T.end_of_human]
+        return parts
+
+    # -- parsing (reference parseOutput, LlamaTTS.swift:383-434) ---------------
+
+    def parse_output(self, all_tokens: list[int]) -> list[int]:
+        T = self.tokens
+        sos_positions = [i for i, t in enumerate(all_tokens)
+                         if t == T.start_of_speech]
+        cropped = all_tokens[sos_positions[-1] + 1:] if sos_positions else all_tokens
+        kept = [t for t in cropped if t != T.end_of_speech
+                and t >= T.audio_token_offset]
+        kept = kept[: (len(kept) // 7) * 7]
+        return [t - T.audio_token_offset for t in kept]
+
+    # -- generation ---------------------------------------------------------------
+
+    def _get_decoder(self, params: AudioGenerateParameters):
+        key = (params.temperature, params.top_p, params.top_k,
+               params.repetition_penalty, params.repetition_context_size)
+        if key not in self._decoders:
+            sp = SamplingParams(
+                temperature=params.temperature, top_p=params.top_p,
+                top_k=params.top_k,
+                repetition_penalty=params.repetition_penalty,
+                repetition_context_size=params.repetition_context_size,
+            )
+            self._decoders[key] = make_decode_chunk(
+                self._step_fn, sp,
+                history_size=max(params.repetition_context_size, 1),
+            )
+        return self._decoders[key]
+
+    def _run_generation(self, text, voice, ref_audio, ref_text,
+                        params: AudioGenerateParameters, chunk_tokens: int):
+        """Core loop: yields (new_tokens, done, timing) per chunk."""
+        if self.tokenizer is None:
+            raise AudioGenerationError("tokenizer not loaded")
+        prompt = self.prepare_input_ids(text, voice, ref_audio, ref_text)
+        T = self.tokens
+        bucket = max(64, 1 << math.ceil(math.log2(max(len(prompt), 2))))
+        pad_len = bucket - len(prompt)
+        padded = np.full((1, bucket), T.pad_token, np.int32)
+        padded[0, pad_len:] = prompt
+        max_total = bucket + params.max_tokens + 1
+        cache = llama.make_cache(self.config, 1, max_total, self.dtype)
+        cache = cache._replace(valid_from=jnp.asarray(pad_len, jnp.int32))
+
+        t0 = time.perf_counter()
+        # prefill all but the last prompt token; the decode loop re-feeds it
+        _, cache = self._prefill(self.params, jnp.asarray(padded[:, :-1]), cache)
+        jax.block_until_ready(cache.k)
+        prefill_time = time.perf_counter() - t0
+
+        decoder = self._get_decoder(params)
+        rng = jax.random.PRNGKey(params.seed if params.seed is not None else 0)
+        last = jnp.asarray([prompt[-1]], jnp.int32)
+        history = jnp.zeros((1, max(params.repetition_context_size, 1)), jnp.int32)
+        hist_pos = jnp.int32(0)
+        emitted = 0
+        t1 = time.perf_counter()
+        all_tokens = list(prompt)
+        while emitted < params.max_tokens:
+            n = min(chunk_tokens, params.max_tokens - emitted)
+            buf = jnp.zeros((n,), jnp.int32)
+            tokens, count, cache, last, finished, rng, history, hist_pos = decoder(
+                self.params, cache, last, buf, rng,
+                jnp.int32(T.end_of_speech), history, hist_pos,
+            )
+            count = int(count)
+            new = np.asarray(tokens)[:count].tolist()
+            done = bool(finished)
+            if done and new and new[-1] == T.end_of_speech:
+                new = new[:-1]
+            all_tokens += new
+            emitted += count
+            yield new, done or emitted >= params.max_tokens, (
+                prefill_time, time.perf_counter() - t1, len(prompt), all_tokens
+            )
+            if done:
+                return
+
+    def generate(self, text: str, voice: str | None = None,
+                 ref_audio=None, ref_text: str | None = None,
+                 language: str | None = None,
+                 generation_parameters: AudioGenerateParameters | None = None
+                 ) -> np.ndarray:
+        params = generation_parameters or self.default_generation_parameters()
+        all_tokens = None
+        for _new, _done, (_pt, _gt, _pl, toks) in self._run_generation(
+            text, voice, ref_audio, ref_text, params,
+            chunk_tokens=params.max_tokens,
+        ):
+            all_tokens = toks
+        code_list = self.parse_output(all_tokens)
+        if not code_list:
+            raise AudioGenerationError("no audio codes generated")
+        if self.codec is None:
+            raise AudioGenerationError("SNAC codec not loaded")
+        l1, l2, l3 = ungroup_codes(code_list, self.tokens.codebook_size)
+        wav = self.codec.decode([
+            np.asarray([l1], np.int32), np.asarray([l2], np.int32),
+            np.asarray([l3], np.int32),
+        ])
+        return np.asarray(wav)[0]
+
+    def generate_stream(self, text: str, voice: str | None = None,
+                        ref_audio=None, ref_text: str | None = None,
+                        language: str | None = None,
+                        generation_parameters: AudioGenerateParameters | None = None):
+        """Yields AudioGeneration events: .token per generated token, .audio
+        waveform deltas as enough 7-token frames accumulate, final .info."""
+        params = generation_parameters or self.default_generation_parameters()
+        # frames per streamed chunk: interval seconds of codec output
+        hop = getattr(self.codec, "config", None)
+        samples_per_group = 4 * (hop.hop_length if hop else 512)
+        groups_per_chunk = max(
+            1, int(params.streaming_interval * self.sample_rate / samples_per_group)
+        )
+        chunk_tokens = 7 * groups_per_chunk
+        decoded_samples = 0
+        gen_count = 0
+        info = None
+        for new, done, (pt, gt, plen, all_tokens) in self._run_generation(
+            text, voice, ref_audio, ref_text, params, chunk_tokens=chunk_tokens,
+        ):
+            for t in new:
+                gen_count += 1
+                yield AudioGeneration.from_token(t)
+            code_list = self.parse_output(all_tokens)
+            n_groups = len(code_list) // 7
+            if self.codec is not None and n_groups > 0:
+                l1, l2, l3 = ungroup_codes(code_list, self.tokens.codebook_size)
+                wav = np.asarray(self.codec.decode([
+                    np.asarray([l1], np.int32), np.asarray([l2], np.int32),
+                    np.asarray([l3], np.int32)]))[0]
+                if wav.shape[0] > decoded_samples:
+                    yield AudioGeneration.from_audio(wav[decoded_samples:])
+                    decoded_samples = wav.shape[0]
+            if done:
+                info = AudioGenerationInfo(
+                    prompt_token_count=plen, generation_token_count=gen_count,
+                    prompt_time=pt, generate_time=gt,
+                    audio_duration=decoded_samples / self.sample_rate,
+                )
+                break
+        if info is not None:
+            yield AudioGeneration.from_info(info)
