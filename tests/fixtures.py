@@ -218,7 +218,8 @@ def make_snac_fixture(
 
 
 def make_llama_tts_fixture(path: Path, vocab: int = 400,
-                           codebook_size: int = 32) -> Path:
+                           codebook_size: int = 32,
+                           qwen3: bool = False) -> Path:
     """Tiny Orpheus-style checkpoint: Llama backbone + scaled-down special
     token table (audio_token_offset=100, 7*codebook_size audio tokens)."""
     from safetensors.numpy import save_file
@@ -226,7 +227,7 @@ def make_llama_tts_fixture(path: Path, vocab: int = 400,
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     cfg = {
-        "model_type": "llama_tts",
+        "model_type": "qwen3" if qwen3 else "llama_tts",
         "hidden_size": 32,
         "num_hidden_layers": 2,
         "intermediate_size": 64,
@@ -256,6 +257,9 @@ def make_llama_tts_fixture(path: Path, vocab: int = 400,
         w[f"{base}.self_attn.k_proj.weight"] = modulo_values((2 * hd, d), 11 + i, 0.3)
         w[f"{base}.self_attn.v_proj.weight"] = modulo_values((2 * hd, d), 17 + i, 0.3)
         w[f"{base}.self_attn.o_proj.weight"] = modulo_values((d, 4 * hd), 19 + i, 0.3)
+        if qwen3:
+            w[f"{base}.self_attn.q_norm.weight"] = np.ones((hd,), np.float32)
+            w[f"{base}.self_attn.k_norm.weight"] = np.ones((hd,), np.float32)
         w[f"{base}.mlp.gate_proj.weight"] = modulo_values((ffn, d), 7 + i, 0.3)
         w[f"{base}.mlp.up_proj.weight"] = modulo_values((ffn, d), 5 + i, 0.3)
         w[f"{base}.mlp.down_proj.weight"] = modulo_values((d, ffn), 3 + i, 0.3)
@@ -304,6 +308,109 @@ def make_silero_fixture(path: Path) -> Path:
         w[f"{prefix}.lstm.Wh"] = modulo_values((512, 128), m + 2, 0.1)
         w[f"{prefix}.lstm.bias"] = modulo_values((512,), m, 0.01)
         conv("final_conv", 1, 128, 1)
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
+def make_parakeet_fixture(path: Path, vocab: int = 16, d_model: int = 32,
+                          n_layers: int = 2, n_heads: int = 4,
+                          features: int = 16, variant: str = "tdt") -> Path:
+    """Tiny Parakeet-TDT checkpoint in the MLX-community layout: pre_encode
+    conv list indices, MLX conv/LSTM layouts, joint_net.2 naming."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    durations = [0, 1, 2, 3, 4] if variant == "tdt" else []
+    vocab_list = [("▁" if i % 3 == 0 else "") + chr(ord("a") + i % 26)
+                  for i in range(vocab)]
+    pred_hidden, joint_hidden, conv_ch = 16, 16, 8
+    cfg = {
+        "model_type": "parakeet",
+        "target": "nemo.collections.asr.models.EncDecRNNTBPEModel",
+        "preprocessor": {
+            "sample_rate": 16000, "normalize": "per_feature",
+            "window_size": 0.025, "window_stride": 0.01, "window": "hann",
+            "features": features, "n_fft": 512, "preemph": 0.97,
+            "pad_to": 0, "log_zero_guard_value": 2**-24,
+        },
+        "encoder": {
+            "feat_in": features, "n_layers": n_layers, "d_model": d_model,
+            "n_heads": n_heads, "ff_expansion_factor": 4,
+            "subsampling_factor": 4, "self_attention_model": "rel_pos",
+            "subsampling": "dw_striding", "conv_kernel_size": 9,
+            "subsampling_conv_channels": conv_ch, "xscaling": False,
+        },
+        "decoder": {"prednet": {"pred_hidden": pred_hidden, "pred_rnn_layers": 1}},
+        "joint": {"jointnet": {"joint_hidden": joint_hidden, "activation": "relu",
+                               "encoder_hidden": d_model, "pred_hidden": pred_hidden},
+                  "vocabulary": vocab_list,
+                  "num_extra_outputs": len(durations)},
+        "decoding": {"model_type": variant, "durations": durations,
+                     "greedy": {"max_symbols": 10}},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 13, 0.01)
+
+    def conv2d_mlx(name, o, h, k, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, h, k, i), 9 + c[0] % 5, 0.3)
+        w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    def conv1d_mlx(name, o, k, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    # subsampling: factor 4 -> conv0 + one dw/pw pair (indices 2, 3)
+    conv2d_mlx("encoder.pre_encode.conv.0", conv_ch, 3, 3, 1)
+    conv2d_mlx("encoder.pre_encode.conv.2", conv_ch, 3, 3, 1)  # dw groups=ch
+    conv2d_mlx("encoder.pre_encode.conv.3", conv_ch, 1, 1, conv_ch)
+    f_out = features
+    for _ in range(2):
+        f_out = (f_out + 2 - 3) // 2 + 1
+    lin("encoder.pre_encode.out", d_model, conv_ch * f_out)
+
+    hd = d_model // n_heads
+    for i in range(n_layers):
+        base = f"encoder.layers.{i}"
+        for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                    "norm_feed_forward2", "norm_out"):
+            w[f"{base}.{nrm}.weight"] = np.ones((d_model,), np.float32)
+            w[f"{base}.{nrm}.bias"] = np.zeros((d_model,), np.float32)
+        for ff in ("feed_forward1", "feed_forward2"):
+            lin(f"{base}.{ff}.linear1", d_model * 4, d_model)
+            lin(f"{base}.{ff}.linear2", d_model, d_model * 4)
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            lin(f"{base}.self_attn.{proj}", d_model, d_model)
+        lin(f"{base}.self_attn.linear_pos", d_model, d_model, bias=False)
+        w[f"{base}.self_attn.pos_bias_u"] = modulo_values((n_heads, hd), 5, 0.1)
+        w[f"{base}.self_attn.pos_bias_v"] = modulo_values((n_heads, hd), 3, 0.1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv1", d_model * 2, 1, d_model)
+        conv1d_mlx(f"{base}.conv.depthwise_conv", d_model, 9, 1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv2", d_model, 1, d_model)
+        w[f"{base}.conv.batch_norm.weight"] = np.ones((d_model,), np.float32)
+        w[f"{base}.conv.batch_norm.bias"] = np.zeros((d_model,), np.float32)
+        w[f"{base}.conv.batch_norm.running_mean"] = np.zeros((d_model,), np.float32)
+        w[f"{base}.conv.batch_norm.running_var"] = np.ones((d_model,), np.float32)
+
+    w["decoder.prediction.embed.weight"] = modulo_values((vocab + 1, pred_hidden), 17, 0.3)
+    w["decoder.prediction.dec_rnn.lstm.0.Wx"] = modulo_values((4 * pred_hidden, pred_hidden), 19, 0.2)
+    w["decoder.prediction.dec_rnn.lstm.0.Wh"] = modulo_values((4 * pred_hidden, pred_hidden), 23, 0.2)
+    w["decoder.prediction.dec_rnn.lstm.0.bias"] = modulo_values((4 * pred_hidden,), 5, 0.01)
+    lin("joint.enc", joint_hidden, d_model)
+    lin("joint.pred", joint_hidden, pred_hidden)
+    lin("joint.joint_net.2", vocab + 1 + len(durations), joint_hidden)
+
     save_file(w, str(path / "model.safetensors"))
     return path
 

@@ -176,3 +176,31 @@ def test_llama_left_pad_invariance():
     np.testing.assert_allclose(
         np.asarray(logits_a[0]), np.asarray(logits_b[0, pad:]), atol=2e-4
     )
+
+
+def test_vyvo_qwen3_variant(tmp_path, snac):
+    """VyvoTTS: qwen3 backbone (qk_norm) + SOA-fallback parsing."""
+    from tpu_audio.models.tts.qwen3_vyvo import VyvoTTS
+
+    path = make_llama_tts_fixture(tmp_path / "vyvo", qwen3=True)
+    model = load_model(str(path), dtype=jnp.float32)
+    assert isinstance(model, VyvoTTS)
+    assert model.config.qk_norm
+    model.codec = snac
+    T = model.tokens
+    # SOS present
+    seq = [1, T.start_of_speech] + list(range(100, 107)) + [T.end_of_speech]
+    assert model.parse_output(seq) == [0, 1, 2, 3, 4, 5, 6]
+    # SOA fallback: no SOS, audio tokens after START_OF_AI
+    seq2 = [1, T.audio_start, 5, 100, 101, 102, 103, 104, 105, 106]
+    assert model.parse_output(seq2) == [0, 1, 2, 3, 4, 5, 6]
+    # scripted end-to-end
+    step_fn, holder = _scripted_step(model, n_groups=2)
+    model._step_fn = step_fn
+    model._decoders.clear()
+    prompt = model.prepare_input_ids("hello")
+    holder["plen"] = 1 << max(6, int(np.ceil(np.log2(len(prompt)))))
+    params = AudioGenerateParameters(max_tokens=30, temperature=0.0,
+                                     repetition_penalty=1.0)
+    audio = model.generate("hello", generation_parameters=params)
+    assert audio.shape == (2 * 4 * snac.config.hop_length,)

@@ -83,6 +83,33 @@ def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return (y * p["weight"].astype(jnp.float32)).astype(x.dtype)
 
 
+def batch_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm over channels-last ``[..., C]``."""
+    mean = p["running_mean"].astype(jnp.float32)
+    var = p["running_var"].astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    if "weight" in p:
+        y = y * p["weight"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def lstm_cell(p: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    """Single LSTM step: x [B, I], h/c [B, H] -> (h, c). Torch gate order."""
+    w_ih = p["weight_ih_l0"] if "weight_ih_l0" in p else p["weight_ih"]
+    w_hh = p["weight_hh_l0"] if "weight_hh_l0" in p else p["weight_hh"]
+    gates = x @ w_ih.T.astype(x.dtype) + h @ w_hh.T.astype(x.dtype)
+    b_ih = p.get("bias_ih_l0", p.get("bias_ih"))
+    b_hh = p.get("bias_hh_l0", p.get("bias_hh"))
+    if b_ih is not None:
+        gates = gates + (b_ih if b_hh is None else b_ih + b_hh).astype(x.dtype)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h, c
+
+
 def group_norm(p: dict | None, x: jnp.ndarray, num_groups: int,
                eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over channels-last ``[..., C]``."""

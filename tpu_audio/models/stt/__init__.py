@@ -12,6 +12,7 @@ from tpu_audio.core import hub
 _REGISTRY: dict[str, str] = {
     # model_type -> "module:Class"
     "whisper": "tpu_audio.models.stt.whisper:Whisper",
+    "parakeet": "tpu_audio.models.stt.parakeet:Parakeet",
 }
 
 
