@@ -415,6 +415,269 @@ def make_parakeet_fixture(path: Path, vocab: int = 16, d_model: int = 32,
     return path
 
 
+def make_qwen3_tts_fixture(path: Path) -> Path:
+    """Tiny Qwen3-TTS checkpoint: talker + code predictor (talker.* keys) and
+    a speech_tokenizer/ subdirectory with the RVQ decoder."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    H, TH, CPH, G, CV = 16, 24, 16, 4, 32  # talker hid, text hid, cp hid, groups, codec vocab
+    heads, kv, hd = 2, 2, 8
+    cfg = {
+        "model_type": "qwen3_tts",
+        "tts_model_type": "custom_voice",
+        "tts_bos_token_id": 60, "tts_eos_token_id": 61, "tts_pad_token_id": 62,
+        "talker_config": {
+            "vocab_size": 1060 + 1024,  # leaves room for the suppressed band
+            "hidden_size": H, "intermediate_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "head_dim": hd,
+            "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+            "num_code_groups": G, "text_hidden_size": TH,
+            "text_vocab_size": 64,
+            "codec_eos_token_id": 1056, "codec_think_id": 1026,
+            "codec_nothink_id": 1025, "codec_think_bos_id": 1027,
+            "codec_think_eos_id": 1028, "codec_pad_id": 1029,
+            "codec_bos_id": 1030,
+            "codec_language_id": {"english": 1031},
+            "spk_id": {"vivian": 1040},
+            "code_predictor_config": {
+                "vocab_size": CV, "hidden_size": CPH, "intermediate_size": 32,
+                "num_hidden_layers": 1, "num_attention_heads": heads,
+                "num_key_value_heads": kv, "head_dim": hd,
+                "num_code_groups": G,
+            },
+        },
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def qwen_layer(base, hid, inter):
+        lin(f"{base}.self_attn.q_proj", heads * hd, hid)
+        lin(f"{base}.self_attn.k_proj", kv * hd, hid)
+        lin(f"{base}.self_attn.v_proj", kv * hd, hid)
+        lin(f"{base}.self_attn.o_proj", hid, heads * hd)
+        w[f"{base}.self_attn.q_norm.weight"] = np.ones((hd,), np.float32)
+        w[f"{base}.self_attn.k_norm.weight"] = np.ones((hd,), np.float32)
+        w[f"{base}.input_layernorm.weight"] = np.ones((hid,), np.float32)
+        w[f"{base}.post_attention_layernorm.weight"] = np.ones((hid,), np.float32)
+        lin(f"{base}.mlp.gate_proj", inter, hid)
+        lin(f"{base}.mlp.up_proj", inter, hid)
+        lin(f"{base}.mlp.down_proj", hid, inter)
+
+    V = cfg["talker_config"]["vocab_size"]
+    w["talker.model.codec_embedding.weight"] = modulo_values((V, H), 13, 0.3)
+    w["talker.model.text_embedding.weight"] = modulo_values((64, TH), 17, 0.3)
+    for i in range(2):
+        qwen_layer(f"talker.model.layers.{i}", H, 32)
+    w["talker.model.norm.weight"] = np.ones((H,), np.float32)
+    lin("talker.text_projection.linear_fc1", TH, TH, bias=True)
+    lin("talker.text_projection.linear_fc2", H, TH, bias=True)
+    lin("talker.codec_head", V, H)
+    # code predictor (hidden == talker hidden -> no projection)
+    for g in range(G - 1):
+        w[f"talker.code_predictor.model.codec_embedding.{g}.weight"] = (
+            modulo_values((CV, H), 19 + g, 0.3))
+        lin(f"talker.code_predictor.lm_head.{g}", CV, CPH)
+    qwen_layer("talker.code_predictor.model.layers.0", CPH, 32)
+    w["talker.code_predictor.model.norm.weight"] = np.ones((CPH,), np.float32)
+    save_file(w, str(path / "model.safetensors"))
+
+    # tokenizer
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(55)}
+    vocab_map.update({"hello": 55, "world": 56, "assistant": 57, "user": 58})
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+
+    # speech tokenizer decoder
+    st = path / "speech_tokenizer"
+    st.mkdir(exist_ok=True)
+    st_cfg = {
+        "latent_dim": 16, "codebook_dim": 8, "codebook_size": CV,
+        "decoder_dim": 32, "num_quantizers": G, "num_semantic_quantizers": 1,
+        "upsample_rates": [2, 2], "upsampling_ratios": [2],
+        "hidden_size": 16, "intermediate_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "num_key_value_heads": 2, "head_dim": 8,
+        "sampling_rate": 24000,
+    }
+    (st / "config.json").write_text(json.dumps(st_cfg))
+    sw = {}
+
+    def slin(name, o, i, bias=True):
+        c[0] += 1
+        sw[f"{name}.weight"] = modulo_values((o, i), 7 + c[0] % 5, 0.2)
+        if bias:
+            sw[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def sconv(name, o, i, k, bias=True, transpose=False):
+        c[0] += 1
+        shape = (i, o, k) if transpose else (o, i, k)
+        sw[f"{name}.weight"] = modulo_values(shape, 7 + c[0] % 5, 0.2)
+        if bias:
+            sw[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    vq_dim = 4  # codebook_dim / 2
+    sw["quantizer.rvq_first.vq.layers.0.codebook.embed"] = modulo_values((CV, vq_dim), 23, 0.5)
+    sconv("quantizer.rvq_first.output_proj", 8, vq_dim, 1, bias=False)
+    for i in range(G - 1):
+        sw[f"quantizer.rvq_rest.vq.layers.{i}.codebook.embed"] = modulo_values(
+            (CV, vq_dim), 29 + i, 0.5)
+    sconv("quantizer.rvq_rest.output_proj", 8, vq_dim, 1, bias=False)
+    sconv("pre_conv.conv", 16, 8, 3)
+    slin("pre_transformer.input_proj", 16, 16)
+    slin("pre_transformer.output_proj", 16, 16)
+    sw["pre_transformer.norm.weight"] = np.ones((16,), np.float32)
+    base = "pre_transformer.layers.0"
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        slin(f"{base}.self_attn.{proj}", 16, 16, bias=False)
+    sw[f"{base}.input_layernorm.weight"] = np.ones((16,), np.float32)
+    sw[f"{base}.post_attention_layernorm.weight"] = np.ones((16,), np.float32)
+    sw[f"{base}.self_attn_layer_scale.scale"] = np.full((16,), 0.01, np.float32)
+    sw[f"{base}.mlp_layer_scale.scale"] = np.full((16,), 0.01, np.float32)
+    for proj, o, i in (("gate_proj", 32, 16), ("up_proj", 32, 16), ("down_proj", 16, 32)):
+        slin(f"{base}.mlp.{proj}", o, i, bias=False)
+    # upsample (ratio 2)
+    sconv("upsample.0.conv_t.conv", 16, 16, 2, transpose=True)
+    sconv("upsample.0.convnext.dwconv.conv", 16, 1, 7)
+    sw["upsample.0.convnext.norm.weight"] = np.ones((16,), np.float32)
+    sw["upsample.0.convnext.norm.bias"] = np.zeros((16,), np.float32)
+    slin("upsample.0.convnext.pwconv1", 64, 16)
+    slin("upsample.0.convnext.pwconv2", 16, 64)
+    sw["upsample.0.convnext.gamma"] = np.full((16,), 1e-6, np.float32)
+    # decoder stack: 0 conv, 1..2 blocks (rates 2,2), 3 snake, 4 out conv
+    sconv("decoder.0.conv", 32, 16, 7)
+    dims = [(32, 16), (16, 8)]
+    for b_i, (ind, outd) in enumerate(dims):
+        db = f"decoder.{1+b_i}.block"
+        sw[f"{db}.0.alpha"] = np.zeros((ind,), np.float32)
+        sw[f"{db}.0.beta"] = np.zeros((ind,), np.float32)
+        sconv(f"{db}.1.conv", outd, ind, 4, transpose=True)
+        for j in range(3):
+            rb = f"{db}.{2+j}"
+            sw[f"{rb}.act1.alpha"] = np.zeros((outd,), np.float32)
+            sw[f"{rb}.act1.beta"] = np.zeros((outd,), np.float32)
+            sconv(f"{rb}.conv1.conv", outd, outd, 7)
+            sw[f"{rb}.act2.alpha"] = np.zeros((outd,), np.float32)
+            sw[f"{rb}.act2.beta"] = np.zeros((outd,), np.float32)
+            sconv(f"{rb}.conv2.conv", outd, outd, 1)
+    sw["decoder.3.alpha"] = np.zeros((8,), np.float32)
+    sw["decoder.3.beta"] = np.zeros((8,), np.float32)
+    sconv("decoder.4.conv", 1, 8, 7)
+    save_file(sw, str(st / "model.safetensors"))
+    return path
+
+
+def make_sortformer_fixture(path: Path) -> Path:
+    """Tiny Sortformer checkpoint (torch-canonical layouts)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    H, TF, CH, MELS, HEADS = 16, 8, 8, 16, 2
+    cfg = {
+        "model_type": "sortformer",
+        "fc_encoder_config": {
+            "hidden_size": H, "num_hidden_layers": 2,
+            "num_attention_heads": HEADS, "intermediate_size": 32,
+            "num_mel_bins": MELS, "conv_kernel_size": 9,
+            "subsampling_factor": 8, "subsampling_conv_channels": CH,
+        },
+        "tf_encoder_config": {
+            "d_model": TF, "encoder_layers": 2, "encoder_attention_heads": 2,
+            "encoder_ffn_dim": 16, "max_source_positions": 500,
+        },
+        "modules_config": {
+            "num_speakers": 4, "fc_d_model": H, "tf_d_model": TF,
+            "spkcache_len": 16, "fifo_len": 16, "spkcache_update_period": 64,
+            "spkcache_sil_frames_per_spk": 1, "use_aosc": True,
+        },
+        "processor_config": {"feature_size": MELS},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def conv2(name, o, i, k):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i, k, k), 9 + c[0] % 5, 0.2)
+        w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    sub = "fc_encoder.subsampling"
+    conv2(f"{sub}.layers_0", CH, 1, 3)
+    conv2(f"{sub}.layers_2", CH, 1, 3)  # depthwise
+    conv2(f"{sub}.layers_3", CH, CH, 1)
+    conv2(f"{sub}.layers_5", CH, 1, 3)
+    conv2(f"{sub}.layers_6", CH, CH, 1)
+    f_out = MELS
+    for _ in range(3):
+        f_out = (f_out - 1) // 2 + 1
+    lin(f"{sub}.linear", H, CH * f_out)
+    for i in range(2):
+        base = f"fc_encoder.layers.{i}"
+        for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                    "norm_feed_forward2", "norm_out"):
+            w[f"{base}.{nrm}.weight"] = np.ones((H,), np.float32)
+            w[f"{base}.{nrm}.bias"] = np.zeros((H,), np.float32)
+        for ff in ("feed_forward1", "feed_forward2"):
+            lin(f"{base}.{ff}.linear1", 32, H)
+            lin(f"{base}.{ff}.linear2", H, 32)
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            lin(f"{base}.self_attn.{proj}", H, H)
+        lin(f"{base}.self_attn.relative_k_proj", H, H, bias=False)
+        w[f"{base}.self_attn.bias_u"] = modulo_values((HEADS, H // HEADS), 5, 0.1)
+        w[f"{base}.self_attn.bias_v"] = modulo_values((HEADS, H // HEADS), 7, 0.1)
+        c[0] += 1
+        w[f"{base}.conv.pointwise_conv1.weight"] = modulo_values((2 * H, H, 1), 9, 0.2)
+        w[f"{base}.conv.pointwise_conv1.bias"] = modulo_values((2 * H,), 3, 0.01)
+        w[f"{base}.conv.depthwise_conv.weight"] = modulo_values((H, 1, 9), 11, 0.2)
+        w[f"{base}.conv.depthwise_conv.bias"] = modulo_values((H,), 3, 0.01)
+        w[f"{base}.conv.pointwise_conv2.weight"] = modulo_values((H, H, 1), 13, 0.2)
+        w[f"{base}.conv.pointwise_conv2.bias"] = modulo_values((H,), 3, 0.01)
+        w[f"{base}.conv.norm.weight"] = np.ones((H,), np.float32)
+        w[f"{base}.conv.norm.bias"] = np.zeros((H,), np.float32)
+        w[f"{base}.conv.norm.running_mean"] = np.zeros((H,), np.float32)
+        w[f"{base}.conv.norm.running_var"] = np.ones((H,), np.float32)
+    w["tf_encoder.embed_positions.weight"] = modulo_values((500, TF), 17, 0.2)
+    for i in range(2):
+        base = f"tf_encoder.layers.{i}"
+        lin(f"{base}.self_attn.q_proj", TF, TF)
+        lin(f"{base}.self_attn.k_proj", TF, TF, bias=False)
+        lin(f"{base}.self_attn.v_proj", TF, TF)
+        lin(f"{base}.self_attn.out_proj", TF, TF)
+        w[f"{base}.self_attn_layer_norm.weight"] = np.ones((TF,), np.float32)
+        w[f"{base}.self_attn_layer_norm.bias"] = np.zeros((TF,), np.float32)
+        lin(f"{base}.fc1", 16, TF)
+        lin(f"{base}.fc2", TF, 16)
+        w[f"{base}.final_layer_norm.weight"] = np.ones((TF,), np.float32)
+        w[f"{base}.final_layer_norm.bias"] = np.zeros((TF,), np.float32)
+    lin("sortformer_modules.encoder_proj", TF, H)
+    lin("sortformer_modules.first_hidden_to_hidden", TF, TF)
+    lin("sortformer_modules.single_hidden_to_spks", 4, TF)
+    lin("sortformer_modules.hidden_to_spks", 4, 2 * TF)
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

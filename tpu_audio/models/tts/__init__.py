@@ -8,6 +8,7 @@ from tpu_audio.core import hub
 _REGISTRY: dict[str, str] = {
     "llama_tts": "tpu_audio.models.tts.llama_tts:LlamaTTS",
     "qwen3": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",
+    "qwen3_tts": "tpu_audio.models.tts.qwen3_tts:Qwen3TTS",
     # repo-name fallbacks
     "orpheus": "tpu_audio.models.tts.llama_tts:LlamaTTS",
     "vyvo": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",

@@ -1,0 +1,559 @@
+"""Qwen3-TTS: Talker AR transformer (3D interleaved MRoPE) + CodePredictor
+sub-AR for codebooks 2..N + streaming RVQ token-to-wav decoder.
+
+TPU-first rebuild of the reference
+(Sources/MLXAudioTTS/Models/Qwen3TTS/{Qwen3TTS,Qwen3TTSTalker,
+Qwen3TTSCodePredictor}.swift):
+
+- Talker: Qwen3-style attention (per-head q/k RMSNorm) with interleaved
+  multimodal RoPE (TalkerRotaryEmbedding, Qwen3TTSTalker.swift:42-104; for
+  pure TTS all three position streams are equal, so the interleave reduces to
+  standard RoPE — computed once here, not per layer).
+- CodePredictor: small AR transformer over the code groups; fresh cache per
+  talker step, per-group lm_head/codec_embedding
+  (Qwen3TTSCodePredictor.swift).
+- Generation (Qwen3TTS.swift:306-570): ChatML text prompt -> text_projection
+  embeddings, codec think/language prefix, tts pad/bos framing; per step the
+  talker emits codebook-0, the code predictor emits groups 1..N-1, and the
+  next input embedding is trailing-text + summed code embeddings. EOS on
+  codec_eos_token_id; special-token suppression on the last 1024 ids.
+- The whole macro-step (talker step + full code-predictor sub-loop +
+  next-embedding build) is ONE jitted function driven by a chunked host
+  loop; the code-predictor sub-loop is unrolled (num_code_groups is static).
+- Streaming: every ``streaming_interval`` seconds of 12.5 Hz codec tokens
+  (Qwen3TTS.swift:394-395) the new frames run through the codec decoder's
+  streaming path, yielding incremental waveform chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.codecs.qwen3_codec import (
+    Qwen3CodecDecoder,
+    Qwen3CodecDecoderConfig,
+)
+from tpu_audio.core import hub, kv_cache, loading, nn
+from tpu_audio.core.generation import (
+    AudioGenerateParameters,
+    AudioGeneration,
+    AudioGenerationError,
+    AudioGenerationInfo,
+)
+
+__all__ = ["Qwen3TTS", "Qwen3TTSConfig"]
+
+CODEC_TOKEN_RATE_HZ = 12.5
+
+
+@dataclass
+class TalkerConfig:
+    vocab_size: int = 4096
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 20
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    attention_bias: bool = False
+    num_code_groups: int = 16
+    text_hidden_size: int = 2048
+    text_vocab_size: int = 151936
+    codec_eos_token_id: int = 4096
+    codec_think_id: int = 4098
+    codec_nothink_id: int = 4097
+    codec_think_bos_id: int = 4099
+    codec_think_eos_id: int = 4100
+    codec_pad_id: int = 4196
+    codec_bos_id: int = 4197
+    codec_language_id: dict = field(default_factory=dict)
+    spk_id: dict = field(default_factory=dict)
+    mrope_section: tuple = (24, 20, 20)
+    code_predictor_config: dict | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TalkerConfig":
+        keys = set(cls.__dataclass_fields__)
+        kw = {k: v for k, v in d.items() if k in keys}
+        if "mrope_section" in kw:
+            kw["mrope_section"] = tuple(kw["mrope_section"])
+        return cls(**kw)
+
+
+@dataclass
+class CodePredictorConfig:
+    vocab_size: int = 2048
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 4
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    num_code_groups: int = 16
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CodePredictorConfig":
+        keys = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in d.items() if k in keys})
+
+
+@dataclass
+class Qwen3TTSConfig:
+    talker: TalkerConfig = field(default_factory=TalkerConfig)
+    code_predictor: CodePredictorConfig = field(default_factory=CodePredictorConfig)
+    tts_model_type: str = "voice_design"  # voice_design | custom_voice | base
+    tts_bos_token_id: int = 151672
+    tts_eos_token_id: int = 151673
+    tts_pad_token_id: int = 151671
+    sample_rate: int = 24000
+    quantization: dict | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Qwen3TTSConfig":
+        talker_d = d.get("talker_config") or {}
+        cfg = cls(
+            talker=TalkerConfig.from_dict(talker_d),
+            tts_model_type=d.get("tts_model_type", "voice_design"),
+            tts_bos_token_id=d.get("tts_bos_token_id", 151672),
+            tts_eos_token_id=d.get("tts_eos_token_id", 151673),
+            tts_pad_token_id=d.get("tts_pad_token_id", 151671),
+        )
+        cp = talker_d.get("code_predictor_config") or {}
+        cp.setdefault("num_code_groups", cfg.talker.num_code_groups)
+        cfg.code_predictor = CodePredictorConfig.from_dict(cp)
+        cfg.quantization = d.get("quantization")
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# Talker transformer (embeddings in, hidden + codec logits out)
+# ---------------------------------------------------------------------------
+
+
+def talker_forward(params, embeds, cache, cfg: TalkerConfig):
+    """embeds [B, T, D] -> (logits [B, T, V_codec], hidden [B, T, D], cache).
+
+    Pure-TTS MRoPE: all three position streams share the text position, so
+    the interleaved combine (Qwen3TTSTalker.swift:57-82) is the identity and
+    standard rotary tables apply.
+    """
+    p = params["model"]
+    b, t, _ = embeds.shape
+    n_heads, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    offset = cache.offset
+    positions = offset + jnp.arange(t)
+    cos, sin = nn.rope(positions, hd, cfg.rope_theta)
+    mask = kv_cache.attention_mask(cache, t)
+
+    x = embeds
+    for i in range(cfg.num_hidden_layers):
+        lp = p["layers"][str(i)]
+        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        ap = lp["self_attn"]
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
+        q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q = nn.apply_rope(q, cos, sin)
+        k = nn.apply_rope(k, cos, sin)
+        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+        o = nn.sdpa(q, k_full, v_full, mask=mask)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
+        x = x + nn.linear(ap["o_proj"], o)
+        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        mp = lp["mlp"]
+        x = x + nn.linear(mp["down_proj"],
+                          nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h))
+    hidden = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
+    logits = nn.linear(params["codec_head"], hidden)
+    cache = cache._replace(offset=cache.offset + t)
+    return logits, hidden, cache
+
+
+def code_predictor_forward(params, embeds, cache, group_idx: int,
+                           cfg: CodePredictorConfig):
+    """One code-predictor pass; ``group_idx`` selects the lm_head."""
+    p = params["model"]
+    b, t, _ = embeds.shape
+    n_heads, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    x = embeds
+    if "small_to_mtp_projection" in params:
+        x = nn.linear(params["small_to_mtp_projection"], x)
+    positions = cache.offset + jnp.arange(t)
+    cos, sin = nn.rope(positions, hd, cfg.rope_theta)
+    mask = kv_cache.attention_mask(cache, t)
+    for i in range(cfg.num_hidden_layers):
+        lp = p["layers"][str(i)]
+        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        ap = lp["self_attn"]
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
+        q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q = nn.apply_rope(q, cos, sin)
+        k = nn.apply_rope(k, cos, sin)
+        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+        o = nn.sdpa(q, k_full, v_full, mask=mask)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
+        x = x + nn.linear(ap["o_proj"], o)
+        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        mp = lp["mlp"]
+        x = x + nn.linear(mp["down_proj"],
+                          nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h))
+    x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
+    logits = nn.linear(params["lm_head"][str(group_idx)], x)
+    cache = cache._replace(offset=cache.offset + t)
+    return logits, cache
+
+
+def _sample(rng, logits, temperature, top_k, top_p, suppress=None,
+            history=None, hist_len=0, repetition_penalty=1.0):
+    logits = logits.astype(jnp.float32)
+    if suppress is not None:
+        logits = logits + suppress
+    if repetition_penalty != 1.0 and history is not None:
+        from tpu_audio.core.sampling import apply_repetition_penalty
+
+        valid = (jax.lax.broadcasted_iota(jnp.int32, history.shape, 1)
+                 < jnp.minimum(hist_len, history.shape[1]))
+        logits = apply_repetition_penalty(logits, history, valid,
+                                          repetition_penalty)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    from tpu_audio.core.sampling import _mask_top_k, _mask_top_p
+
+    if top_k and top_k > 0:
+        logits = _mask_top_k(logits, top_k)
+    if top_p < 1.0:
+        logits = _mask_top_p(logits, top_p)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+class Qwen3TTS:
+    def __init__(self, config: Qwen3TTSConfig, params, tokenizer=None,
+                 codec: Qwen3CodecDecoder | None = None, dtype=jnp.float32):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.codec = codec
+        self.dtype = dtype
+        tcfg = config.talker
+        self._prefill = jax.jit(
+            functools.partial(talker_forward, cfg=tcfg), donate_argnums=(2,))
+        self._macro_steps: dict = {}
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def default_generation_parameters(self) -> AudioGenerateParameters:
+        return AudioGenerateParameters(
+            max_tokens=2400, temperature=0.9, top_p=1.0, top_k=50,
+            repetition_penalty=1.05, repetition_context_size=64,
+            streaming_interval=2.0,
+        )
+
+    # -- loading --------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, repo_or_path: str, dtype=jnp.bfloat16) -> "Qwen3TTS":
+        model_dir = Path(hub.resolve_or_download_model(repo_or_path))
+        cfg_dict = hub.load_config(model_dir)
+        config = Qwen3TTSConfig.from_dict(cfg_dict)
+        flat = loading.load_safetensors(model_dir)
+        talker_flat = {k[len("talker."):]: v for k, v in flat.items()
+                       if k.startswith("talker.")}
+        params = loading.unflatten(talker_flat)
+        params = jax.tree.map(jnp.asarray, params)
+        params = loading.cast_floats(params, dtype)
+        if config.quantization:
+            from tpu_audio.core import quant
+
+            q = config.quantization
+            params = quant.tag_quantized(params, q.get("group_size", 64),
+                                         q.get("bits", 4))
+        tokenizer = None
+        if (model_dir / "tokenizer.json").exists():
+            from tokenizers import Tokenizer
+
+            tokenizer = Tokenizer.from_file(str(model_dir / "tokenizer.json"))
+        codec = None
+        st_dir = model_dir / "speech_tokenizer"
+        if st_dir.is_dir():
+            st_cfg = Qwen3CodecDecoderConfig.from_dict(
+                hub.load_config(st_dir) if (st_dir / "config.json").exists() else {})
+            st_params = loading.load_params(st_dir, dtype=jnp.float32)
+            codec = Qwen3CodecDecoder(st_cfg, st_params)
+        return cls(config, params, tokenizer, codec, dtype)
+
+    # -- prompt building (prepareGenerationInputs, Qwen3TTS.swift:883-1001) ----
+
+    def _text_embed(self, ids: np.ndarray) -> jnp.ndarray:
+        emb = nn.embedding(self.params["model"]["text_embedding"],
+                           jnp.asarray(ids))
+        tp = self.params["text_projection"]
+        return nn.linear(tp["linear_fc2"], nn.silu(nn.linear(tp["linear_fc1"], emb)))
+
+    def _codec_embed(self, ids) -> jnp.ndarray:
+        return nn.embedding(self.params["model"]["codec_embedding"],
+                            jnp.asarray(ids))
+
+    def prepare_generation_inputs(self, text: str, language: str = "auto",
+                                  instruct: str | None = None,
+                                  speaker: str | None = None):
+        tcfg = self.config.talker
+        chat = f"<|im_start|>assistant\n{text}<|im_end|>\n<|im_start|>assistant\n"
+        ids = np.asarray([self.tokenizer.encode(chat).ids], np.int32)
+        text_embed = self._text_embed(ids)  # [1, T, D]
+
+        tts_ids = np.asarray([[self.config.tts_bos_token_id,
+                               self.config.tts_eos_token_id,
+                               self.config.tts_pad_token_id]], np.int32)
+        tts_embeds = self._text_embed(tts_ids)
+        tts_bos, tts_eos, tts_pad = (tts_embeds[:, 0:1], tts_embeds[:, 1:2],
+                                     tts_embeds[:, 2:3])
+
+        language_id = None
+        if language.lower() != "auto" and tcfg.codec_language_id:
+            language_id = tcfg.codec_language_id.get(language.lower())
+        spk_embed = None
+        if speaker and tcfg.spk_id:
+            spk = tcfg.spk_id.get(speaker.lower())
+            if spk is not None:
+                spk_embed = self._codec_embed(np.asarray([[int(spk)]], np.int32))
+
+        if language_id is not None:
+            prefill = [tcfg.codec_think_id, tcfg.codec_think_bos_id,
+                       language_id, tcfg.codec_think_eos_id]
+        else:
+            prefill = [tcfg.codec_nothink_id, tcfg.codec_think_bos_id,
+                       tcfg.codec_think_eos_id]
+        codec_embed = self._codec_embed(np.asarray([prefill], np.int32))
+        suffix = self._codec_embed(np.asarray(
+            [[tcfg.codec_pad_id, tcfg.codec_bos_id]], np.int32))
+        parts = [codec_embed]
+        if spk_embed is not None:
+            parts.append(spk_embed)
+        parts.append(suffix)
+        codec_embed = jnp.concatenate(parts, axis=1)
+
+        instruct_embed = None
+        if instruct:
+            i_ids = np.asarray(
+                [self.tokenizer.encode(f"<|im_start|>user\n{instruct}<|im_end|>\n").ids],
+                np.int32)
+            instruct_embed = self._text_embed(i_ids)
+
+        role_embed = text_embed[:, :3]
+        pad_count = codec_embed.shape[1] - 2
+        pads = jnp.broadcast_to(tts_pad, (1, pad_count, tts_pad.shape[-1]))
+        combined = jnp.concatenate([pads, tts_bos], axis=1) + codec_embed[:, :-1]
+        pieces = ([instruct_embed] if instruct_embed is not None else []) + [
+            role_embed, combined]
+        input_embeds = jnp.concatenate(pieces, axis=1)
+        first_text = text_embed[:, 3:4] + codec_embed[:, -1:]
+        input_embeds = jnp.concatenate([input_embeds, first_text], axis=1)
+        trailing = jnp.concatenate(
+            [text_embed[:, 4 : max(text_embed.shape[1] - 5, 4)], tts_eos], axis=1)
+        return input_embeds, trailing, tts_pad
+
+    # -- jitted macro step ------------------------------------------------------
+
+    def _get_macro_step(self, params: AudioGenerateParameters):
+        key = (params.temperature, params.top_p, params.top_k,
+               params.repetition_penalty)
+        if key in self._macro_steps:
+            return self._macro_steps[key]
+        tcfg = self.config.talker
+        ccfg = self.config.code_predictor
+        G = tcfg.num_code_groups
+
+        def macro_step(model_params, embeds, cache, rng, suppress, history,
+                       hist_len):
+            """One talker step + full code-predictor sub-loop.
+            Returns (codes [1, G], next_codec_embed, hidden_last, cache, rng)."""
+            logits, hidden, cache = talker_forward(model_params, embeds, cache, tcfg)
+            rng, sub = jax.random.split(rng)
+            c0 = _sample(sub, logits[:, -1], params.temperature, params.top_k,
+                         params.top_p, suppress=suppress, history=history,
+                         hist_len=hist_len,
+                         repetition_penalty=params.repetition_penalty)
+            cp_params = model_params["code_predictor"]
+            cp_cache = kv_cache.init_cache(
+                ccfg.num_hidden_layers, 1, ccfg.num_key_value_heads,
+                ccfg.head_dim, G + 2, embeds.dtype)
+            code_hidden = hidden[:, -1:]
+            c0_embed = self._codec_embed_traced(model_params, c0[:, None])
+            codes = [c0]
+            code_input = jnp.concatenate([code_hidden, c0_embed], axis=1)
+            embed_sum = c0_embed
+            for g in range(G - 1):
+                cp_logits, cp_cache = code_predictor_forward(
+                    cp_params, code_input, cp_cache, g, ccfg)
+                rng, sub = jax.random.split(rng)
+                cg = _sample(sub, cp_logits[:, -1], params.temperature,
+                             params.top_k, params.top_p)
+                codes.append(cg)
+                g_embed = nn.embedding(
+                    cp_params["model"]["codec_embedding"][str(g)], cg[:, None])
+                embed_sum = embed_sum + g_embed
+                code_input = g_embed
+            all_codes = jnp.stack(codes, axis=1)  # [1, G]
+            return all_codes, embed_sum, cache, rng
+
+        fn = jax.jit(macro_step, donate_argnums=(2,))
+        self._macro_steps[key] = fn
+        return fn
+
+    @staticmethod
+    def _codec_embed_traced(model_params, ids):
+        return nn.embedding(model_params["model"]["codec_embedding"], ids)
+
+    # -- generation -------------------------------------------------------------
+
+    def _run(self, text, language, instruct, speaker,
+             params: AudioGenerateParameters, stream: bool = False):
+        """Synchronous run -> (codes, prefill_time, gen_time, prefix_len)."""
+        result = None
+        for kind, payload in self._run_iter(text, language, instruct, speaker,
+                                            params, stream=stream):
+            if kind == "done":
+                result = payload
+        return result
+
+    def _run_iter(self, text, language, instruct, speaker,
+                  params: AudioGenerateParameters, stream: bool = False):
+        if self.tokenizer is None:
+            raise AudioGenerationError("tokenizer not loaded")
+        tcfg = self.config.talker
+        input_embeds, trailing, tts_pad = self.prepare_generation_inputs(
+            text, language or "auto", instruct, speaker)
+        input_embeds = input_embeds.astype(self.dtype)
+        trailing = trailing.astype(self.dtype)
+        tts_pad = tts_pad.astype(self.dtype)
+
+        target_tokens = len(self.tokenizer.encode(text).ids)
+        max_tokens = min(params.max_tokens, max(75, target_tokens * 6))
+
+        eos = tcfg.codec_eos_token_id
+        suppress = np.zeros((tcfg.vocab_size,), np.float32)
+        suppress[tcfg.vocab_size - 1024 :] = -1e9
+        suppress[eos] = 0.0
+        suppress = jnp.asarray(suppress)
+
+        prefix_len = input_embeds.shape[1]
+        cache = kv_cache.init_cache(
+            tcfg.num_hidden_layers, 1, tcfg.num_key_value_heads, tcfg.head_dim,
+            prefix_len + max_tokens + 2, self.dtype)
+        t0 = time.perf_counter()
+        _, _, cache = self._prefill(self.params, input_embeds[:, :-1], cache)
+        macro = self._get_macro_step(params)
+        rng = jax.random.PRNGKey(params.seed if params.seed is not None else 0)
+
+        history = jnp.zeros((1, max(params.repetition_context_size, 1)), jnp.int32)
+        hist_pos = 0
+        embeds = input_embeds[:, -1:]
+        all_codes: list[np.ndarray] = []
+        chunk_frames = max(1, int(params.streaming_interval * CODEC_TOKEN_RATE_HZ))
+        decoded = 0
+        prefill_time = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        trailing_len = trailing.shape[1]
+        for step in range(max_tokens):
+            codes, embed_sum, cache, rng = macro(
+                self.params, embeds, cache, rng, suppress, history,
+                jnp.int32(hist_pos))
+            codes_np = np.asarray(codes)
+            c0 = int(codes_np[0, 0])
+            if c0 == eos:
+                break
+            all_codes.append(codes_np[0])
+            history = history.at[0, hist_pos % history.shape[1]].set(c0)
+            hist_pos += 1
+            text_embed = (trailing[:, step : step + 1]
+                          if step < trailing_len else tts_pad)
+            embeds = text_embed + embed_sum
+            if stream and len(all_codes) - decoded >= chunk_frames:
+                chunk = np.stack(all_codes[decoded:], axis=1)[None]  # [1, G, t]
+                wav = np.asarray(self.codec.streaming_step(chunk))[0]
+                decoded = len(all_codes)
+                yield "chunk", wav
+        gen_time = time.perf_counter() - t1
+        if stream and len(all_codes) > decoded:
+            chunk = np.stack(all_codes[decoded:], axis=1)[None]
+            wav = np.asarray(self.codec.streaming_step(chunk))[0]
+            decoded = len(all_codes)
+            yield "chunk", wav
+        yield "done", (all_codes, prefill_time, gen_time, prefix_len)
+
+    def generate(self, text: str, voice: str | None = None, ref_audio=None,
+                 ref_text: str | None = None, language: str | None = None,
+                 generation_parameters: AudioGenerateParameters | None = None
+                 ) -> np.ndarray:
+        params = generation_parameters or self.default_generation_parameters()
+        speaker, instruct = self._parse_voice(voice)
+        codes, *_ = self._run(text, language, instruct, speaker, params)
+        if not codes:
+            raise AudioGenerationError("no audio codes generated")
+        if self.codec is None:
+            raise AudioGenerationError("speech tokenizer decoder not loaded")
+        stacked = np.stack(codes, axis=1)[None]  # [1, G, T]
+        return np.asarray(self.codec.decode(stacked))[0]
+
+    def generate_stream(self, text: str, voice: str | None = None,
+                        ref_audio=None, ref_text: str | None = None,
+                        language: str | None = None,
+                        generation_parameters: AudioGenerateParameters | None = None):
+        params = generation_parameters or self.default_generation_parameters()
+        if self.codec is None:
+            raise AudioGenerationError("speech tokenizer decoder not loaded")
+        speaker, instruct = self._parse_voice(voice)
+        self.codec.reset_streaming_state()
+        total_samples = 0
+        stats = None
+        for kind, payload in self._run_iter(text, language, instruct, speaker,
+                                            params, stream=True):
+            if kind == "chunk":
+                total_samples += len(payload)
+                yield AudioGeneration.from_audio(payload)
+            else:
+                stats = payload
+        codes, prefill_time, gen_time, prefix_len = stats
+        yield AudioGeneration.from_info(AudioGenerationInfo(
+            prompt_token_count=prefix_len, generation_token_count=len(codes),
+            prompt_time=prefill_time, generate_time=gen_time,
+            audio_duration=total_samples / self.sample_rate))
+
+    def _parse_voice(self, voice: str | None):
+        """CustomVoice "speaker, instruction" prompts
+        (parseCustomVoicePrompt, Qwen3TTS.swift:571-595)."""
+        if not voice:
+            return None, None
+        if self.config.tts_model_type == "custom_voice":
+            if "," in voice:
+                speaker, _, instruct = voice.partition(",")
+                return speaker.strip(), instruct.strip() or None
+            return voice.strip(), None
+        return None, voice  # VoiceDesign: voice string is the instruction

@@ -7,6 +7,7 @@ from tpu_audio.core import hub
 _REGISTRY: dict[str, str] = {
     "silero_vad": "tpu_audio.models.vad.silero:SileroVAD",
     "silero": "tpu_audio.models.vad.silero:SileroVAD",
+    "sortformer": "tpu_audio.models.vad.sortformer:Sortformer",
 }
 
 
