@@ -678,6 +678,99 @@ def make_sortformer_fixture(path: Path) -> Path:
     return path
 
 
+def make_qwen3_asr_fixture(path: Path) -> Path:
+    """Tiny Qwen3-ASR checkpoint: block-attention audio tower + Qwen3 LM."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    AD, AH, DS, MELS, OUT = 16, 2, 4, 16, 24
+    TH, THEADS, TKV, VOCAB = 24, 2, 2, 80
+    cfg = {
+        "model_type": "qwen3_asr",
+        "audio_token_id": 70,
+        "support_languages": ["English", "Chinese"],
+        "audio_config": {
+            "d_model": AD, "encoder_layers": 1, "encoder_attention_heads": AH,
+            "encoder_ffn_dim": 32, "downsample_hidden_size": DS,
+            "num_mel_bins": MELS, "output_dim": OUT, "n_window": 4,
+            "n_window_infer": 16,
+        },
+        "text_config": {
+            "hidden_size": TH, "num_hidden_layers": 2,
+            "intermediate_size": 48, "num_attention_heads": THEADS,
+            "num_key_value_heads": TKV, "vocab_size": VOCAB,
+            "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+            "tie_word_embeddings": True,
+        },
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    at = "audio_tower"
+    for i, (o, ic) in enumerate([(DS, 1), (DS, DS), (DS, DS)], 1):
+        c[0] += 1
+        w[f"{at}.conv2d{i}.weight"] = modulo_values((o, ic, 3, 3), 9 + i, 0.2)
+        w[f"{at}.conv2d{i}.bias"] = modulo_values((o,), 3, 0.01)
+    f_after = MELS
+    for _ in range(3):
+        f_after = (f_after - 1) // 2 + 1
+    lin(f"{at}.conv_out", AD, DS * f_after)
+    base = f"{at}.layers.0"
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lin(f"{base}.self_attn.{proj}", AD, AD, bias=True)
+    for nrm in ("self_attn_layer_norm", "final_layer_norm"):
+        w[f"{base}.{nrm}.weight"] = np.ones((AD,), np.float32)
+        w[f"{base}.{nrm}.bias"] = np.zeros((AD,), np.float32)
+    lin(f"{base}.fc1", 32, AD, bias=True)
+    lin(f"{base}.fc2", AD, 32, bias=True)
+    w[f"{at}.ln_post.weight"] = np.ones((AD,), np.float32)
+    w[f"{at}.ln_post.bias"] = np.zeros((AD,), np.float32)
+    lin(f"{at}.proj1", AD, AD, bias=True)
+    lin(f"{at}.proj2", OUT, AD, bias=True)
+
+    hd = TH // THEADS
+    w["model.embed_tokens.weight"] = modulo_values((VOCAB, TH), 13, 0.3)
+    w["model.norm.weight"] = np.ones((TH,), np.float32)
+    for i in range(2):
+        base = f"model.layers.{i}"
+        w[f"{base}.input_layernorm.weight"] = np.ones((TH,), np.float32)
+        w[f"{base}.post_attention_layernorm.weight"] = np.ones((TH,), np.float32)
+        lin(f"{base}.self_attn.q_proj", THEADS * hd, TH)
+        lin(f"{base}.self_attn.k_proj", TKV * hd, TH)
+        lin(f"{base}.self_attn.v_proj", TKV * hd, TH)
+        lin(f"{base}.self_attn.o_proj", TH, THEADS * hd)
+        w[f"{base}.self_attn.q_norm.weight"] = np.ones((hd,), np.float32)
+        w[f"{base}.self_attn.k_norm.weight"] = np.ones((hd,), np.float32)
+        lin(f"{base}.mlp.gate_proj", 48, TH)
+        lin(f"{base}.mlp.up_proj", 48, TH)
+        lin(f"{base}.mlp.down_proj", TH, 48)
+    save_file(w, str(path / "model.safetensors"))
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(65)}
+    vocab_map.update({"hello": 60, "system": 61, "user": 62, "assistant": 63})
+    specials = ["<|im_start|>", "<|im_end|>", "<|audio_start|>",
+                "<|audio_end|>", "<|audio_pad|>", "<asr_text>"]
+    for j, s in enumerate(specials):
+        vocab_map[s] = 66 + j  # audio_pad -> 70
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -45,7 +45,37 @@ def main(argv=None):
         temperature=args.temperature, verbose=args.verbose,
     )
 
-    if args.stream:
+    if args.stream and hasattr(model, "encode_single_window"):
+        # live session with provisional/confirmed promotion
+        from tpu_audio.core.generation import STTOutput
+        from tpu_audio.models.stt.streaming import (
+            EventKind,
+            StreamingInferenceSession,
+        )
+
+        session = StreamingInferenceSession(model, language=args.language)
+        chunk = 16000  # 1 s cadence
+        confirmed = ""
+        for s in range(0, len(audio), chunk):
+            session.feed_audio(audio[s : s + chunk])
+            for ev in session.decode_pass():
+                if ev.kind == EventKind.PROVISIONAL and args.verbose:
+                    print(f"[provisional] {ev.text}", file=sys.stderr)
+                elif ev.kind == EventKind.CONFIRMED:
+                    print(ev.text, flush=True)
+                    confirmed = ev.text
+        stats = {}
+        for ev in session.stop():
+            if ev.kind == EventKind.CONFIRMED:
+                confirmed = ev.text
+            elif ev.kind == EventKind.STATS:
+                stats = ev.stats
+        output = STTOutput(text=confirmed,
+                           total_time=stats.get("wall_seconds", 0.0),
+                           generation_time=stats.get("decode_time", 0.0))
+        print(f"[stream] RTF {stats.get('real_time_factor', 0):.3f} "
+              f"({stats.get('decode_passes', 0)} passes)", file=sys.stderr)
+    elif args.stream:
         output = None
         for event in model.generate_stream(audio, params):
             if event["type"] == "token":

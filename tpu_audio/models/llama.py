@@ -58,8 +58,11 @@ def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig):
-    """Decoder forward over ``tokens [B, T]`` appending to ``cache``.
+def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
+            inputs_embeds=None):
+    """Decoder forward over ``tokens [B, T]`` (or precomputed
+    ``inputs_embeds [B, T, D]``, e.g. spliced audio features) appending to
+    ``cache``.
 
     Returns (logits [B, T, V], cache). Left padding from prompt bucketing is
     masked via ``cache.valid_from`` (RoPE is relative under causal masking,
@@ -69,9 +72,12 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig):
     n_heads = cfg.num_attention_heads
     n_kv = cfg.num_key_value_heads
     hd = cfg.resolved_head_dim
-    b, t = tokens.shape
-
-    x = nn.embedding(p["embed_tokens"], tokens)
+    if inputs_embeds is not None:
+        x = inputs_embeds
+        b, t = x.shape[:2]
+    else:
+        b, t = tokens.shape
+        x = nn.embedding(p["embed_tokens"], tokens)
     offset = cache.offset if cache is not None else 0
     positions = offset + jnp.arange(t)
     cos, sin = _rope_tables(cfg, positions)

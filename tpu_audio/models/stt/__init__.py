@@ -13,6 +13,7 @@ _REGISTRY: dict[str, str] = {
     # model_type -> "module:Class"
     "whisper": "tpu_audio.models.stt.whisper:Whisper",
     "parakeet": "tpu_audio.models.stt.parakeet:Parakeet",
+    "qwen3_asr": "tpu_audio.models.stt.qwen3_asr:Qwen3ASR",
 }
 
 
