@@ -195,3 +195,37 @@ def test_detect_language(tiny_model):
     lang, prob = tiny_model.detect_language(np.zeros(8000, np.float32))
     assert lang in ("en", "fr")
     assert 0.0 <= prob <= 1.0
+
+
+def test_logits_match_transformers(tmp_path):
+    """Golden parity: encoder+decoder logits vs HF torch WhisperForConditionalGeneration."""
+    import torch
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf_cfg = HFWhisperConfig(
+        vocab_size=64, num_mel_bins=16, d_model=32,
+        encoder_layers=2, encoder_attention_heads=2, encoder_ffn_dim=64,
+        decoder_layers=2, decoder_attention_heads=2, decoder_ffn_dim=64,
+        max_source_positions=100, max_target_positions=24,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    model = W.Whisper.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 200, 16)).astype(np.float32)
+    tokens = np.asarray([[5, 9, 3, 7]], np.int32)
+
+    enc = W.encoder_forward(model.params, jnp.asarray(mel), model.config)
+    logits = W.decoder_forward(model.params, jnp.asarray(tokens), enc,
+                               model.config)
+    with torch.no_grad():
+        want = hf(
+            input_features=torch.from_numpy(mel).transpose(1, 2),
+            decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
+        ).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4)
