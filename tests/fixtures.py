@@ -771,6 +771,164 @@ def make_qwen3_asr_fixture(path: Path) -> Path:
     return path
 
 
+def make_kokoro_fixture(path: Path) -> Path:
+    """Tiny Kokoro (StyleTTS2) checkpoint in the MLX-ish layout the sanitizer
+    expects: conv weights [O,K,I], transpose convs [I,K,O], weight-norm pairs
+    for the weight-normed convs."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    H, S, EMB, BH = 16, 8, 8, 16  # hidden, style, albert emb, albert hidden
+    CH0 = 16  # upsample_initial_channel
+    vocab = {c: i + 1 for i, c in enumerate("abcdefghijklmnopqrstuvwxyz ˈˌəɹ")}
+    cfg = {
+        "model_type": "kokoro",
+        "hidden_dim": H, "style_dim": S, "n_layer": 2, "max_dur": 10,
+        "n_token": 40, "text_encoder_kernel_size": 5, "asr_res_dim": 8,
+        "sample_rate": 24000, "vocab": vocab,
+        "plbert": {"num_hidden_layers": 2, "num_attention_heads": 2,
+                   "hidden_size": BH, "intermediate_size": 32,
+                   "max_position_embeddings": 64, "embedding_size": EMB,
+                   "inner_group_num": 1, "num_hidden_groups": 1,
+                   "type_vocab_size": 2, "layer_norm_eps": 1e-12},
+        "istftnet": {"resblock_kernel_sizes": [3],
+                     "upsample_rates": [2, 2],
+                     "upsample_initial_channel": CH0,
+                     "resblock_dilation_sizes": [[1, 3, 5]],
+                     "upsample_kernel_sizes": [4, 4],
+                     "gen_istft_n_fft": 8, "gen_istft_hop_size": 2},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def conv(name, o, i, k, bias=True):  # MLX layout [O,K,I]
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def wnconv(name, o, i, k, bias=True, transpose=False):
+        c[0] += 1
+        shape = (i, k, o) if transpose else (o, k, i)
+        w[f"{name}.weight_v"] = modulo_values(shape, 9 + c[0] % 5, 0.5)
+        w[f"{name}.weight_g"] = np.abs(modulo_values((shape[0], 1, 1), 7, 0.5)) + 0.3
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def ln(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+        w[f"{name}.bias"] = np.zeros((d,), np.float32)
+
+    def bilstm_p(name, inp, hid):
+        for direc in ("forward", "backward"):
+            c[0] += 1
+            w[f"{name}.Wx_{direc}"] = modulo_values((4 * hid, inp), 13 + c[0] % 5, 0.2)
+            w[f"{name}.Wh_{direc}"] = modulo_values((4 * hid, hid), 17 + c[0] % 5, 0.2)
+            w[f"{name}.bias_ih_{direc}"] = modulo_values((4 * hid,), 5, 0.01)
+            w[f"{name}.bias_hh_{direc}"] = modulo_values((4 * hid,), 7, 0.01)
+
+    def adain_p(name, features):
+        lin(f"{name}.fc", 2 * features, S)
+
+    def res1d(name, din, dout, upsample=False):
+        wnconv(f"{name}.conv1", dout, din, 3)
+        wnconv(f"{name}.conv2", dout, dout, 3)
+        adain_p(f"{name}.norm1", din)
+        adain_p(f"{name}.norm2", dout)
+        if din != dout:
+            wnconv(f"{name}.conv1x1", dout, din, 1, bias=False)
+        if upsample:
+            # depthwise transposed conv: sanitized -> [din, 1, 3], bias [din]
+            c[0] += 1
+            w[f"{name}.pool.weight_v"] = modulo_values((din, 3, 1), 9 + c[0] % 5, 0.5)
+            w[f"{name}.pool.weight_g"] = np.abs(modulo_values((din, 1, 1), 7, 0.5)) + 0.3
+            w[f"{name}.pool.bias"] = modulo_values((din,), 3, 0.01)
+
+    def snake_block(name, ch, k):
+        for i, d in enumerate((1, 3, 5)):
+            wnconv(f"{name}.convs1.{i}", ch, ch, k)
+            wnconv(f"{name}.convs2.{i}", ch, ch, k)
+            adain_p(f"{name}.adain1.{i}", ch)
+            adain_p(f"{name}.adain2.{i}", ch)
+            w[f"{name}.alpha1_{i}"] = np.ones((1, ch, 1), np.float32)
+            w[f"{name}.alpha2_{i}"] = np.ones((1, ch, 1), np.float32)
+
+    # ALBERT
+    w["bert.embeddings.word_embeddings.weight"] = modulo_values((40, EMB), 13, 0.3)
+    w["bert.embeddings.position_embeddings.weight"] = modulo_values((64, EMB), 17, 0.1)
+    w["bert.embeddings.token_type_embeddings.weight"] = modulo_values((2, EMB), 19, 0.1)
+    ln("bert.embeddings.LayerNorm", EMB)
+    lin("bert.encoder.embedding_hidden_mapping_in", BH, EMB)
+    al = "bert.encoder.albert_layer_groups.0.albert_layers.0"
+    for proj in ("query", "key", "value", "dense"):
+        lin(f"{al}.attention.{proj}", BH, BH)
+    ln(f"{al}.attention.LayerNorm", BH)
+    lin(f"{al}.ffn", 32, BH)
+    lin(f"{al}.ffn_output", BH, 32)
+    ln(f"{al}.full_layer_layer_norm", BH)
+    lin("bert.pooler", BH, BH)
+    lin("bert_encoder", H, BH)
+
+    # predictor
+    pe = "predictor.text_encoder"
+    for i in range(2):
+        bilstm_p(f"{pe}.lstms.{2*i}", H + S, H // 2)
+        lin(f"{pe}.lstms.{2*i+1}.fc", 2 * H, S)
+    bilstm_p("predictor.lstm", H + S, H // 2)
+    lin("predictor.duration_proj", 10, H)
+    bilstm_p("predictor.shared", H + S, H // 2)
+    for head in ("F0", "N"):
+        res1d(f"predictor.{head}.0", H, H)
+        res1d(f"predictor.{head}.1", H, H // 2, upsample=True)
+        res1d(f"predictor.{head}.2", H // 2, H // 2)
+        conv(f"predictor.{head}_proj", 1, H // 2, 1)
+
+    # text encoder
+    w["text_encoder.embedding.weight"] = modulo_values((40, H), 23, 0.3)
+    for i in range(2):
+        wnconv(f"text_encoder.cnn.{i}.0", H, H, 5)
+        ln(f"text_encoder.cnn.{i}.1", H)
+    bilstm_p("text_encoder.lstm", H, H // 2)
+
+    # decoder
+    DEC = CH0 * 2
+    res1d("decoder.encode", H + 2, DEC)
+    for i in range(3):
+        res1d(f"decoder.decode.{i}", DEC + 2 + 8, DEC)
+    res1d("decoder.decode.3", DEC + 2 + 8, CH0, upsample=True)
+    wnconv("decoder.F0_conv", 1, 1, 3)
+    wnconv("decoder.N_conv", 1, 1, 3)
+    wnconv("decoder.asr_res.0", 8, H, 1)
+    g = "decoder.generator"
+    lin(f"{g}.m_source.l_linear", 1, 9)
+    # ups: transpose convs [I,K,O]
+    wnconv(f"{g}.ups.0", CH0 // 2, CH0, 4, transpose=True)
+    wnconv(f"{g}.ups.1", CH0 // 4, CH0 // 2, 4, transpose=True)
+    conv(f"{g}.noise_convs.0", CH0 // 2, 10, 4)
+    conv(f"{g}.noise_convs.1", CH0 // 4, 10, 1)
+    snake_block(f"{g}.noise_res.0", CH0 // 2, 7)
+    snake_block(f"{g}.noise_res.1", CH0 // 4, 11)
+    snake_block(f"{g}.resblocks.0", CH0 // 2, 3)
+    snake_block(f"{g}.resblocks.1", CH0 // 4, 3)
+    wnconv(f"{g}.conv_post", 10, CH0 // 4, 7)
+    save_file(w, str(path / "model.safetensors"))
+
+    # voice file
+    voices = path / "voices"
+    voices.mkdir(exist_ok=True)
+    save_file({"voice": modulo_values((8, 2 * S), 29, 0.5)},
+              str(voices / "af_heart.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -9,6 +9,7 @@ _REGISTRY: dict[str, str] = {
     "llama_tts": "tpu_audio.models.tts.llama_tts:LlamaTTS",
     "qwen3": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",
     "qwen3_tts": "tpu_audio.models.tts.qwen3_tts:Qwen3TTS",
+    "kokoro": "tpu_audio.models.tts.kokoro:Kokoro",
     # repo-name fallbacks
     "orpheus": "tpu_audio.models.tts.llama_tts:LlamaTTS",
     "vyvo": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",
