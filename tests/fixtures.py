@@ -929,6 +929,169 @@ def make_kokoro_fixture(path: Path) -> Path:
     return path
 
 
+def make_mimi_fixture(path: Path) -> Path:
+    """Tiny Mimi checkpoint in the MLX-converted layout (conv [O,K,I],
+    transposed [O,K,I], depthwise transposed [C,K,1])."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    D, NF, QD, BINS, NQ = 16, 4, 8, 16, 4
+    cfg = {
+        "model_type": "mimi", "sampling_rate": 24000, "frame_rate": 3000,
+        "num_codebooks": NQ, "quantizer_dim": QD, "quantizer_bins": BINS,
+        "seanet": {"dimension": D, "channels": 1, "nfilters": NF,
+                   "ratios": [2, 2], "ksize": 3, "residual_ksize": 3,
+                   "last_ksize": 3, "dilation_base": 2, "compress": 2,
+                   "nresidual_layers": 1},
+        "transformer": {"d_model": D, "num_heads": 2, "num_layers": 1,
+                        "dim_feedforward": 32, "context": 8,
+                        "layer_scale": 0.01},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def conv(name, o, k, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def res_block(prefix, dim):
+        hidden = dim // 2
+        conv(f"{prefix}.block.0.conv.conv", hidden, 3, dim)
+        conv(f"{prefix}.block.1.conv.conv", dim, 1, hidden)
+
+    # encoder (ratios reversed: [2, 2])
+    conv("encoder.init_conv1d.conv.conv", NF, 3, 1)
+    mult = 1
+    for li in range(2):
+        dim = mult * NF
+        res_block(f"encoder.layers.{li}.residuals.0", dim)
+        conv(f"encoder.layers.{li}.downsample.conv.conv", dim * 2, 4, dim)
+        mult *= 2
+    conv("encoder.final_conv1d.conv.conv", D, 3, mult * NF)
+    # decoder
+    conv("decoder.init_conv1d.conv.conv", mult * NF, 3, D)
+    for li in range(2):
+        dim = mult * NF
+        conv(f"decoder.layers.{li}.upsample.convtr.convtr", dim // 2, 4, dim)
+        res_block(f"decoder.layers.{li}.residuals.0", dim // 2)
+        mult //= 2
+    conv("decoder.final_conv1d.conv.conv", 1, 3, NF)
+    # transformers
+    for name in ("encoder_transformer", "decoder_transformer"):
+        lin(f"{name}.input_proj", D, D)
+        lin(f"{name}.output_projs.0", D, D)
+        base = f"{name}.transformer.layers.0"
+        lin(f"{base}.self_attn.in_proj", 3 * D, D)
+        lin(f"{base}.self_attn.out_proj", D, D)
+        for nrm in ("norm1", "norm2"):
+            w[f"{base}.{nrm}.weight"] = np.ones((D,), np.float32)
+            w[f"{base}.{nrm}.bias"] = np.zeros((D,), np.float32)
+        w[f"{base}.layer_scale_1.scale"] = np.full((D,), 0.01, np.float32)
+        w[f"{base}.layer_scale_2.scale"] = np.full((D,), 0.01, np.float32)
+        lin(f"{base}.gating.linear1", 32, D)
+        lin(f"{base}.gating.linear2", D, 32)
+    # down/upsample to frame rate (stride 2)
+    conv("downsample.conv.conv", D, 4, D, bias=False)
+    w["upsample.convtr.convtr.weight"] = modulo_values((D, 4, 1), 13, 0.3)
+    # quantizer
+    for part, nq in (("rvq_first", 1), ("rvq_rest", NQ - 1)):
+        conv(f"quantizer.{part}.input_proj", QD, 1, D, bias=False)
+        conv(f"quantizer.{part}.output_proj", D, 1, QD, bias=False)
+        for i in range(nq):
+            base = f"quantizer.{part}.vq.layers.{i}.codebook"
+            w[f"{base}.embedding_sum"] = modulo_values((BINS, QD), 17 + i, 1.0)
+            w[f"{base}.cluster_usage"] = np.abs(
+                modulo_values((BINS,), 7, 1.0)) + 1.0
+            w[f"{base}.initialized"] = np.ones((1,), np.float32)
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
+def make_csm_fixture(path: Path) -> Path:
+    """Tiny Marvis/CSM checkpoint (torchtune-style names) with a bundled
+    mimi/ codec dir, prompts/, and tokenizer."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    BD, DD, K, AV, TV = 16, 8, 4, 20, 64
+    cfg = {
+        "model_type": "csm",
+        "text_vocab_size": TV, "audio_vocab_size": AV,
+        "audio_num_codebooks": K,
+        "backbone_config": {"hidden_size": BD, "num_hidden_layers": 2,
+                            "intermediate_size": 32, "num_attention_heads": 2,
+                            "num_key_value_heads": 2, "rope_theta": 10000.0},
+        "depth_decoder_config": {"hidden_size": DD, "num_hidden_layers": 1,
+                                 "intermediate_size": 16,
+                                 "num_attention_heads": 2,
+                                 "num_key_value_heads": 2,
+                                 "rope_theta": 10000.0},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+
+    def tt_layer(base, hid, inter, heads, kv, hd):
+        lin(f"{base}.attn.q_proj", heads * hd, hid)
+        lin(f"{base}.attn.k_proj", kv * hd, hid)
+        lin(f"{base}.attn.v_proj", kv * hd, hid)
+        lin(f"{base}.attn.output_proj", hid, heads * hd)
+        w[f"{base}.sa_norm.scale"] = np.ones((hid,), np.float32)
+        w[f"{base}.mlp_norm.scale"] = np.ones((hid,), np.float32)
+        lin(f"{base}.mlp.w1", inter, hid)
+        lin(f"{base}.mlp.w3", inter, hid)
+        lin(f"{base}.mlp.w2", hid, inter)
+
+    for i in range(2):
+        tt_layer(f"backbone.layers.{i}", BD, 32, 2, 2, BD // 2)
+    w["backbone.norm.scale"] = np.ones((BD,), np.float32)
+    tt_layer("decoder.layers.0", DD, 16, 2, 2, DD // 2)
+    w["decoder.norm.scale"] = np.ones((DD,), np.float32)
+    w["text_embeddings.weight"] = modulo_values((TV, BD), 13, 0.3)
+    w["audio_embeddings.weight"] = modulo_values((AV * K, BD), 17, 0.3)
+    lin("projection", DD, BD)
+    lin("codebook0_head", AV, BD)
+    w["audio_head"] = modulo_values((K - 1, DD, AV), 19, 0.3)
+    save_file(w, str(path / "model.safetensors"))
+
+    # tokenizer
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(60)}
+    vocab_map.update({"hello": 60, "[0]hello": 61, "[0]": 62, "ref": 63})
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+
+    # bundled mimi + prompt voice
+    make_mimi_fixture(path / "mimi")
+    prompts = path / "prompts"
+    prompts.mkdir(exist_ok=True)
+    from tpu_audio.core.audio_io import save_wav
+
+    save_wav(prompts / "conversational_a.wav",
+             (np.sin(np.arange(256) * 0.05) * 0.3).astype(np.float32), 24000)
+    (prompts / "conversational_a.txt").write_text("ref hello")
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -59,7 +59,7 @@ def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
 
 
 def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
-            inputs_embeds=None):
+            inputs_embeds=None, return_hidden: bool = False):
     """Decoder forward over ``tokens [B, T]`` (or precomputed
     ``inputs_embeds [B, T, D]``, e.g. spliced audio features) appending to
     ``cache``.
@@ -68,7 +68,7 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
     masked via ``cache.valid_from`` (RoPE is relative under causal masking,
     so the absolute position shift is harmless).
     """
-    p = params["model"]
+    p = params["model"] if "model" in params else params
     n_heads = cfg.num_attention_heads
     n_kv = cfg.num_key_value_heads
     hd = cfg.resolved_head_dim
@@ -115,12 +115,14 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         )
 
     x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
+    if cache is not None:
+        cache = cache._replace(offset=cache.offset + t)
+    if return_hidden:
+        return x, cache
     if "lm_head" in params and not cfg.tie_word_embeddings:
         logits = nn.linear(params["lm_head"], x)
     else:
         logits = nn.embedding_as_linear(p["embed_tokens"], x)
-    if cache is not None:
-        cache = cache._replace(offset=cache.offset + t)
     return logits, cache
 
 
