@@ -1092,6 +1092,89 @@ def make_csm_fixture(path: Path) -> Path:
     return path
 
 
+def make_deepfilternet_fixture(path: Path) -> Path:
+    """Tiny DeepFilterNet3 checkpoint (flat torch keys)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    C, E, DF, H = 8, 8, 12, 16  # conv_ch, nb_erb, nb_df, hidden
+    cfg = {
+        "sampleRate": 48000, "fftSize": 96, "hopSize": 48,
+        "nbErb": E, "nbDf": DF, "dfOrder": 3, "dfLookahead": 1,
+        "convLookahead": 1, "convCh": C, "embHiddenDim": H,
+        "dfHiddenDim": H, "modelVersion": "DeepFilterNet3",
+        "model_type": "deepfilternet3",
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def t(name, *shape, scale=0.2):
+        c[0] += 1
+        w[name] = modulo_values(shape, 9 + c[0] % 7, scale)
+
+    def bn(prefix, ch):
+        w[f"{prefix}.weight"] = np.ones((ch,), np.float32)
+        w[f"{prefix}.bias"] = np.zeros((ch,), np.float32)
+        w[f"{prefix}.running_mean"] = np.zeros((ch,), np.float32)
+        w[f"{prefix}.running_var"] = np.ones((ch,), np.float32)
+
+    def gru(prefix, inp, hid):
+        t(f"{prefix}.weight_ih_l0", 3 * hid, inp)
+        t(f"{prefix}.weight_hh_l0", 3 * hid, hid)
+        t(f"{prefix}.bias_ih_l0", 3 * hid, scale=0.01)
+        t(f"{prefix}.bias_hh_l0", 3 * hid, scale=0.01)
+
+    # encoder
+    t("enc.erb_conv0.1.weight", C, 1, 3, 3)
+    bn("enc.erb_conv0.2", C)
+    for i in (1, 2, 3):
+        t(f"enc.erb_conv{i}.0.weight", C, 1, 1, 3)  # depthwise
+        t(f"enc.erb_conv{i}.1.weight", C, C, 1, 1)
+        bn(f"enc.erb_conv{i}.2", C)
+    t("enc.df_conv0.1.weight", C, 2, 3, 3)
+    t("enc.df_conv0.2.weight", C, C, 1, 1)
+    bn("enc.df_conv0.3", C)
+    t("enc.df_conv1.0.weight", C, 1, 1, 3)
+    t("enc.df_conv1.1.weight", C, C, 1, 1)
+    bn("enc.df_conv1.2", C)
+    t("enc.df_fc_emb.0.weight", 4, C * 6 // 4, H // 4)
+    t("enc.emb_gru.linear_in.0.weight", 4, (C * 2) // 4, H // 4)
+    gru("enc.emb_gru.gru", H, H)
+    t("enc.emb_gru.linear_out.0.weight", 4, H // 4, H // 4)
+    t("enc.lsnr_fc.0.weight", 1, H)
+    t("enc.lsnr_fc.0.bias", 1)
+    # erb decoder
+    t("erb_dec.emb_gru.linear_in.0.weight", 4, H // 4, H // 4)
+    gru("erb_dec.emb_gru.gru", H, H)
+    t("erb_dec.emb_gru.linear_out.0.weight", 4, H // 4, H // 4)
+    for pfx in ("conv3p", "conv2p", "conv1p", "conv0p"):
+        t(f"erb_dec.{pfx}.0.weight", C, C, 1, 1)
+        bn(f"erb_dec.{pfx}.1", C)
+    t("erb_dec.convt3.0.weight", C, C, 1, 3)
+    t("erb_dec.convt3.1.weight", C, C, 1, 1)
+    bn("erb_dec.convt3.2", C)
+    for pfx in ("convt2", "convt1"):
+        t(f"erb_dec.{pfx}.0.weight", C, 1, 1, 3)  # grouped transpose [I, O/g, kT, kF]
+        t(f"erb_dec.{pfx}.1.weight", C, C, 1, 1)
+        bn(f"erb_dec.{pfx}.2", C)
+    t("erb_dec.conv0_out.0.weight", 1, C, 1, 3)
+    bn("erb_dec.conv0_out.1", 1)
+    # df decoder
+    t("df_dec.df_gru.linear_in.0.weight", 4, H // 4, H // 4)
+    gru("df_dec.df_gru.gru", H, H)
+    t("df_dec.df_skip.weight", 4, H // 4, H // 4)
+    t("df_dec.df_convp.1.weight", C, 1, 1, 3)
+    t("df_dec.df_convp.2.weight", 6, C, 1, 1)
+    bn("df_dec.df_convp.3", 6)
+    t("df_dec.df_out.0.weight", 4, H // 4, DF * 6 // 4)
+    t("mask.erb_inv_fb", E, 49, scale=0.5)
+    w["mask.erb_inv_fb"] = np.abs(w["mask.erb_inv_fb"])
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""
