@@ -15,6 +15,7 @@ _REGISTRY: dict[str, str] = {
     "parakeet": "tpu_audio.models.stt.parakeet:Parakeet",
     "qwen3_asr": "tpu_audio.models.stt.qwen3_asr:Qwen3ASR",
     "wav2vec2": "tpu_audio.models.stt.wav2vec2:Wav2Vec2CTC",
+    "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
 }
 
 
