@@ -1175,6 +1175,68 @@ def make_deepfilternet_fixture(path: Path) -> Path:
     return path
 
 
+def make_ecapa_fixture(path: Path) -> Path:
+    """Tiny ECAPA-TDNN LID checkpoint (SpeechBrain-style nested keys)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    CH, EMB, HID, NCLS, MELS, SCALE = 16, 8, 12, 5, 60, 4
+    cfg = {
+        "model_type": "ecapa", "input_size": MELS, "channels": CH,
+        "embed_dim": EMB, "kernel_sizes": [5, 3, 3, 3, 1],
+        "dilations": [1, 2, 3, 4, 1], "attention_channels": 8,
+        "res2net_scale": SCALE, "se_channels": 8,
+        "num_classes": NCLS, "classifier_hidden_dim": HID,
+        "id2label": {str(i): f"lang{i}: Language {i}" for i in range(NCLS)},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def conv(name, o, i, k, bias=True):  # MLX layout [O,K,I]
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def bn(name, ch):
+        w[f"{name}.weight"] = np.ones((ch,), np.float32)
+        w[f"{name}.bias"] = np.zeros((ch,), np.float32)
+        w[f"{name}.running_mean"] = np.zeros((ch,), np.float32)
+        w[f"{name}.running_var"] = np.ones((ch,), np.float32)
+
+    def tdnn(prefix, o, i, k):
+        conv(f"{prefix}.conv.conv", o, i, k)
+        bn(f"{prefix}.norm.norm", o)
+
+    em = "embedding_model"
+    tdnn(f"{em}.blocks.0", CH, MELS, 5)
+    hidden = CH // SCALE
+    for b in (1, 2, 3):
+        base = f"{em}.blocks.{b}"
+        tdnn(f"{base}.tdnn1", CH, CH, 1)
+        for i in range(SCALE - 1):
+            tdnn(f"{base}.res2net_block.blocks.{i}", hidden, hidden, 3)
+        tdnn(f"{base}.tdnn2", CH, CH, 1)
+        conv(f"{base}.se_block.conv1.conv", 8, CH, 1)
+        conv(f"{base}.se_block.conv2.conv", CH, 8, 1)
+    tdnn(f"{em}.mfa", CH * 3, CH * 3, 1)
+    tdnn(f"{em}.asp.tdnn", 8, CH * 3, 1)
+    conv(f"{em}.asp.conv", CH * 3, 8, 1)
+    bn(f"{em}.asp_bn.norm", CH * 6)
+    conv(f"{em}.fc.conv", EMB, CH * 6, 1)
+    bn("classifier.norm", EMB)
+    c[0] += 1
+    w["classifier.DNN.block_0.linear.w.weight"] = modulo_values((HID, EMB), 11, 0.2)
+    w["classifier.DNN.block_0.linear.w.bias"] = modulo_values((HID,), 5, 0.01)
+    bn("classifier.DNN.block_0.norm", HID)
+    w["classifier.out.w.weight"] = modulo_values((NCLS, HID), 13, 0.2)
+    w["classifier.out.w.bias"] = modulo_values((NCLS,), 5, 0.01)
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

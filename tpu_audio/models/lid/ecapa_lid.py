@@ -1,0 +1,181 @@
+"""ECAPA-TDNN language identification (VoxLingua107) + the shared
+ECAPA backbone used for speaker embeddings.
+
+TPU-first rebuild of the reference
+(Sources/MLXAudioCodecs/EcapaTdnn/EcapaTdnnBackbone.swift and
+Sources/MLXAudioLID/Models/EcapaTdnn/*): TDNN blocks (conv+relu+BN),
+SE-Res2Net blocks, multi-layer feature aggregation, attentive statistics
+pooling, BN + 1x1-conv embedding head, then the SpeechBrain classifier
+(leaky-relu + BN + DNN block + linear + log-softmax). The frontend is a
+SpeechBrain-compatible mel: periodic hamming, constant pad, HTK mel,
+power-to-dB with top_db 80, sentence mean normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.core import dsp, hub, loading, nn
+from tpu_audio.models.lid.wav2vec2_lid import LanguagePrediction, LIDOutput
+
+__all__ = ["EcapaLID", "EcapaConfig", "ecapa_backbone_forward"]
+
+
+@dataclass
+class EcapaConfig:
+    input_size: int = 60
+    channels: int = 1024
+    embed_dim: int = 256
+    kernel_sizes: tuple = (5, 3, 3, 3, 1)
+    dilations: tuple = (1, 2, 3, 4, 1)
+    attention_channels: int = 128
+    res2net_scale: int = 8
+    se_channels: int = 128
+    global_context: bool = False
+    num_classes: int = 107
+    classifier_hidden_dim: int = 512
+    id2label: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EcapaConfig":
+        keys = set(cls.__dataclass_fields__)
+        kw = {k: v for k, v in d.items() if k in keys}
+        for k in ("kernel_sizes", "dilations"):
+            if k in kw:
+                kw[k] = tuple(kw[k])
+        return cls(**kw)
+
+
+def _tdnn(p, x, kernel: int, dilation: int = 1):
+    pad = (kernel - 1) * dilation // 2
+    y = jax.nn.relu(nn.conv1d(p["conv"], x, padding=pad, dilation=dilation))
+    return nn.batch_norm(p["norm"], y)
+
+
+def _se_res2net(p, x, cfg: EcapaConfig, kernel: int, dilation: int):
+    residual = x
+    out = _tdnn(p["tdnn1"], x, 1)
+    # Res2Net: hierarchical splits (Res2NetBlock)
+    chunks = jnp.split(out, cfg.res2net_scale, axis=-1)
+    outs = [chunks[0]]
+    for i in range(cfg.res2net_scale - 1):
+        inp = chunks[i + 1] if i == 0 else chunks[i + 1] + outs[-1]
+        outs.append(_tdnn(p["res2net_block"]["blocks"][str(i)], inp, kernel,
+                          dilation))
+    out = jnp.concatenate(outs, axis=-1)
+    out = _tdnn(p["tdnn2"], out, 1)
+    # SE
+    s = out.mean(axis=1, keepdims=True)
+    s = jax.nn.relu(nn.conv1d(p["se_block"]["conv1"], s))
+    s = jax.nn.sigmoid(nn.conv1d(p["se_block"]["conv2"], s))
+    return out * s + residual
+
+
+def ecapa_backbone_forward(p, x, cfg: EcapaConfig):
+    """mel [B, T, n_mels] -> embeddings [B, embed_dim]."""
+    out = _tdnn(p["block0"], x, cfg.kernel_sizes[0], cfg.dilations[0])
+    feats = []
+    for i in (1, 2, 3):
+        out = _se_res2net(p[f"block{i}"], out, cfg, cfg.kernel_sizes[i],
+                          cfg.dilations[i])
+        feats.append(out)
+    out = jnp.concatenate(feats, axis=-1)
+    out = _tdnn(p["mfa"], out, cfg.kernel_sizes[4], cfg.dilations[4])
+    # attentive statistics pooling
+    ap = p["asp"]
+    if cfg.global_context:
+        mean = out.mean(axis=1, keepdims=True)
+        std = jnp.sqrt(out.var(axis=1, keepdims=True) + 1e-9)
+        attn_in = jnp.concatenate(
+            [out, jnp.broadcast_to(mean, out.shape),
+             jnp.broadcast_to(std, out.shape)], axis=-1)
+    else:
+        attn_in = out
+    a = jnp.tanh(_tdnn(ap["tdnn"], attn_in, 1))
+    a = jax.nn.softmax(nn.conv1d(ap["conv"], a), axis=1)
+    w_mean = (a * out).sum(axis=1)
+    w_var = (a * out * out).sum(axis=1) - w_mean**2
+    pooled = jnp.concatenate([w_mean, jnp.sqrt(jnp.maximum(w_var, 1e-9))],
+                             axis=-1)
+    pooled = nn.batch_norm(p["asp_bn"], pooled)
+    return nn.conv1d(p["fc"], pooled[:, None])[:, 0]
+
+
+def ecapa_mel(audio: np.ndarray) -> jnp.ndarray:
+    """SpeechBrain-compatible mel [1, T, 60] (EcapaMelSpectrogram.swift)."""
+    window = dsp.hamming_window(400, periodic=True)
+    spec = dsp.stft(jnp.asarray(np.asarray(audio, np.float32)), window, 400,
+                    160, pad_mode="constant")
+    power = jnp.abs(spec) ** 2
+    fb = jnp.asarray(dsp.mel_filters(16000, 400, 60, norm=None,
+                                     mel_scale="htk"))
+    mel = dsp.power_to_db(power @ fb, top_db=80.0)
+    return mel[None]
+
+
+def sanitize(weights: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SpeechBrain checkpoint remaps (EcapaTdnnLID.swift:99-137) + conv
+    layout [O,K,I] -> [O,I,K] for MLX-converted checkpoints."""
+    out = {}
+    for k, v in weights.items():
+        if "num_batches_tracked" in k:
+            continue
+        for i in range(4):
+            k = k.replace(f"embedding_model.blocks.{i}.",
+                          f"embedding_model.block{i}.")
+        k = k.replace(".conv.conv.", ".conv.").replace(".norm.norm.", ".norm.")
+        k = k.replace(".se_block.conv1.conv.", ".se_block.conv1.")
+        k = k.replace(".se_block.conv2.conv.", ".se_block.conv2.")
+        k = k.replace(".asp_bn.norm.", ".asp_bn.")
+        k = k.replace(".fc.conv.", ".fc.")
+        if k.endswith(".weight") and v.ndim == 3:
+            # MLX conv layout [O,K,I] -> torch [O,I,K] (kernel in middle)
+            if v.shape[1] <= 5 and v.shape[1] != v.shape[2]:
+                v = np.transpose(v, (0, 2, 1))
+        out[k] = v
+    return out
+
+
+class EcapaLID:
+    def __init__(self, config: EcapaConfig, params, dtype=jnp.float32):
+        self.config = config
+        self.params = params
+        self.dtype = dtype
+        self.id2label = {int(k): str(v).split(":")[0].strip()
+                         for k, v in (config.id2label or {}).items()}
+
+        def fwd(p, mel):
+            mel = mel - mel.mean(axis=1, keepdims=True)  # sentence mean norm
+            emb = ecapa_backbone_forward(p["embedding_model"], mel, config)
+            c = p["classifier"]
+            h = jnp.where(emb >= 0, emb, 0.01 * emb)  # leaky relu
+            h = nn.batch_norm(c["norm"], h)
+            h = nn.linear(c["DNN"]["block_0"]["linear"]["w"], h)
+            h = jnp.where(h >= 0, h, 0.01 * h)
+            h = nn.batch_norm(c["DNN"]["block_0"]["norm"], h)
+            h = nn.linear(c["out"]["w"], h)
+            return jax.nn.log_softmax(h, axis=-1)
+
+        self._forward = jax.jit(fwd)
+
+    @classmethod
+    def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "EcapaLID":
+        model_dir = hub.resolve_or_download_model(repo_or_path)
+        config = EcapaConfig.from_dict(hub.load_config(model_dir))
+        params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        return cls(config, params, dtype)
+
+    def predict(self, waveform: np.ndarray, top_k: int = 5) -> LIDOutput:
+        mel = ecapa_mel(waveform).astype(self.dtype)
+        log_probs = self._forward(self.params, mel)
+        probs = np.asarray(jnp.exp(log_probs[0].astype(jnp.float32)))
+        order = np.argsort(-probs)[: min(top_k, len(probs))]
+        top = [LanguagePrediction(self.id2label.get(int(i), f"unknown_{i}"),
+                                  float(probs[i])) for i in order]
+        best = top[0] if top else LanguagePrediction("unknown", 0.0)
+        return LIDOutput(best.language, best.confidence, top)
