@@ -304,16 +304,21 @@ def mel_spectrogram(
     return _mel_spectrogram_impl(jnp.asarray(audio), sample_rate, n_fft, hop_length, n_mels)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    return os.environ.get("TPU_AUDIO_PALLAS") == "1"
+
+
 @functools.partial(
     jax.jit, static_argnames=("sample_rate", "n_fft", "hop_length", "n_mels")
 )
 def _log_mel_impl(audio, sample_rate, n_fft, hop_length, n_mels):
     window = hanning_window(n_fft, periodic=True)  # torch.hann_window default
     freqs = stft(audio, window, n_fft, hop_length, pad_mode="reflect")
-    magnitudes = jnp.abs(freqs) ** 2
     # Drop the last frame to match torch.stft(center=True)
     # (reference WhisperAudio.swift:64-67).
-    magnitudes = magnitudes[:-1]
+    freqs = freqs[:-1]
     filters = jnp.asarray(
         mel_filters(
             sample_rate,
@@ -325,8 +330,14 @@ def _log_mel_impl(audio, sample_rate, n_fft, hop_length, n_mels):
             mel_scale="slaney",
         )
     )
-    mel = magnitudes @ filters  # [n_frames-1, n_mels]
-    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    if _use_pallas():
+        from tpu_audio.ops.pallas_mel import fused_log_mel
+
+        log_spec = fused_log_mel(freqs.real.astype(jnp.float32),
+                                 freqs.imag.astype(jnp.float32), filters)
+    else:
+        mel = (jnp.abs(freqs) ** 2) @ filters  # [n_frames-1, n_mels]
+        log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     return log_spec.T  # [n_mels, n_frames]
