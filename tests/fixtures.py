@@ -1237,6 +1237,86 @@ def make_ecapa_fixture(path: Path) -> Path:
     return path
 
 
+def make_soprano_fixture(path: Path) -> Path:
+    """Tiny Soprano checkpoint: Qwen3-style LM + Vocos decoder + ISTFT head."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    H, DD, NFFT, HOP, TS = 16, 24, 32, 8, 16
+    cfg = {
+        "model_type": "soprano",
+        "hidden_size": H, "num_hidden_layers": 2, "intermediate_size": 32,
+        "num_attention_heads": 2, "num_key_value_heads": 2, "head_dim": 8,
+        "vocab_size": 80, "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+        "tie_word_embeddings": False, "token_size": TS, "sample_rate": 32000,
+        "decoder_dim": DD, "decoder_num_layers": 2,
+        "decoder_n_fft": NFFT, "decoder_hop": HOP, "upscale": 4,
+        "stop_token_id": 3,
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    # LM (stored with language_model prefix, MLX-ish)
+    w["language_model.embed_tokens.weight"] = modulo_values((80, H), 13, 0.3)
+    w["language_model.norm.weight"] = np.ones((H,), np.float32)
+    for i in range(2):
+        b = f"language_model.layers.{i}"
+        lin(f"{b}.self_attn.q_proj", 16, H, bias=False)
+        lin(f"{b}.self_attn.k_proj", 16, H, bias=False)
+        lin(f"{b}.self_attn.v_proj", 16, H, bias=False)
+        lin(f"{b}.self_attn.o_proj", H, 16, bias=False)
+        w[f"{b}.self_attn.q_norm.weight"] = np.ones((8,), np.float32)
+        w[f"{b}.self_attn.k_norm.weight"] = np.ones((8,), np.float32)
+        w[f"{b}.input_layernorm.weight"] = np.ones((H,), np.float32)
+        w[f"{b}.post_attention_layernorm.weight"] = np.ones((H,), np.float32)
+        lin(f"{b}.mlp.gate_proj", 32, H, bias=False)
+        lin(f"{b}.mlp.up_proj", 32, H, bias=False)
+        lin(f"{b}.mlp.down_proj", H, 32, bias=False)
+    lin("language_model.lm_head", 80, H, bias=False)
+    # decoder: VocosBackbone(inputChannels=H, dim=DD, k_in=1, k_dw=3) + head
+    c[0] += 1
+    w["decoder.decoder.embed.weight"] = modulo_values((DD, 1, H), 9, 0.2)  # MLX [O,K,I]
+    w["decoder.decoder.embed.bias"] = modulo_values((DD,), 3, 0.01)
+    w["decoder.decoder.norm.weight"] = np.ones((DD,), np.float32)
+    w["decoder.decoder.norm.bias"] = np.zeros((DD,), np.float32)
+    for i in range(2):
+        b = f"decoder.decoder.convnext.{i}"
+        c[0] += 1
+        w[f"{b}.dwconv.weight"] = modulo_values((DD, 3, 1), 9 + i, 0.2)  # MLX dw
+        w[f"{b}.dwconv.bias"] = modulo_values((DD,), 3, 0.01)
+        w[f"{b}.norm.weight"] = np.ones((DD,), np.float32)
+        w[f"{b}.norm.bias"] = np.zeros((DD,), np.float32)
+        lin(f"{b}.pwconv1", 3 * DD, DD)
+        lin(f"{b}.pwconv2", DD, 3 * DD)
+        w[f"{b}.gamma"] = np.full((DD,), 0.5, np.float32)
+    w["decoder.decoder.final_layer_norm.weight"] = np.ones((DD,), np.float32)
+    w["decoder.decoder.final_layer_norm.bias"] = np.zeros((DD,), np.float32)
+    lin("decoder.head.out", NFFT + 2, DD)
+    save_file(w, str(path / "model.safetensors"))
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(70)}
+    vocab_map.update({"[STOP]": 3, "[TEXT]": 70, "[START]": 71,
+                      "hello": 72, "world": 73})
+    del vocab_map["w3"]
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(["[STOP]", "[TEXT]", "[START]"])
+    tok.save(str(path / "tokenizer.json"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -10,6 +10,7 @@ _REGISTRY: dict[str, str] = {
     "qwen3": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",
     "qwen3_tts": "tpu_audio.models.tts.qwen3_tts:Qwen3TTS",
     "kokoro": "tpu_audio.models.tts.kokoro:Kokoro",
+    "soprano": "tpu_audio.models.tts.soprano:Soprano",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
     "marvis": "tpu_audio.models.tts.csm:MarvisTTS",
     # repo-name fallbacks
