@@ -1317,6 +1317,121 @@ def make_soprano_fixture(path: Path) -> Path:
     return path
 
 
+def make_smart_turn_fixture(path: Path) -> Path:
+    """Tiny SmartTurn checkpoint: whisper-style encoder + pool/classifier,
+    using the checkpoint's dotted submodule names (pool_attention.0 etc.)
+    so the sanitizer is exercised."""
+    from safetensors.numpy import save_file
+
+    d, heads, layers, ffn = 16, 2, 2, 32
+    n_mels, max_pos = 8, 64
+    w = {
+        "encoder.conv1.weight": modulo_values((d, n_mels, 3)),
+        "encoder.conv1.bias": modulo_values((d,), 5),
+        "encoder.conv2.weight": modulo_values((d, d, 3), 19),
+        "encoder.conv2.bias": modulo_values((d,), 7),
+        "encoder.embed_positions.weight": modulo_values((max_pos, d), 23),
+        "encoder.layer_norm.weight": np.ones(d, np.float32),
+        "encoder.layer_norm.bias": np.zeros(d, np.float32),
+        "pool_attention.0.weight": modulo_values((256, d), 11),
+        "pool_attention.0.bias": modulo_values((256,), 5),
+        "pool_attention.2.weight": modulo_values((1, 256), 13),
+        "pool_attention.2.bias": np.zeros(1, np.float32),
+        "classifier.0.weight": modulo_values((256, d), 29),
+        "classifier.0.bias": modulo_values((256,), 7),
+        "classifier.1.weight": np.ones(256, np.float32),
+        "classifier.1.bias": np.zeros(256, np.float32),
+        "classifier.4.weight": modulo_values((64, 256), 31),
+        "classifier.4.bias": modulo_values((64,), 5),
+        "classifier.6.weight": modulo_values((1, 64), 17),
+        "classifier.6.bias": np.zeros(1, np.float32),
+        # a val_* buffer the sanitizer must drop
+        "val_accuracy": np.zeros(1, np.float32),
+    }
+    for i in range(layers):
+        pre = f"encoder.layers.{i}"
+        w[f"{pre}.self_attn.q_proj.weight"] = modulo_values((d, d), 13 + i)
+        w[f"{pre}.self_attn.q_proj.bias"] = modulo_values((d,), 5)
+        w[f"{pre}.self_attn.k_proj.weight"] = modulo_values((d, d), 17 + i)
+        w[f"{pre}.self_attn.v_proj.weight"] = modulo_values((d, d), 19 + i)
+        w[f"{pre}.self_attn.v_proj.bias"] = modulo_values((d,), 7)
+        w[f"{pre}.self_attn.out_proj.weight"] = modulo_values((d, d), 23 + i)
+        w[f"{pre}.self_attn.out_proj.bias"] = np.zeros(d, np.float32)
+        w[f"{pre}.self_attn_layer_norm.weight"] = np.ones(d, np.float32)
+        w[f"{pre}.self_attn_layer_norm.bias"] = np.zeros(d, np.float32)
+        w[f"{pre}.fc1.weight"] = modulo_values((ffn, d), 29 + i)
+        w[f"{pre}.fc1.bias"] = np.zeros(ffn, np.float32)
+        w[f"{pre}.fc2.weight"] = modulo_values((d, ffn), 31 + i)
+        w[f"{pre}.fc2.bias"] = np.zeros(d, np.float32)
+        w[f"{pre}.final_layer_norm.weight"] = np.ones(d, np.float32)
+        w[f"{pre}.final_layer_norm.bias"] = np.zeros(d, np.float32)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "smart_turn",
+        "encoder_config": {
+            "num_mel_bins": n_mels, "max_source_positions": max_pos,
+            "d_model": d, "encoder_attention_heads": heads,
+            "encoder_layers": layers, "encoder_ffn_dim": ffn,
+        },
+        "processor_config": {
+            "sampling_rate": 16000, "max_audio_seconds": 1,
+            "n_fft": 400, "hop_length": 160, "n_mels": n_mels,
+            "normalize_audio": True, "threshold": 0.5,
+        },
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
+def make_fsmn_vad_fixture(path: Path) -> Path:
+    """Tiny FSMN VAD checkpoint with an am.mvn CMVN file. The encoder is
+    shrunk but keeps the real topology (4 fsmn layers, depthwise causal
+    memory convs); output_dim=4 with sil_pdf_ids=[0]."""
+    from safetensors.numpy import save_file
+
+    n_mels, lfr_m = 8, 5
+    input_dim = n_mels * lfr_m  # 40
+    affine, lin, proj, lorder, out_dim = 16, 24, 12, 4, 4
+    w = {
+        "encoder.in_linear1.weight": modulo_values((affine, input_dim)),
+        "encoder.in_linear1.bias": modulo_values((affine,), 5),
+        "encoder.in_linear2.weight": modulo_values((lin, affine), 19),
+        "encoder.in_linear2.bias": modulo_values((lin,), 7),
+        "encoder.out_linear1.weight": modulo_values((affine, lin), 23),
+        "encoder.out_linear1.bias": np.zeros(affine, np.float32),
+        "encoder.out_linear2.weight": modulo_values((out_dim, affine), 29),
+        "encoder.out_linear2.bias": np.zeros(out_dim, np.float32),
+    }
+    for i in range(4):
+        pre = f"encoder.fsmn.{i}"
+        w[f"{pre}.linear.weight"] = modulo_values((proj, lin), 11 + i)
+        w[f"{pre}.fsmn_block.conv_left.weight"] = modulo_values(
+            (proj, 1, lorder), 13 + i, 0.1)
+        w[f"{pre}.affine.weight"] = modulo_values((lin, proj), 17 + i)
+        w[f"{pre}.affine.bias"] = np.zeros(lin, np.float32)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "fsmn",
+        "encoder": {
+            "input_dim": input_dim, "input_affine_dim": affine,
+            "fsmn_layers": 4, "linear_dim": lin, "proj_dim": proj,
+            "lorder": lorder, "output_affine_dim": affine,
+            "output_dim": out_dim,
+        },
+        "n_mels": n_mels, "sil_pdf_ids": [0],
+    }))
+    shift = " ".join(f"{v:.4f}" for v in modulo_values((input_dim,), 7, 0.2))
+    scale = " ".join("1.0" for _ in range(input_dim))
+    (path / "am.mvn").write_text(
+        "<Nnet>\n<Splice> 40 40\n[ 0 ]\n<AddShift> 40 40\n"
+        f"<LearnRateCoef> 0 [ {shift} ]\n<Rescale> 40 40\n"
+        f"<LearnRateCoef> 0 [ {scale} ]\n</Nnet>\n")
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -8,6 +8,10 @@ _REGISTRY: dict[str, str] = {
     "silero_vad": "tpu_audio.models.vad.silero:SileroVAD",
     "silero": "tpu_audio.models.vad.silero:SileroVAD",
     "sortformer": "tpu_audio.models.vad.sortformer:Sortformer",
+    "smart_turn": "tpu_audio.models.vad.smart_turn:SmartTurn",
+    "fsmn": "tpu_audio.models.vad.fsmn_vad:FSMNVAD",
+    "fsmn_vad": "tpu_audio.models.vad.fsmn_vad:FSMNVAD",
+    "smartturn": "tpu_audio.models.vad.smart_turn:SmartTurn",
 }
 
 
