@@ -1432,6 +1432,76 @@ def make_fsmn_vad_fixture(path: Path) -> Path:
     return path
 
 
+def make_sensevoice_fixture(path: Path) -> Path:
+    """Tiny SenseVoice checkpoint: SANM encoder (encoders0/encoders/tp),
+    ctc head under the checkpoint's ctc.ctc_lo name, 16-slot query embed,
+    am.mvn CMVN, tokens.json vocab."""
+    from safetensors.numpy import save_file
+
+    n_mels, lfr_m = 8, 7
+    input_size = n_mels * lfr_m  # 56
+    d, heads, linear, vocab = 16, 2, 32, 40
+    kernel = 11
+
+    def sanm_layer(pre, in_size, seed):
+        return {
+            f"{pre}.self_attn.linear_q_k_v.weight":
+                modulo_values((3 * d, in_size), seed),
+            f"{pre}.self_attn.linear_q_k_v.bias":
+                modulo_values((3 * d,), 5),
+            f"{pre}.self_attn.linear_out.weight":
+                modulo_values((d, d), seed + 2),
+            f"{pre}.self_attn.linear_out.bias": np.zeros(d, np.float32),
+            f"{pre}.self_attn.fsmn_block.weight":
+                modulo_values((d, 1, kernel), seed + 4, 0.1),
+            f"{pre}.feed_forward.w_1.weight":
+                modulo_values((linear, d), seed + 6),
+            f"{pre}.feed_forward.w_1.bias": np.zeros(linear, np.float32),
+            f"{pre}.feed_forward.w_2.weight":
+                modulo_values((d, linear), seed + 8),
+            f"{pre}.feed_forward.w_2.bias": np.zeros(d, np.float32),
+            f"{pre}.norm1.weight": np.ones(in_size, np.float32),
+            f"{pre}.norm1.bias": np.zeros(in_size, np.float32),
+            f"{pre}.norm2.weight": np.ones(d, np.float32),
+            f"{pre}.norm2.bias": np.zeros(d, np.float32),
+        }
+
+    w = {
+        "embed.weight": modulo_values((16, input_size), 23),
+        "ctc.ctc_lo.weight": modulo_values((vocab, d), 29),
+        "ctc.ctc_lo.bias": np.zeros(vocab, np.float32),
+        "encoder.after_norm.weight": np.ones(d, np.float32),
+        "encoder.after_norm.bias": np.zeros(d, np.float32),
+        "encoder.tp_norm.weight": np.ones(d, np.float32),
+        "encoder.tp_norm.bias": np.zeros(d, np.float32),
+    }
+    w.update(sanm_layer("encoder.encoders0.0", input_size, 11))
+    w.update(sanm_layer("encoder.encoders.0", d, 13))
+    w.update(sanm_layer("encoder.tp_encoders.0", d, 17))
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "sense_voice",
+        "input_size": input_size, "vocab_size": vocab,
+        "encoder_conf": {
+            "output_size": d, "attention_heads": heads,
+            "linear_units": linear, "num_blocks": 2, "tp_blocks": 1,
+            "kernel_size": kernel, "sanm_shfit": 0,
+        },
+        "frontend_conf": {"n_mels": n_mels, "lfr_m": lfr_m, "lfr_n": 6},
+    }))
+    dim = input_size
+    shift = " ".join(f"{v:.4f}" for v in modulo_values((dim,), 7, 0.2))
+    scale = " ".join("1.0" for _ in range(dim))
+    (path / "am.mvn").write_text(
+        f"<Nnet>\n<AddShift> {dim} {dim}\n<LearnRateCoef> 0 [ {shift} ]\n"
+        f"<Rescale> {dim} {dim}\n<LearnRateCoef> 0 [ {scale} ]\n</Nnet>\n")
+    (path / "tokens.json").write_text(json.dumps(
+        ["<blank>"] + [f"▁w{i}" for i in range(vocab - 1)]))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""
