@@ -1502,6 +1502,75 @@ def make_sensevoice_fixture(path: Path) -> Path:
     return path
 
 
+def make_encodec_fixture(path: Path, chunked: bool = False) -> Path:
+    """Tiny EnCodec checkpoint in the MLX-community layout: flat indexed
+    SEANet layers (ELUs consume indices), lstm Wx/Wh/bias naming, conv
+    weights [O, K, I]. ratios (4,2), hidden 8, codebook 16x8."""
+    from safetensors.numpy import save_file
+
+    nf, hidden, cb_size = 4, 8, 16
+
+    def conv(pre, o, i, k, seed):
+        return {f"{pre}.conv.weight": modulo_values((o, k, i), seed),
+                f"{pre}.conv.bias": modulo_values((o,), 5)}
+
+    def resnet(pre, dim, seed):
+        h = dim // 2
+        w = {}
+        w.update(conv(f"{pre}.block.1", h, dim, 3, seed))
+        w.update(conv(f"{pre}.block.3", dim, h, 1, seed + 2))
+        w.update(conv(f"{pre}.shortcut", dim, dim, 1, seed + 4))
+        return w
+
+    def lstm(pre, dim, seed):
+        return {f"{pre}.lstm.0.Wx": modulo_values((4 * dim, dim), seed, 0.1),
+                f"{pre}.lstm.0.Wh": modulo_values((4 * dim, dim), seed + 2, 0.1),
+                f"{pre}.lstm.0.bias": np.zeros(4 * dim, np.float32)}
+
+    w = {}
+    # encoder: 0 conv, 1 resnet(4), 2 elu, 3 conv s2, 4 resnet(8), 5 elu,
+    # 6 conv s4, 7 lstm, 8 elu, 9 conv->hidden
+    w.update(conv("encoder.layers.0", nf, 1, 3, 7))
+    w.update(resnet("encoder.layers.1", nf, 11))
+    w.update(conv("encoder.layers.3", 2 * nf, nf, 4, 13))
+    w.update(resnet("encoder.layers.4", 2 * nf, 17))
+    w.update(conv("encoder.layers.6", 4 * nf, 2 * nf, 8, 19))
+    w.update(lstm("encoder.layers.7", 4 * nf, 23))
+    w.update(conv("encoder.layers.9", hidden, 4 * nf, 3, 29))
+    # decoder: 0 conv, 1 lstm, 2 elu, 3 convt s4, 4 resnet(8), 5 elu,
+    # 6 convt s2, 7 resnet(4), 8 elu, 9 conv->1
+    w.update(conv("decoder.layers.0", 4 * nf, hidden, 3, 31))
+    w.update(lstm("decoder.layers.1", 4 * nf, 7))
+    w.update(conv("decoder.layers.3", 2 * nf, 4 * nf, 8, 11))
+    w.update(resnet("decoder.layers.4", 2 * nf, 13))
+    w.update(conv("decoder.layers.6", nf, 2 * nf, 4, 17))
+    w.update(resnet("decoder.layers.7", nf, 19))
+    w.update(conv("decoder.layers.9", 1, nf, 3, 23))
+    for i in range(2):
+        w[f"quantizer.layers.{i}.codebook.embed"] = modulo_values(
+            (cb_size, hidden), 29 + i, 0.5)
+    cfg = {
+        "model_type": "encodec",
+        "audio_channels": 1, "num_filters": nf, "kernel_size": 3,
+        "num_residual_layers": 1, "dilation_growth_rate": 2,
+        "codebook_size": cb_size, "codebook_dim": hidden,
+        "hidden_size": hidden, "num_lstm_layers": 1,
+        "residual_kernel_size": 3, "use_causal_conv": True,
+        "normalize": False, "pad_mode": "reflect",
+        "norm_type": "weight_norm", "last_kernel_size": 3,
+        "trim_right_ratio": 1.0, "compress": 2,
+        "upsampling_ratios": [4, 2], "target_bandwidths": [30.0, 60.0],
+        "sampling_rate": 24000,
+    }
+    if chunked:
+        cfg.update(normalize=True, chunk_length_s=0.01, overlap=0.5)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps(cfg))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

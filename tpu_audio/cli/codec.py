@@ -28,10 +28,17 @@ def main(argv=None):
     audio, sr = load_audio(args.audio, sample_rate=codec.sample_rate)
     t0 = time.perf_counter()
     codes = codec.encode(audio)
-    out = np.asarray(codec.decode(codes))[..., : len(audio)]
+    out = np.asarray(codec.decode(codes))
+    if out.ndim == 3 and out.shape[-1] == 1:  # [B, T, C] mono -> [B, T]
+        out = out[..., 0]
+    out = out[..., : len(audio)]
     dt = time.perf_counter() - t0
     save_wav(args.output, out[0], codec.sample_rate)
-    n_tokens = sum(int(np.asarray(c).size) for c in codes)
+    import jax
+
+    n_tokens = sum(int(np.asarray(leaf).size)
+                   for leaf in jax.tree_util.tree_leaves(codes)
+                   if np.issubdtype(np.asarray(leaf).dtype, np.integer))
     print(f"[codec] {len(audio)/sr:.2f}s audio -> {n_tokens} tokens -> {args.output} "
           f"({dt:.2f}s, {len(audio)/sr/dt:.1f}x realtime)", file=sys.stderr)
     return 0

@@ -36,6 +36,7 @@ class AudioCodecModel(ABC):
 _REGISTRY: dict[str, str] = {
     "snac": "tpu_audio.codecs.snac:SNAC",
     "mimi": "tpu_audio.codecs.mimi:Mimi",
+    "encodec": "tpu_audio.codecs.encodec:Encodec",
 }
 
 

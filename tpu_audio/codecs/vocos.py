@@ -22,14 +22,32 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 
-__all__ = ["vocos_backbone", "istft_head", "istft_window_norm", "Vocos"]
+__all__ = ["vocos_backbone", "istft_head", "istft_window_norm", "Vocos",
+           "ada_layer_norm", "EncodecFeatures"]
 
 
-def convnext_block(p, x, dw_kernel: int = 7):
+def ada_layer_norm(p, x, cond):
+    """Adaptive LayerNorm conditioned on a one-hot bandwidth embedding
+    (Vocos.swift:17-47): parameterless LN then per-condition scale/shift."""
+    scale = nn.linear(p["scale"], cond)
+    shift = nn.linear(p["shift"], cond)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    return h * scale[:, None, :] + shift[:, None, :]
+
+
+def _norm(p, x, cond):
+    if cond is not None:
+        return ada_layer_norm(p, x, cond)
+    return nn.layer_norm(p, x, eps=1e-6)
+
+
+def convnext_block(p, x, dw_kernel: int = 7, cond=None):
     """[B, T, C] ConvNeXt block (VocosBackbone.swift:18-101)."""
     res = x
     h = nn.conv1d(p["dwconv"], x, padding=dw_kernel // 2, groups=x.shape[-1])
-    h = nn.layer_norm(p["norm"], h, eps=1e-6)
+    h = _norm(p["norm"], h, cond)
     h = nn.gelu(nn.linear(p["pwconv1"], h))
     h = nn.linear(p["pwconv2"], h)
     if "gamma" in p:
@@ -38,12 +56,13 @@ def convnext_block(p, x, dw_kernel: int = 7):
 
 
 def vocos_backbone(p, x, num_layers: int, input_kernel: int = 7,
-                   dw_kernel: int = 7):
-    """features [B, T, C_in] -> hidden [B, T, D]."""
+                   dw_kernel: int = 7, cond=None):
+    """features [B, T, C_in] -> hidden [B, T, D]. ``cond`` is a one-hot
+    bandwidth embedding enabling AdaLayerNorm (VocosBackbone.swift:166)."""
     h = nn.conv1d(p["embed"], x, padding=input_kernel // 2)
-    h = nn.layer_norm(p["norm"], h, eps=1e-6)
+    h = _norm(p["norm"], h, cond)
     for i in range(num_layers):
-        h = convnext_block(p["convnext"][str(i)], h, dw_kernel)
+        h = convnext_block(p["convnext"][str(i)], h, dw_kernel, cond)
     return nn.layer_norm(p["final_layer_norm"], h, eps=1e-6)
 
 
@@ -106,8 +125,52 @@ class Vocos:
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         return cls(config, params, dtype)
 
-    def decode(self, features) -> jnp.ndarray:
+    def decode(self, features, bandwidth_id: int | None = None) -> jnp.ndarray:
         p = self.params.get("backbone", self.params)
-        h = vocos_backbone(p, jnp.asarray(features, self.dtype),
-                           self.num_layers)
+        features = jnp.asarray(features, self.dtype)
+        cond = None
+        n_emb = self.config.get("adanorm_num_embeddings")
+        if bandwidth_id is not None and n_emb:
+            cond = jax.nn.one_hot(jnp.asarray([bandwidth_id]), n_emb,
+                                  dtype=features.dtype)
+            cond = jnp.broadcast_to(cond, (features.shape[0], n_emb))
+        h = vocos_backbone(p, features, self.num_layers, cond=cond)
         return istft_head(self.params["head"], h, self.n_fft, self.hop)
+
+
+class EncodecFeatures:
+    """Vocos feature extractor over EnCodec codes (Vocos.swift:188-277):
+    per-codebook embeddings are offset-indexed into one concatenated
+    ``codebook_weights`` table and summed across codebooks."""
+
+    def __init__(self, encodec, codebook_weights,
+                 bandwidths=(1.5, 3.0, 6.0, 12.0)):
+        self.encodec = encodec
+        self.codebook_weights = jnp.asarray(codebook_weights)
+        self.bandwidths = tuple(bandwidths)
+
+    @classmethod
+    def from_encodec(cls, encodec, bandwidths=(1.5, 3.0, 6.0, 12.0)
+                     ) -> "EncodecFeatures":
+        n_q = encodec.n_quantizers_for_bandwidth(max(bandwidths))
+        layers = encodec.params["quantizer"]["layers"]
+        weights = jnp.concatenate(
+            [layers[str(i)]["codebook"]["embed"] for i in range(n_q)], axis=0)
+        return cls(encodec, weights, bandwidths)
+
+    def get_encodec_codes(self, audio, bandwidth_id: int):
+        codes, _ = self.encodec.encode(audio,
+                                       bandwidth=self.bandwidths[bandwidth_id])
+        # [chunks, B, n_q, T] -> [n_q, 1, T] (Vocos.swift:245-247)
+        return codes.reshape(codes.shape[2], 1, codes.shape[3])
+
+    def get_features_from_codes(self, codes):
+        size = self.encodec.config.codebook_size
+        n_q = codes.shape[0]
+        offsets = (jnp.arange(n_q) * size).reshape(n_q, 1, 1)
+        emb = self.codebook_weights[codes + offsets]
+        return jnp.sum(emb, axis=0)
+
+    def __call__(self, audio, bandwidth_id: int):
+        return self.get_features_from_codes(
+            self.get_encodec_codes(audio, bandwidth_id))
