@@ -1571,6 +1571,64 @@ def make_encodec_fixture(path: Path, chunked: bool = False) -> Path:
     return path
 
 
+def make_bigvgan_fixture(path: Path) -> Path:
+    """Tiny BigVGAN: 2 upsample stages, 2 resblock kernels, snakebeta,
+    torch weight_g/weight_v naming so the fold path is exercised."""
+    from safetensors.numpy import save_file
+
+    n_mels, ch = 8, 16
+    rates, kernels = [4, 2], [8, 4]
+    res_kernels, res_dils = [3, 5], [[1, 3], [1, 3]]
+
+    def wn_conv(pre, o, i, k, seed):
+        v = modulo_values((o, i, k), seed)
+        g = np.linalg.norm(v.reshape(o, -1), axis=1).reshape(o, 1, 1).astype(
+            np.float32)
+        return {f"{pre}.weight_g": g, f"{pre}.weight_v": v,
+                f"{pre}.bias": modulo_values((o,), 5)}
+
+    def wn_convt(pre, i, o, k, seed):
+        v = modulo_values((i, o, k), seed)
+        g = np.linalg.norm(v.reshape(i, -1), axis=1).reshape(i, 1, 1).astype(
+            np.float32)
+        return {f"{pre}.weight_g": g, f"{pre}.weight_v": v,
+                f"{pre}.bias": modulo_values((o,), 7)}
+
+    def act(pre, c, seed):
+        return {f"{pre}.act.alpha": modulo_values((c,), seed, 0.1),
+                f"{pre}.act.beta": modulo_values((c,), seed + 2, 0.1)}
+
+    w = {}
+    w.update(wn_conv("conv_pre", ch, n_mels, 7, 11))
+    c = ch
+    n_k = len(res_kernels)
+    for s, (rate, k) in enumerate(zip(rates, kernels)):
+        w.update(wn_convt(f"ups.{s}.0", c, c // 2, k, 13 + s))
+        c //= 2
+        for j, (rk, dils) in enumerate(zip(res_kernels, res_dils)):
+            pre = f"resblocks.{s * n_k + j}"
+            for i, _ in enumerate(dils):
+                w.update(wn_conv(f"{pre}.convs1.{i}", c, c, rk, 17 + i))
+                w.update(wn_conv(f"{pre}.convs2.{i}", c, c, rk, 19 + i))
+                w.update(act(f"{pre}.activations.{2 * i}", c, 23))
+                w.update(act(f"{pre}.activations.{2 * i + 1}", c, 29))
+    w.update(act("activation_post", c, 31))
+    w.update(wn_conv("conv_post", 1, c, 7, 37))
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "bigvgan",
+        "num_mels": n_mels, "upsample_rates": rates,
+        "upsample_kernel_sizes": kernels, "upsample_initial_channel": ch,
+        "resblock": "1", "resblock_kernel_sizes": res_kernels,
+        "resblock_dilation_sizes": res_dils, "activation": "snakebeta",
+        "snake_logscale": True, "use_bias_at_final": True,
+        "use_tanh_at_final": True, "sampling_rate": 24000,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -37,6 +37,7 @@ _REGISTRY: dict[str, str] = {
     "snac": "tpu_audio.codecs.snac:SNAC",
     "mimi": "tpu_audio.codecs.mimi:Mimi",
     "encodec": "tpu_audio.codecs.encodec:Encodec",
+    "bigvgan": "tpu_audio.codecs.bigvgan:BigVGAN",
 }
 
 
