@@ -1,10 +1,16 @@
-"""Benchmark: Whisper-large-v3 STT real-time factor on one TPU chip.
+"""Benchmarks on one TPU chip (BASELINE.md north stars).
 
-Baseline (BASELINE.md north star): RTF <= 0.05 for whisper-large-v3 on a
-single v5e chip. This harness runs the real model graph (large-v3 dims,
-random weights — weights don't change FLOPs or memory traffic) end-to-end:
-log-mel frontend + encoder + 224-token KV-cached decode of a 30 s window,
-the shape of a realistic dense transcription workload.
+Default (``python bench.py``): Whisper-large-v3 STT real-time factor —
+baseline RTF <= 0.05 on a single v5e. Runs the real model graph
+(large-v3 dims, random weights — weights don't change FLOPs or memory
+traffic) end-to-end: log-mel frontend + encoder + 224-token KV-cached
+decode of a 30 s window.
+
+``python bench.py tts``: streaming Orpheus-shaped time-to-first-audio —
+baseline "faster than real time": the first audio chunk must take less
+wall-clock than its own playback duration. Measures prefill + the first
+28-token LM chunk (Orpheus-3B dims, bf16) + a real-size SNAC decode of
+the resulting 4 frames.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -95,9 +101,102 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     }
 
 
+def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
+                   lm_dims: dict | None = None,
+                   snac_dims: dict | None = None) -> dict:
+    """Streaming TTS time-to-first-audio: Orpheus-3B-shaped llama decode
+    + real-size SNAC 24k decode of the first 4 frames."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.codecs.snac import SNAC
+    from tpu_audio.core.ar_loop import make_decode_chunk
+    from tpu_audio.core.sampling import SamplingParams
+    from tpu_audio.models import llama
+
+    # Orpheus-3b = llama-3.2-3B backbone with ~28k audio tokens appended
+    cfg = llama.LlamaConfig(**(lm_dims or dict(
+        vocab_size=156940, hidden_size=3072, num_hidden_layers=28,
+        num_attention_heads=24, num_key_value_heads=8,
+        intermediate_size=8192, max_position_embeddings=4096,
+    )))
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16)
+
+    # real-size SNAC 24 kHz decoder (random weights via the fixture writer)
+    sys.path.insert(0, "tests")
+    from fixtures import make_snac_fixture
+
+    snac_dir = tempfile.mkdtemp(prefix="bench_snac_")
+    make_snac_fixture(
+        __import__("pathlib").Path(snac_dir), **(snac_dims or dict(
+            sampling_rate=24000, encoder_dim=64, encoder_rates=(2, 4, 8, 8),
+            decoder_dim=1024, decoder_rates=(8, 8, 4, 2),
+            vq_strides=(4, 2, 1), codebook_size=4096, codebook_dim=8)))
+    snac = SNAC.from_pretrained(snac_dir, dtype=jnp.bfloat16)
+
+    def step_fn(p, tok, cache):
+        logits, cache = llama.forward(p, tok, cache, cfg)
+        return logits[:, -1], cache
+
+    sp = SamplingParams(temperature=0.6, top_p=0.9,
+                        repetition_penalty=1.1, repetition_context_size=64)
+    decode_chunk = make_decode_chunk(step_fn, sp, history_size=64)
+    prefill = jax.jit(
+        lambda p, toks, cache: llama.forward(p, toks, cache, cfg)[1])
+
+    bucket = 64
+    prompt = np.zeros((1, bucket), np.int32)
+    prompt[0, -8:] = np.arange(8) + 100
+    n_frames = chunk_tokens // 7
+
+    def run_once(seed):
+        cache = llama.make_cache(cfg, 1, bucket + 256, jnp.bfloat16)
+        cache = prefill(params, jnp.asarray(prompt[:, :-1]), cache)
+        toks, count, cache, *_ = decode_chunk(
+            params, cache, jnp.asarray(prompt[:, -1]),
+            jnp.zeros((chunk_tokens,), jnp.int32), jax.random.PRNGKey(seed),
+            jnp.int32(-1), jnp.zeros((1, 64), jnp.int32), jnp.int32(0))
+        toks = np.asarray(toks)
+        # 7-token frames -> SNAC code planes (llama_tts.ungroup_codes shape)
+        f = toks[: n_frames * 7].reshape(n_frames, 7) % 4096
+        codes = [jnp.asarray(f[:, :1].reshape(1, -1)),
+                 jnp.asarray(f[:, 1:3].reshape(1, -1)),
+                 jnp.asarray(f[:, 3:7].reshape(1, -1))]
+        wav = snac.decode(codes)
+        return np.asarray(wav)
+
+    wav = run_once(0)  # warmup/compile
+    audio_s = wav.size / 24000.0
+
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        run_once(r + 1)
+        times.append(time.perf_counter() - t0)
+    ttfb = min(times)
+    rtx = audio_s / ttfb  # >1 = first chunk arrives faster than realtime
+    return {
+        "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok",
+        "value": round(ttfb * 1000, 1),
+        "unit": "ms",
+        "vs_baseline": round(rtx, 3),
+        "detail": {
+            "first_audio_s": round(audio_s, 3),
+            "realtime_x": round(rtx, 2),
+            "tokens_per_s": round(chunk_tokens / ttfb, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def main():
-    size = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
-    result = bench_whisper_rtf(size)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
+    if mode == "tts":
+        result = bench_tts_ttfb()
+    else:
+        result = bench_whisper_rtf(mode)
     print(json.dumps(result))
 
 

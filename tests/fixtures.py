@@ -1629,6 +1629,88 @@ def make_bigvgan_fixture(path: Path) -> Path:
     return path
 
 
+def make_dac_fixture(path: Path) -> Path:
+    """Tiny Descript DAC checkpoint (torch weight-norm layout with
+    Sequential .layers. wrappers like MLX exports of descript/dac)."""
+    from safetensors.numpy import save_file
+
+    enc_dim, enc_rates = 8, (2, 4)
+    dec_dim, dec_rates = 32, (4, 2)
+    latent = enc_dim * 4  # 32
+    n_q, cb_size, cb_dim = 3, 16, 4
+
+    w = {}
+
+    def wn(pre, o, i, k, seed):
+        v = modulo_values((o, i, k), seed)
+        g = np.linalg.norm(v.reshape(o, -1), axis=1).reshape(
+            o, 1, 1).astype(np.float32)
+        w[f"{pre}.weight_v"] = v
+        w[f"{pre}.weight_g"] = g
+        w[f"{pre}.bias"] = modulo_values((o,), 5)
+
+    def wnt(pre, i, o, k, seed):
+        v = modulo_values((i, o, k), seed)
+        g = np.linalg.norm(v.reshape(i, -1), axis=1).reshape(
+            i, 1, 1).astype(np.float32)
+        w[f"{pre}.weight_v"] = v
+        w[f"{pre}.weight_g"] = g
+        w[f"{pre}.bias"] = modulo_values((o,), 7)
+
+    def snake(pre, c):
+        w[f"{pre}.alpha"] = np.ones((1, c, 1), np.float32)
+
+    def res_unit(pre, dim, seed):
+        snake(f"{pre}.block.0", dim)
+        wn(f"{pre}.block.1", dim, dim, 7, seed)
+        snake(f"{pre}.block.2", dim)
+        wn(f"{pre}.block.3", dim, dim, 1, seed + 2)
+
+    # encoder
+    wn("encoder.block.0", enc_dim, 1, 7, 11)
+    dim = enc_dim
+    for i, s in enumerate(enc_rates):
+        dim *= 2
+        pre = f"encoder.block.{i + 1}.block"
+        for j in range(3):
+            res_unit(f"{pre}.{j}", dim // 2, 13 + j)
+        snake(f"{pre}.3", dim // 2)
+        wn(f"{pre}.4", dim, dim // 2, 2 * s, 17 + i)
+    snake(f"encoder.block.{len(enc_rates) + 1}", dim)
+    wn(f"encoder.block.{len(enc_rates) + 2}", latent, dim, 3, 19)
+    # quantizers
+    for i in range(n_q):
+        pre = f"quantizer.quantizers.{i}"
+        wn(f"{pre}.in_proj", cb_dim, latent, 1, 23 + i)
+        wn(f"{pre}.out_proj", latent, cb_dim, 1, 29 + i)
+        w[f"{pre}.codebook.weight"] = modulo_values((cb_size, cb_dim),
+                                                    31 + i, 0.5)
+    # decoder
+    wn("decoder.model.0", dec_dim, latent, 7, 37)
+    d = dec_dim
+    for i, s in enumerate(dec_rates):
+        pre = f"decoder.model.{i + 1}.block"
+        snake(f"{pre}.0", d)
+        wnt(f"{pre}.1", d, d // 2, 2 * s, 41 + i)
+        d //= 2
+        for j in range(3):
+            res_unit(f"{pre}.{j + 2}", d, 43 + j)
+    snake(f"decoder.model.{len(dec_rates) + 1}", d)
+    wn(f"decoder.model.{len(dec_rates) + 2}", 1, d, 7, 47)
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "dac",
+        "encoder_dim": enc_dim, "encoder_rates": list(enc_rates),
+        "decoder_dim": dec_dim, "decoder_rates": list(dec_rates),
+        "n_codebooks": n_q, "codebook_size": cb_size,
+        "codebook_dim": cb_dim, "sample_rate": 16000,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -38,6 +38,8 @@ _REGISTRY: dict[str, str] = {
     "mimi": "tpu_audio.codecs.mimi:Mimi",
     "encodec": "tpu_audio.codecs.encodec:Encodec",
     "bigvgan": "tpu_audio.codecs.bigvgan:BigVGAN",
+    "dac": "tpu_audio.codecs.dac:DescriptDAC",
+    "descript": "tpu_audio.codecs.dac:DescriptDAC",
 }
 
 

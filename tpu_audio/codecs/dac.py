@@ -1,0 +1,245 @@
+"""Descript DAC: residual-VQ GAN codec (44.1/24/16 kHz variants).
+
+TPU-first rebuild of the reference
+(Sources/MLXAudioCodecs/Descript/*): channels-last snake-activation
+SEANet (residual units with center-cropped skips), weight-normalized
+convs folded at load, and a projected residual vector quantizer — each
+level L2-normalizes both the in-projected residual and its codebook for
+the nearest-neighbour search, then subtracts the OUT-projected quantized
+vector from the running residual (DescriptQuantization.swift:54-148).
+
+The full encode and decode are each one jitted channels-last graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.codecs import AudioCodecModel
+from tpu_audio.codecs.snac import _fold_weight_norm
+from tpu_audio.core import hub, loading, nn
+
+__all__ = ["DescriptDAC", "DescriptDACConfig"]
+
+
+@dataclass
+class DescriptDACConfig:
+    """DescriptDACConfig.swift:37-45."""
+
+    encoder_dim: int = 64
+    encoder_rates: tuple = (2, 4, 8, 8)
+    latent_dim: int | None = None
+    decoder_dim: int = 1536
+    decoder_rates: tuple = (8, 8, 4, 2)
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    sample_rate: int = 44100
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DescriptDACConfig":
+        keys = set(cls.__dataclass_fields__)
+        kw = {k: v for k, v in d.items() if k in keys}
+        for k in ("encoder_rates", "decoder_rates"):
+            if k in kw:
+                kw[k] = tuple(kw[k])
+        return cls(**kw)
+
+    @property
+    def resolved_latent_dim(self) -> int:
+        return self.latent_dim or self.encoder_dim * (
+            2 ** len(self.encoder_rates))
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.encoder_rates))
+
+
+def _residual_unit(p, x, dilation: int):
+    """snake -> k7 dilated conv -> snake -> 1x1 conv, center-cropped skip
+    (DescriptDAC.swift:7-29)."""
+    pad = ((7 - 1) * dilation) // 2
+    y = nn.snake(x, p["0"]["alpha"])
+    y = nn.conv1d(p["1"], y, padding=pad, dilation=dilation)
+    y = nn.snake(y, p["2"]["alpha"])
+    y = nn.conv1d(p["3"], y)
+    crop = (x.shape[1] - y.shape[1]) // 2
+    if crop > 0:
+        x = x[:, crop:x.shape[1] - crop]
+    return x + y
+
+
+def encoder_forward(params, x, cfg: DescriptDACConfig):
+    """audio [B, T, 1] -> latents [B, T/hop, latent]
+    (DescriptDAC.swift:72-101)."""
+    p = params["encoder"]["block"]
+    h = nn.conv1d(p["0"], x, padding=3)
+    for i, stride in enumerate(cfg.encoder_rates):
+        bp = p[str(i + 1)]["block"]
+        for j, dil in enumerate((1, 3, 9)):
+            h = _residual_unit(bp[str(j)]["block"], h, dil)
+        h = nn.snake(h, bp["3"]["alpha"])
+        h = nn.conv1d(bp["4"], h, stride=stride,
+                      padding=math.ceil(stride / 2))
+    last = len(cfg.encoder_rates) + 1
+    h = nn.snake(h, p[str(last)]["alpha"])
+    return nn.conv1d(p[str(last + 1)], h, padding=1)
+
+
+def decoder_forward(params, z, cfg: DescriptDACConfig):
+    """latents [B, T', latent] -> audio [B, T, 1]
+    (DescriptDAC.swift:103-163)."""
+    p = params["decoder"]["model"]
+    h = nn.conv1d(p["0"], z, padding=3)
+    for i, stride in enumerate(cfg.decoder_rates):
+        bp = p[str(i + 1)]["block"]
+        h = nn.snake(h, bp["0"]["alpha"])
+        h = nn.conv_transpose1d(bp["1"], h, stride=stride,
+                                padding=math.ceil(stride / 2),
+                                output_padding=1)
+        for j, dil in enumerate((1, 3, 9)):
+            h = _residual_unit(bp[str(j + 2)]["block"], h, dil)
+    last = len(cfg.decoder_rates) + 1
+    h = nn.snake(h, p[str(last)]["alpha"])
+    h = nn.conv1d(p[str(last + 1)], h, padding=3)
+    return jnp.tanh(h)
+
+
+def _l2norm(x, axis=-1, eps=1e-12):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+def vq_encode_level(qp, residual):
+    """One VQ level: in_proj -> L2-normalized NN search -> out_proj
+    (DescriptQuantization.swift:54-94). Returns (z_q_projected, codes)."""
+    z_e = nn.conv1d(qp["in_proj"], residual)
+    emb = qp["codebook"]["weight"].astype(jnp.float32)
+    enc = _l2norm(z_e.astype(jnp.float32))
+    code = _l2norm(emb)
+    dist = (jnp.sum(enc * enc, axis=-1, keepdims=True)
+            - 2.0 * enc @ code.T
+            + jnp.sum(code * code, axis=-1)[None, None])
+    idx = jnp.argmin(dist, axis=-1)
+    z_q = emb[idx].astype(residual.dtype)
+    return nn.conv1d(qp["out_proj"], z_q), idx.astype(jnp.int32)
+
+
+def rvq_encode(params, z, cfg: DescriptDACConfig, n_quantizers: int):
+    """latents -> (z_q summed, codes [B, n_q, T])
+    (DescriptQuantization.swift:121-148)."""
+    residual = z
+    z_q = jnp.zeros_like(z)
+    codes = []
+    for i in range(n_quantizers):
+        qp = params["quantizer"]["quantizers"][str(i)]
+        z_q_i, idx = vq_encode_level(qp, residual)
+        z_q = z_q + z_q_i
+        residual = residual - z_q_i
+        codes.append(idx)
+    return z_q, jnp.stack(codes, axis=1)
+
+
+def rvq_from_codes(params, codes, cfg: DescriptDACConfig):
+    """codes [B, n_q, T] -> z_q [B, T, latent]
+    (DescriptQuantization.swift:150-166)."""
+    z_q = None
+    for i in range(codes.shape[1]):
+        qp = params["quantizer"]["quantizers"][str(i)]
+        emb = qp["codebook"]["weight"][codes[:, i]]
+        proj = nn.conv1d(qp["out_proj"],
+                         emb.astype(qp["out_proj"]["weight"].dtype))
+        z_q = proj if z_q is None else z_q + proj
+    return z_q
+
+
+def sanitize(weights):
+    """Strip Sequential .layers. wrappers, fold weight norm, map MLX conv
+    layouts to torch (DescriptDAC.swift:287-301 + torch checkpoints)."""
+    flat = {}
+    for k, v in weights.items():
+        k = k.replace(".layers.", ".")
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        flat[k] = v
+    # layout probe: encoder.block.0 has in_channels == 1
+    probe = flat.get("encoder.block.0.weight_v",
+                     flat.get("encoder.block.0.weight"))
+    is_mlx = probe is not None and probe.ndim == 3 and probe.shape[2] == 1 \
+        and probe.shape[1] != 1
+    out = {}
+    for k, v in flat.items():
+        if k.endswith(".weight_g"):
+            continue
+        if k.endswith(".weight_v"):
+            g = flat.get(k[:-len(".weight_v")] + ".weight_g")
+            if g is None:
+                continue
+            k = k[:-len(".weight_v")] + ".weight"
+            v = _fold_weight_norm(g, v)
+        if is_mlx and v.ndim == 3 and k.endswith(".weight"):
+            # MLX conv [O,K,I] -> torch [O,I,K]; convT [I,K,O] -> [I,O,K]
+            v = np.transpose(v, (0, 2, 1))
+        if k.endswith(".alpha"):
+            v = v.reshape(-1)
+        out[k] = v
+    return out
+
+
+class DescriptDAC(AudioCodecModel):
+    def __init__(self, config: DescriptDACConfig, params, dtype=jnp.float32):
+        self.config = config
+        self.params = params
+        self.dtype = dtype
+        self.sample_rate = config.sample_rate
+        self._encode = jax.jit(
+            lambda p, x, n: rvq_encode(
+                p, encoder_forward(p, x, config), config, n),
+            static_argnums=(2,))
+        self._decode_codes = jax.jit(
+            lambda p, c: decoder_forward(
+                p, rvq_from_codes(p, c, config), config))
+
+    @classmethod
+    def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32
+                        ) -> "DescriptDAC":
+        model_dir = hub.resolve_or_download_model(repo_or_path)
+        config = DescriptDACConfig.from_dict(hub.load_config(model_dir))
+        params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        return cls(config, params, dtype)
+
+    def preprocess(self, audio: np.ndarray) -> np.ndarray:
+        """Right-pad to a hop multiple (DescriptDAC.swift:217-229)."""
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :, None]
+        elif audio.ndim == 2:
+            audio = audio[:, :, None]
+        hop = self.config.hop_length
+        pad = (-audio.shape[1]) % hop
+        if pad:
+            audio = np.pad(audio, ((0, 0), (0, pad), (0, 0)))
+        return audio
+
+    def encode(self, audio, n_quantizers: int | None = None):
+        """audio -> codes [B, n_q, T'] (DescriptDAC.swift:231-235)."""
+        x = jnp.asarray(self.preprocess(audio), self.dtype)
+        n = n_quantizers or self.config.n_codebooks
+        _, codes = self._encode(self.params, x, n)
+        return codes
+
+    def decode(self, codes) -> jnp.ndarray:
+        """codes [B, n_q, T'] -> audio [B, T, 1]
+        (DescriptDAC.swift:241-244)."""
+        return self._decode_codes(self.params, jnp.asarray(codes))
+
+    def reconstruct(self, audio):
+        audio = np.atleast_1d(np.asarray(audio))
+        length = audio.shape[-1]
+        out = np.asarray(self.decode(self.encode(audio)))
+        return out[:, :length, 0]
