@@ -1711,6 +1711,76 @@ def make_dac_fixture(path: Path) -> Path:
     return path
 
 
+def make_lasr_fixture(path: Path) -> Path:
+    """Tiny LASR CTC checkpoint (2 conformer blocks, GQA, 4x subsample)."""
+    from safetensors.numpy import save_file
+
+    d, heads, kvh, ffn, n_mels, vocab, kernel = 16, 4, 2, 32, 8, 24, 8
+    sub_ch, sub_k = 12, 5
+    hd = d // heads
+
+    def lin(pre, o, i, seed, bias=True):
+        w = {f"{pre}.weight": modulo_values((o, i), seed)}
+        if bias:
+            w[f"{pre}.bias"] = modulo_values((o,), 5)
+        return w
+
+    def ln(pre, c):
+        return {f"{pre}.weight": np.ones(c, np.float32),
+                f"{pre}.bias": np.zeros(c, np.float32)}
+
+    w = {}
+    w.update(lin("encoder.subsampler.dense_0", d, n_mels, 7))
+    w["encoder.subsampler.conv_0.weight"] = modulo_values((d, d, sub_k), 11)
+    w["encoder.subsampler.conv_0.bias"] = np.zeros(d, np.float32)
+    w["encoder.subsampler.conv_1.weight"] = modulo_values((sub_ch, d, sub_k), 13)
+    w["encoder.subsampler.conv_1.bias"] = np.zeros(sub_ch, np.float32)
+    w.update(lin("encoder.subsampler.dense_1", d, sub_ch, 17))
+    for i in range(2):
+        pre = f"encoder.layers.{i}"
+        w.update(lin(f"{pre}.self_attn.q_proj", d, d, 19 + i, bias=False))
+        w.update(lin(f"{pre}.self_attn.k_proj", kvh * hd, d, 23 + i,
+                     bias=False))
+        w.update(lin(f"{pre}.self_attn.v_proj", kvh * hd, d, 29 + i,
+                     bias=False))
+        w.update(lin(f"{pre}.self_attn.o_proj", d, d, 31 + i, bias=False))
+        w[f"{pre}.conv.pointwise_conv1.weight"] = modulo_values(
+            (2 * d, d, 1), 37 + i)
+        w[f"{pre}.conv.depthwise_conv.weight"] = modulo_values(
+            (d, 1, kernel), 41 + i, 0.1)
+        w[f"{pre}.conv.pointwise_conv2.weight"] = modulo_values(
+            (d, d, 1), 43 + i)
+        w[f"{pre}.conv.norm.weight"] = np.ones(d, np.float32)
+        w[f"{pre}.conv.norm.bias"] = np.zeros(d, np.float32)
+        w[f"{pre}.conv.norm.running_mean"] = np.zeros(d, np.float32)
+        w[f"{pre}.conv.norm.running_var"] = np.ones(d, np.float32)
+        w[f"{pre}.conv.norm.num_batches_tracked"] = np.zeros(1, np.float32)
+        for ff in ("feed_forward1", "feed_forward2"):
+            w.update(lin(f"{pre}.{ff}.linear1", ffn, d, 47 + i, bias=False))
+            w.update(lin(f"{pre}.{ff}.linear2", d, ffn, 53 + i, bias=False))
+        for name in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                     "norm_feed_forward2", "norm_out"):
+            w.update(ln(f"{pre}.{name}", d))
+    w.update(ln("encoder.out_norm", d))
+    w.update(lin("ctc_head", vocab, d, 59))
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "lasr",
+        "vocab_size": vocab, "pad_token_id": 0,
+        "encoder_config": {
+            "hidden_size": d, "num_hidden_layers": 2,
+            "num_attention_heads": heads, "num_key_value_heads": kvh,
+            "intermediate_size": ffn, "conv_kernel_size": kernel,
+            "num_mel_bins": n_mels, "subsampling_conv_channels": sub_ch,
+            "subsampling_conv_kernel_size": sub_k,
+            "subsampling_conv_stride": 2,
+        },
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -16,6 +16,8 @@ _REGISTRY: dict[str, str] = {
     "qwen3_asr": "tpu_audio.models.stt.qwen3_asr:Qwen3ASR",
     "wav2vec2": "tpu_audio.models.stt.wav2vec2:Wav2Vec2CTC",
     "sense_voice": "tpu_audio.models.stt.sensevoice:SenseVoice",
+    "lasr": "tpu_audio.models.stt.lasr:LasrCTC",
+    "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
 }
