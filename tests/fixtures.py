@@ -1781,6 +1781,113 @@ def make_lasr_fixture(path: Path) -> Path:
     return path
 
 
+def make_canary_fixture(path: Path) -> Path:
+    """Tiny Canary checkpoint in the MLX-native layout (encoder.* parakeet
+    keys; transf_decoder.layers.* with first/second/third_sub_layer naming;
+    head.classifier) plus a tokens.txt map."""
+    from safetensors.numpy import save_file
+
+    d_model, n_heads, n_layers, features, conv_ch = 32, 4, 2, 16, 8
+    dec_layers, dec_heads, inner, vocab = 2, 4, 64, 48
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 13, 0.01)
+
+    def ln(name, dim):
+        w[f"{name}.weight"] = np.ones((dim,), np.float32)
+        w[f"{name}.bias"] = np.zeros((dim,), np.float32)
+
+    def conv2d_mlx(name, o, h, k, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, h, k, i), 9 + c[0] % 5, 0.3)
+        w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    def conv1d_mlx(name, o, k, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    # encoder (parakeet fastconformer, subsampling factor 4)
+    conv2d_mlx("encoder.pre_encode.conv.0", conv_ch, 3, 3, 1)
+    conv2d_mlx("encoder.pre_encode.conv.2", conv_ch, 3, 3, 1)
+    conv2d_mlx("encoder.pre_encode.conv.3", conv_ch, 1, 1, conv_ch)
+    f_out = features
+    for _ in range(2):
+        f_out = (f_out + 2 - 3) // 2 + 1
+    lin("encoder.pre_encode.out", d_model, conv_ch * f_out)
+    hd = d_model // n_heads
+    for i in range(n_layers):
+        base = f"encoder.layers.{i}"
+        for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                    "norm_feed_forward2", "norm_out"):
+            ln(f"{base}.{nrm}", d_model)
+        for ff in ("feed_forward1", "feed_forward2"):
+            lin(f"{base}.{ff}.linear1", d_model * 4, d_model)
+            lin(f"{base}.{ff}.linear2", d_model, d_model * 4)
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            lin(f"{base}.self_attn.{proj}", d_model, d_model)
+        lin(f"{base}.self_attn.linear_pos", d_model, d_model, bias=False)
+        w[f"{base}.self_attn.pos_bias_u"] = modulo_values((n_heads, hd), 5, 0.1)
+        w[f"{base}.self_attn.pos_bias_v"] = modulo_values((n_heads, hd), 3, 0.1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv1", d_model * 2, 1, d_model)
+        conv1d_mlx(f"{base}.conv.depthwise_conv", d_model, 9, 1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv2", d_model, 1, d_model)
+        w[f"{base}.conv.batch_norm.weight"] = np.ones((d_model,), np.float32)
+        w[f"{base}.conv.batch_norm.bias"] = np.zeros((d_model,), np.float32)
+        w[f"{base}.conv.batch_norm.running_mean"] = np.zeros((d_model,),
+                                                             np.float32)
+        w[f"{base}.conv.batch_norm.running_var"] = np.ones((d_model,),
+                                                           np.float32)
+    # decoder (MLX-native naming)
+    w["transf_decoder.token_embedding.weight"] = modulo_values(
+        (vocab, d_model), 17, 0.3)
+    ln("transf_decoder.embedding_layer_norm", d_model)
+    ln("transf_decoder.final_layer_norm", d_model)
+    for i in range(dec_layers):
+        base = f"transf_decoder.layers.{i}"
+        for sub in ("first_sub_layer", "second_sub_layer"):
+            for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+                lin(f"{base}.{sub}.{proj}", d_model, d_model)
+        lin(f"{base}.third_sub_layer.linear1", inner, d_model)
+        lin(f"{base}.third_sub_layer.linear2", d_model, inner)
+        for nrm in ("layer_norm_1", "layer_norm_2", "layer_norm_3"):
+            ln(f"{base}.{nrm}", d_model)
+    lin("head.classifier", vocab, d_model)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "canary",
+        "preprocessor": {"sample_rate": 16000, "features": features,
+                         "n_fft": 512, "window_size": 0.025,
+                         "window_stride": 0.01},
+        "encoder": {"feat_in": features, "n_layers": n_layers,
+                    "d_model": d_model, "n_heads": n_heads,
+                    "subsampling_factor": 4,
+                    "subsampling_conv_channels": conv_ch,
+                    "xscaling": False},
+        "decoder": {"num_layers": dec_layers, "hidden_size": d_model,
+                    "num_attention_heads": dec_heads, "inner_size": inner},
+        "vocab_size": vocab, "enc_output_dim": d_model,
+        "startofcontext_id": 0, "startoftranscript_id": 1,
+        "emo_undefined_id": 2, "endoftext_id": 3,
+        "supported_languages": ["en", "de"],
+    }))
+    specials = ["<|startofcontext|>", "<|startoftranscript|>",
+                "<|emo:undefined|>", "<|endoftext|>", "<|en|>", "<|de|>",
+                "<|pnc|>", "<|nopnc|>"]
+    lines = [f"{t} {i}" for i, t in enumerate(specials)]
+    lines += [f"▁w{i} {len(specials) + i}" for i in range(vocab - len(specials))]
+    (path / "tokens.txt").write_text("\n".join(lines))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

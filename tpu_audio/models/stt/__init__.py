@@ -17,6 +17,7 @@ _REGISTRY: dict[str, str] = {
     "wav2vec2": "tpu_audio.models.stt.wav2vec2:Wav2Vec2CTC",
     "sense_voice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "lasr": "tpu_audio.models.stt.lasr:LasrCTC",
+    "canary": "tpu_audio.models.stt.canary:Canary",
     "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
