@@ -1888,6 +1888,102 @@ def make_canary_fixture(path: Path) -> Path:
     return path
 
 
+def make_glm_asr_fixture(path: Path) -> Path:
+    """Tiny GLM-ASR: rope-whisper encoder + adapting MLP (checkpoint
+    adapting.0/adapting.2 naming) + GLM llama LM, tokenizer.json with
+    the audio special tokens."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    wd, wheads, wlayers, n_mels = 16, 2, 2, 8
+    lm_d, lm_layers, lm_heads, lm_kv, lm_ffn, vocab = 32, 2, 4, 2, 64, 64
+    merge = 2
+    w = {}
+
+    def lin(pre, o, i, seed, bias=True):
+        w[f"{pre}.weight"] = modulo_values((o, i), seed)
+        if bias:
+            w[f"{pre}.bias"] = modulo_values((o,), 5)
+
+    def ln(pre, c):
+        w[f"{pre}.weight"] = np.ones(c, np.float32)
+        w[f"{pre}.bias"] = np.zeros(c, np.float32)
+
+    w["audio_encoder.whisper.conv1.weight"] = modulo_values((wd, n_mels, 3), 7)
+    w["audio_encoder.whisper.conv1.bias"] = np.zeros(wd, np.float32)
+    w["audio_encoder.whisper.conv2.weight"] = modulo_values((wd, wd, 3), 11)
+    w["audio_encoder.whisper.conv2.bias"] = np.zeros(wd, np.float32)
+    w["audio_encoder.whisper.embed_positions.weight"] = modulo_values(
+        (64, wd), 13)
+    for i in range(wlayers):
+        pre = f"audio_encoder.whisper.layers.{i}"
+        lin(f"{pre}.self_attn.q_proj", wd, wd, 17 + i)
+        lin(f"{pre}.self_attn.k_proj", wd, wd, 19 + i, bias=False)
+        lin(f"{pre}.self_attn.v_proj", wd, wd, 23 + i)
+        lin(f"{pre}.self_attn.out_proj", wd, wd, 29 + i)
+        ln(f"{pre}.self_attn_layer_norm", wd)
+        ln(f"{pre}.final_layer_norm", wd)
+        lin(f"{pre}.fc1", 2 * wd, wd, 31 + i)
+        lin(f"{pre}.fc2", wd, 2 * wd, 37 + i)
+    ln("audio_encoder.layer_norm", wd)
+    lin("audio_encoder.proj", lm_d, wd, 41)
+    lin("audio_encoder.adapting.0", 2 * lm_d, merge * wd, 43)
+    lin("audio_encoder.adapting.2", lm_d, 2 * lm_d, 47)
+    w["audio_encoder.audio_bos_eos_token.weight"] = modulo_values(
+        (2, lm_d), 53)
+    # GLM LM (llama HF layout under model.*)
+    hd = lm_d // lm_heads
+    w["model.embed_tokens.weight"] = modulo_values((vocab, lm_d), 59)
+    w["model.norm.weight"] = np.ones(lm_d, np.float32)
+    w["lm_head.weight"] = modulo_values((vocab, lm_d), 61)
+    for i in range(lm_layers):
+        pre = f"model.layers.{i}"
+        w[f"{pre}.input_layernorm.weight"] = np.ones(lm_d, np.float32)
+        w[f"{pre}.post_attention_layernorm.weight"] = np.ones(lm_d, np.float32)
+        lin(f"{pre}.self_attn.q_proj", lm_heads * hd, lm_d, 63 + i, bias=False)
+        lin(f"{pre}.self_attn.k_proj", lm_kv * hd, lm_d, 67 + i, bias=False)
+        lin(f"{pre}.self_attn.v_proj", lm_kv * hd, lm_d, 71 + i, bias=False)
+        lin(f"{pre}.self_attn.o_proj", lm_d, lm_heads * hd, 73 + i, bias=False)
+        lin(f"{pre}.mlp.gate_proj", lm_ffn, lm_d, 79 + i, bias=False)
+        lin(f"{pre}.mlp.up_proj", lm_ffn, lm_d, 83 + i, bias=False)
+        lin(f"{pre}.mlp.down_proj", lm_d, lm_ffn, 89 + i, bias=False)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "glmasr",
+        "whisper_config": {
+            "d_model": wd, "encoder_attention_heads": wheads,
+            "encoder_ffn_dim": 2 * wd, "encoder_layers": wlayers,
+            "num_mel_bins": n_mels, "max_source_positions": 64,
+            "rope_traditional": True,
+        },
+        "lm_config": {
+            "vocab_size": vocab, "hidden_size": lm_d,
+            "num_hidden_layers": lm_layers,
+            "num_attention_heads": lm_heads, "num_key_value_heads": lm_kv,
+            "intermediate_size": lm_ffn, "tie_word_embeddings": False,
+            "rope_traditional": True, "eos_token_id": [2],
+        },
+        "merge_factor": merge, "use_rope": True,
+        "max_whisper_length": 64,
+    }))
+    specials = ["<|user|>", "<|begin_of_audio|>", "<|end_of_audio|>",
+                "<|assistant|>"]
+    words = ["Please", "transcribe", "this", "audio", "into", "text"]
+    vmap = {f"w{i}": i for i in range(vocab - len(specials) - len(words))}
+    base = len(vmap)
+    for j, t in enumerate(words + specials):
+        vmap[t] = base + j
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -35,6 +35,7 @@ class LlamaConfig:
     tie_word_embeddings: bool = True
     attention_bias: bool = False
     qk_norm: bool = False  # Qwen3-style per-head q/k RMSNorm
+    rope_interleaved: bool = False  # "traditional"/NeoX pairing (GLM)
     max_position_embeddings: int = 8192
 
     @property
@@ -97,8 +98,8 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        q = nn.apply_rope(q, cos, sin)
-        k = nn.apply_rope(k, cos, sin)
+        q = nn.apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
+        k = nn.apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
         if cache is not None:
             cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
             o = nn.sdpa(q, k_full, v_full, mask=mask)
@@ -185,7 +186,13 @@ def init_random_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.bfloat16) -> d
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"weight": rand(v, d)}
-    params = jax.tree.map(jnp.asarray, params)
-    from tpu_audio.core import loading
+    # cast on HOST first: transferring fp32 then casting would peak at
+    # 3x the bf16 footprint on device and OOM large configs
+    np_dtype = np.dtype(dtype)
 
-    return loading.cast_floats(params, dtype)
+    def _to_device(v):
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np_dtype)
+        return jnp.asarray(v)
+
+    return jax.tree.map(_to_device, params)

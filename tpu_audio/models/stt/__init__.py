@@ -18,6 +18,9 @@ _REGISTRY: dict[str, str] = {
     "sense_voice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "lasr": "tpu_audio.models.stt.lasr:LasrCTC",
     "canary": "tpu_audio.models.stt.canary:Canary",
+    "glmasr": "tpu_audio.models.stt.glm_asr:GLMASR",
+    "glm_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
+    "glm4_voice_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
     "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
