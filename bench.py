@@ -136,35 +136,48 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
             vq_strides=(4, 2, 1), codebook_size=4096, codebook_dim=8)))
     snac = SNAC.from_pretrained(snac_dir, dtype=jnp.bfloat16)
 
-    def step_fn(p, tok, cache):
-        logits, cache = llama.forward(p, tok, cache, cfg)
-        return logits[:, -1], cache
+    from tpu_audio.codecs.snac import decoder_forward as snac_decoder
+    from tpu_audio.codecs.snac import vq_from_codes
+    from tpu_audio.core.sampling import _mask_top_p
 
-    sp = SamplingParams(temperature=0.6, top_p=0.9,
-                        repetition_penalty=1.1, repetition_context_size=64)
-    decode_chunk = make_decode_chunk(step_fn, sp, history_size=64)
-    prefill = jax.jit(
-        lambda p, toks, cache: llama.forward(p, toks, cache, cfg)[1])
-
+    sp = SamplingParams(temperature=0.6, top_p=0.9)
     bucket = 64
     prompt = np.zeros((1, bucket), np.int32)
     prompt[0, -8:] = np.arange(8) + 100
     n_frames = chunk_tokens // 7
 
+    # ONE jitted graph: prefill + chunk_tokens-step decode + SNAC decode.
+    # A single device call = single tunnel round-trip; no host syncs
+    # between the LM chunk and the codec.
+    @jax.jit
+    def first_chunk(p, snac_p, prompt_ids, rng):
+        cache = llama.make_cache(cfg, 1, bucket + chunk_tokens + 2,
+                                 jnp.bfloat16)
+        _, cache = llama.forward(p, prompt_ids[:, :-1], cache, cfg)
+        tokens = jnp.zeros((chunk_tokens,), jnp.int32)
+
+        def body(c, _):
+            tokens_c, cache, last, rng = c
+            logits, cache = llama.forward(p, last[:, None], cache, cfg)
+            logits = logits[:, -1].astype(jnp.float32)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(
+                sub, _mask_top_p(logits, sp.top_p) / sp.temperature,
+                axis=-1).astype(jnp.int32)
+            return (tokens_c, cache, nxt, rng), nxt[0]
+
+        (_, cache, _, rng), toks = jax.lax.scan(
+            body, (tokens, cache, prompt_ids[:, -1], rng),
+            None, length=chunk_tokens)
+        f = toks.reshape(n_frames, 7) % 4096
+        codes = [f[:, :1].reshape(1, -1), f[:, 1:3].reshape(1, -1),
+                 f[:, 3:7].reshape(1, -1)]
+        z = vq_from_codes(snac.params, codes, snac.config)
+        return snac_decoder(snac.params, z, snac.config, rng=rng)
+
     def run_once(seed):
-        cache = llama.make_cache(cfg, 1, bucket + 256, jnp.bfloat16)
-        cache = prefill(params, jnp.asarray(prompt[:, :-1]), cache)
-        toks, count, cache, *_ = decode_chunk(
-            params, cache, jnp.asarray(prompt[:, -1]),
-            jnp.zeros((chunk_tokens,), jnp.int32), jax.random.PRNGKey(seed),
-            jnp.int32(-1), jnp.zeros((1, 64), jnp.int32), jnp.int32(0))
-        toks = np.asarray(toks)
-        # 7-token frames -> SNAC code planes (llama_tts.ungroup_codes shape)
-        f = toks[: n_frames * 7].reshape(n_frames, 7) % 4096
-        codes = [jnp.asarray(f[:, :1].reshape(1, -1)),
-                 jnp.asarray(f[:, 1:3].reshape(1, -1)),
-                 jnp.asarray(f[:, 3:7].reshape(1, -1))]
-        wav = snac.decode(codes)
+        wav = first_chunk(params, snac.params, jnp.asarray(prompt),
+                          jax.random.PRNGKey(seed))
         return np.asarray(wav)
 
     wav = run_once(0)  # warmup/compile

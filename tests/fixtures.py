@@ -1984,6 +1984,155 @@ def make_glm_asr_fixture(path: Path) -> Path:
     return path
 
 
+def make_pocket_tts_fixture(path: Path) -> Path:
+    """Tiny PocketTTS: flow LM (streaming transformer + AdaLN flow net),
+    mimi adapter with dummy-quantizer output_proj, one voice embedding."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    D, LDIM, FD, HEADS, LAYERS, DEPTH = 16, 8, 16, 2, 2, 2
+    MD, NF = 12, 4  # mimi transformer/seanet dims
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name, dim):
+        w[f"{name}.weight"] = np.ones((dim,), np.float32)
+        w[f"{name}.bias"] = np.zeros((dim,), np.float32)
+
+    # flow LM
+    w["flow_lm.emb_std"] = np.ones((LDIM,), np.float32)
+    w["flow_lm.emb_mean"] = np.zeros((LDIM,), np.float32)
+    w["flow_lm.bos_emb"] = modulo_values((LDIM,), 7, 0.3)
+    w["flow_lm.conditioner.embed.weight"] = modulo_values((33, D), 13, 0.3)
+    lin("flow_lm.input_linear", D, LDIM, bias=False)
+    ln("flow_lm.out_norm", D)
+    lin("flow_lm.out_eos", 1, D)
+    for i in range(LAYERS):
+        base = f"flow_lm.transformer.layers.{i}"
+        lin(f"{base}.self_attn.in_proj", 3 * D, D, bias=False)
+        lin(f"{base}.self_attn.out_proj", D, D, bias=False)
+        ln(f"{base}.norm1", D)
+        ln(f"{base}.norm2", D)
+        lin(f"{base}.linear1", 4 * D, D, bias=False)
+        lin(f"{base}.linear2", D, 4 * D, bias=False)
+    # flow net
+    lin("flow_lm.flow_net.input_proj", FD, LDIM)
+    lin("flow_lm.flow_net.cond_embed", FD, D)
+    for t in range(2):
+        lin(f"flow_lm.flow_net.time_embed.{t}.mlp.0", FD, 256)
+        lin(f"flow_lm.flow_net.time_embed.{t}.mlp.2", FD, FD)
+        w[f"flow_lm.flow_net.time_embed.{t}.mlp.3.alpha"] = np.ones(
+            (FD,), np.float32)
+    for i in range(DEPTH):
+        base = f"flow_lm.flow_net.res_blocks.{i}"
+        ln(f"{base}.in_ln", FD)
+        lin(f"{base}.mlp.0", FD, FD)
+        lin(f"{base}.mlp.2", FD, FD)
+        lin(f"{base}.adaLN_modulation.1", 3 * FD, FD)
+    lin("flow_lm.flow_net.final_layer.linear", LDIM, FD)
+    lin("flow_lm.flow_net.final_layer.adaLN_modulation.1", 2 * FD, FD)
+    w["speaker_proj_weight"] = modulo_values((D, MD), 17, 0.3)
+
+    # mimi adapter (MLX-converted layouts like make_mimi_fixture)
+    def conv(name, o, k, i, bias=True):
+        c[0] += 1
+        w[f"mimi.{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.3)
+        if bias:
+            w[f"mimi.{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def mlin(name, o, i):
+        c[0] += 1
+        w[f"mimi.{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+
+    conv("encoder.init_conv1d.conv.conv", NF, 3, 1)
+    mult = 1
+    for li in range(2):
+        dim = mult * NF
+        conv(f"encoder.layers.{li}.residuals.0.block.0.conv.conv",
+             dim // 2, 3, dim)
+        conv(f"encoder.layers.{li}.residuals.0.block.1.conv.conv",
+             dim, 1, dim // 2)
+        conv(f"encoder.layers.{li}.downsample.conv.conv", dim * 2, 4, dim)
+        mult *= 2
+    conv("encoder.final_conv1d.conv.conv", MD, 3, mult * NF)
+    conv("decoder.init_conv1d.conv.conv", mult * NF, 3, MD)
+    for li in range(2):
+        dim = mult * NF
+        conv(f"decoder.layers.{li}.upsample.convtr.convtr", dim // 2, 4, dim)
+        conv(f"decoder.layers.{li}.residuals.0.block.0.conv.conv",
+             dim // 4, 3, dim // 2)
+        conv(f"decoder.layers.{li}.residuals.0.block.1.conv.conv",
+             dim // 2, 1, dim // 4)
+        mult //= 2
+    conv("decoder.final_conv1d.conv.conv", 1, 3, NF)
+    for name in ("encoder_transformer", "decoder_transformer"):
+        mlin(f"{name}.input_proj", MD, MD)
+        mlin(f"{name}.output_projs.0", MD, MD)
+        base = f"{name}.transformer.layers.0"
+        mlin(f"{base}.self_attn.in_proj", 3 * MD, MD)
+        mlin(f"{base}.self_attn.out_proj", MD, MD)
+        for nrm in ("norm1", "norm2"):
+            w[f"mimi.{base}.{nrm}.weight"] = np.ones((MD,), np.float32)
+            w[f"mimi.{base}.{nrm}.bias"] = np.zeros((MD,), np.float32)
+        w[f"mimi.{base}.layer_scale_1.scale"] = np.full((MD,), 0.01,
+                                                        np.float32)
+        w[f"mimi.{base}.layer_scale_2.scale"] = np.full((MD,), 0.01,
+                                                        np.float32)
+        mlin(f"{base}.gating.linear1", 24, MD)
+        mlin(f"{base}.gating.linear2", MD, 24)
+    conv("downsample.conv.conv", MD, 4, MD, bias=False)
+    w["mimi.upsample.convtr.convtr.weight"] = modulo_values((MD, 4, 1),
+                                                            13, 0.3)
+    conv("quantizer.output_proj.conv.conv", MD, 1, LDIM, bias=False)
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "pocket_tts",
+        "flow_lm": {
+            "flow": {"dim": FD, "depth": DEPTH},
+            "transformer": {"d_model": D, "num_heads": HEADS,
+                            "num_layers": LAYERS, "hidden_scale": 4,
+                            "max_period": 10000.0},
+            "lookup_table": {"dim": D, "n_bins": 32, "tokenizer": "word",
+                             "tokenizer_path": "tokenizer.json"},
+        },
+        "mimi": {
+            "sample_rate": 24000, "channels": 1, "frame_rate": 3000,
+            "seanet": {"dimension": MD, "channels": 1, "n_filters": NF,
+                       "n_residual_layers": 1, "ratios": [2, 2],
+                       "kernel_size": 3, "residual_kernel_size": 3,
+                       "last_kernel_size": 3, "dilation_base": 2,
+                       "pad_mode": "constant", "compress": 2},
+            "transformer": {"d_model": MD, "num_heads": 2, "num_layers": 1,
+                            "dim_feedforward": 24, "context": 8,
+                            "layer_scale": 0.01, "max_period": 10000.0,
+                            "input_dimension": MD,
+                            "output_dimensions": [MD]},
+            "quantizer": {"dimension": LDIM, "output_dimension": MD},
+        },
+    }))
+    vmap = {f"w{i}": i for i in range(30)}
+    vmap.update({".": 30, "!": 31, "?": 32})
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    emb_dir = path / "embeddings"
+    emb_dir.mkdir(exist_ok=True)
+    save_file({"audio_prompt": modulo_values((1, 3, D), 19, 0.3)},
+              str(emb_dir / "alba.safetensors"))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

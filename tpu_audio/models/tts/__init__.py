@@ -11,6 +11,8 @@ _REGISTRY: dict[str, str] = {
     "qwen3_tts": "tpu_audio.models.tts.qwen3_tts:Qwen3TTS",
     "kokoro": "tpu_audio.models.tts.kokoro:Kokoro",
     "soprano": "tpu_audio.models.tts.soprano:Soprano",
+    "pocket_tts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
+    "pockettts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
     "marvis": "tpu_audio.models.tts.csm:MarvisTTS",
     # repo-name fallbacks
