@@ -2133,6 +2133,92 @@ def make_pocket_tts_fixture(path: Path) -> Path:
     return path
 
 
+def make_mossformer2_fixture(path: Path) -> Path:
+    """Tiny MossFormer2-SE: 2 blocks, 8 kHz-ish dims, MLX conv layouts
+    ([O, K, I]) plus mossformer.-prefixed keys to exercise sanitize."""
+    from safetensors.numpy import save_file
+
+    sr, win, inc, mels = 16000, 320, 160, 8
+    in_ch, out_ch, bins, blocks = mels * 3, 16, win // 2 + 1, 2
+    gsz, qk = 8, 8
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def conv1_mlx(name, o, i, bias=True):  # k=1 conv, MLX [O, 1, I]
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, 1, i), 9 + c[0] % 5, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def ffconvm(pre, i, o, scalenorm=True):
+        if scalenorm:
+            w[f"{pre}.norm.g"] = np.ones((1,), np.float32)
+        else:
+            w[f"{pre}.norm.weight"] = np.ones((i,), np.float32)
+            w[f"{pre}.norm.bias"] = np.zeros((i,), np.float32)
+        lin(f"{pre}.linear", o, i)
+        w[f"{pre}.conv_module.weight"] = modulo_values((o, 17, 1), 13, 0.1)
+
+    base0 = "mossformer.mdl.intra_mdl.mossformerM"
+    for i in range(blocks):
+        fb = f"{base0}.layers.{i}"
+        ffconvm(f"{fb}.to_hidden", out_ch, 2 * out_ch)
+        ffconvm(f"{fb}.to_qk", out_ch, qk)
+        w[f"{fb}.qk_offset_scale.gamma"] = modulo_values((4, qk), 7, 0.1) + 1.0
+        w[f"{fb}.qk_offset_scale.beta"] = np.zeros((4, qk), np.float32)
+        ffconvm(f"{fb}.to_out", out_ch, out_ch)  # in = hidden/2 (v dim)
+        gb = f"{base0}.fsmn.{i}"
+        conv1_mlx(f"{gb}.conv1", out_ch, out_ch)
+        w[f"{gb}.prelu.weight"] = np.asarray(0.25, np.float32)
+        for nrm in ("norm1", "norm2"):
+            w[f"{gb}.{nrm}.weight"] = np.ones((out_ch,), np.float32)
+            w[f"{gb}.{nrm}.bias"] = np.zeros((out_ch,), np.float32)
+        gf = f"{gb}.gated_fsmn"
+        ffconvm(f"{gf}.to_u", out_ch, out_ch, scalenorm=False)
+        ffconvm(f"{gf}.to_v", out_ch, out_ch, scalenorm=False)
+        lin(f"{gf}.fsmn.linear", out_ch, out_ch)
+        lin(f"{gf}.fsmn.project", out_ch, out_ch, bias=False)
+        w[f"{gf}.fsmn.conv1.weight"] = modulo_values((out_ch, 39, 1, 1),
+                                                     17, 0.05)
+        conv1_mlx(f"{gb}.conv2", out_ch, out_ch)
+    w[f"{base0.rsplit('.', 1)[0]}.norm.weight"] = np.ones((out_ch,),
+                                                          np.float32)
+    w[f"{base0.rsplit('.', 1)[0]}.norm.bias"] = np.zeros((out_ch,),
+                                                         np.float32)
+    w["mossformer.mdl.intra_norm.weight"] = np.ones((out_ch,), np.float32)
+    w["mossformer.mdl.intra_norm.bias"] = np.zeros((out_ch,), np.float32)
+    w["mossformer.norm.weight"] = np.ones((in_ch, 1), np.float32)
+    w["mossformer.norm.bias"] = np.zeros((in_ch, 1), np.float32)
+    conv1_mlx("mossformer.conv1d_encoder", out_ch, in_ch, bias=False)
+    w["mossformer.pos_enc.scale"] = np.ones((1,), np.float32)
+    w["mossformer.pos_enc.inv_freq"] = (
+        1.0 / 10000.0 ** (np.arange(0, out_ch, 2) / out_ch)).astype(
+            np.float32)
+    conv1_mlx("mossformer.conv1d_out", out_ch * 2, out_ch)
+    w["mossformer.prelu.weight"] = np.asarray(0.25, np.float32)
+    conv1_mlx("mossformer.output", out_ch, out_ch)
+    conv1_mlx("mossformer.output_gate", out_ch, out_ch)
+    conv1_mlx("mossformer.conv1_decoder", bins, out_ch, bias=False)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "mossformer2_se",
+        "sample_rate": sr, "win_len": win, "win_inc": inc,
+        "fft_len": win, "num_mels": mels, "win_type": "hamming",
+        "in_channels": in_ch, "out_channels": out_ch,
+        "out_channels_final": bins, "num_blocks": blocks,
+        "group_size": gsz, "query_key_dim": qk,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -9,6 +9,9 @@ _REGISTRY: dict[str, str] = {
     "deepfilternet": "tpu_audio.models.sts.deepfilternet:DeepFilterNet",
     "deepfilternet2": "tpu_audio.models.sts.deepfilternet:DeepFilterNet",
     "deepfilternet3": "tpu_audio.models.sts.deepfilternet:DeepFilterNet",
+    "mossformer2_se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
+    "mossformer2se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
+    "mossformer2": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
 }
 
 
