@@ -2219,6 +2219,102 @@ def make_mossformer2_fixture(path: Path) -> Path:
     return path
 
 
+def make_nemotron_fixture(path: Path) -> Path:
+    """Tiny Nemotron streaming ASR: causal subsample (sf=4), 2 conformer
+    blocks with chunked-limited attention, prompt kernel, RNNT head.
+    NeMo/MLX key+layout conventions (pre_encode.conv list, pos_bias_u)."""
+    from safetensors.numpy import save_file
+
+    d, heads, layers, feat, conv_ch, kernel = 16, 4, 2, 16, 8, 5
+    vocab = [("▁" if i % 3 == 0 else "") + chr(ord("a") + i % 26)
+             for i in range(12)]
+    pred_hidden, joint_hidden, n_prompts = 12, 12, 3
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 13, 0.01)
+
+    def ln(name, dim):
+        w[f"{name}.weight"] = np.ones((dim,), np.float32)
+        w[f"{name}.bias"] = np.zeros((dim,), np.float32)
+
+    def conv2d_mlx(name, o, h, k, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, h, k, i), 9 + c[0] % 5, 0.3)
+        w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    def conv1d_mlx(name, o, k, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.3)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 7, 0.01)
+
+    conv2d_mlx("encoder.pre_encode.conv.0", conv_ch, 3, 3, 1)
+    conv2d_mlx("encoder.pre_encode.conv.2", conv_ch, 3, 3, 1)  # depthwise
+    conv2d_mlx("encoder.pre_encode.conv.3", conv_ch, 1, 1, conv_ch)
+    f_out = feat
+    for _ in range(2):
+        f_out = f_out // 2 + 1  # causal (2,1) pad, k3 s2
+    lin("encoder.pre_encode.out", d, conv_ch * f_out)
+    hd = d // heads
+    for i in range(layers):
+        base = f"encoder.layers.{i}"
+        for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                    "norm_feed_forward2", "norm_out"):
+            ln(f"{base}.{nrm}", d)
+        for ff in ("feed_forward1", "feed_forward2"):
+            lin(f"{base}.{ff}.linear1", d * 4, d)
+            lin(f"{base}.{ff}.linear2", d, d * 4)
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            lin(f"{base}.self_attn.{proj}", d, d)
+        lin(f"{base}.self_attn.linear_pos", d, d, bias=False)
+        w[f"{base}.self_attn.pos_bias_u"] = modulo_values((heads, hd), 5, 0.1)
+        w[f"{base}.self_attn.pos_bias_v"] = modulo_values((heads, hd), 3, 0.1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv1", d * 2, 1, d)
+        conv1d_mlx(f"{base}.conv.depthwise_conv", d, kernel, 1)
+        conv1d_mlx(f"{base}.conv.pointwise_conv2", d, 1, d)
+        ln(f"{base}.conv.batch_norm", d)  # LayerNorm despite the name
+    lin("prompt_kernel.0", 24, d + n_prompts)
+    lin("prompt_kernel.2", d, 24)
+    w["decoder.prediction.embed.weight"] = modulo_values(
+        (len(vocab) + 1, pred_hidden), 17, 0.3)
+    w["decoder.prediction.dec_rnn.lstm.0.Wx"] = modulo_values(
+        (4 * pred_hidden, pred_hidden), 19, 0.2)
+    w["decoder.prediction.dec_rnn.lstm.0.Wh"] = modulo_values(
+        (4 * pred_hidden, pred_hidden), 23, 0.2)
+    w["decoder.prediction.dec_rnn.lstm.0.bias"] = modulo_values(
+        (4 * pred_hidden,), 5, 0.01)
+    lin("joint.enc", joint_hidden, d)
+    lin("joint.pred", joint_hidden, pred_hidden)
+    lin("joint.joint_net.2", len(vocab) + 1, joint_hidden)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "nemotron",
+        "preprocessor": {"sample_rate": 16000, "features": feat,
+                         "n_fft": 128, "window_size": 0.008,
+                         "window_stride": 0.004, "window": "hann"},
+        "encoder": {"feat_in": feat, "n_layers": layers, "d_model": d,
+                    "n_heads": heads, "subsampling_factor": 4,
+                    "subsampling_conv_channels": conv_ch,
+                    "conv_kernel_size": kernel, "xscaling": False,
+                    "att_context_style": "chunked_limited",
+                    "att_context_size": [[8, 3]]},
+        "decoder": {"pred_hidden": pred_hidden, "pred_rnn_layers": 1},
+        "joint": {"joint_hidden": joint_hidden, "activation": "relu"},
+        "vocabulary": vocab,
+        "prompt": {"num_prompts": n_prompts, "prompt_hidden": 24,
+                   "prompt_dictionary": {"en": 0, "de": 1}},
+        "default_language": "en",
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

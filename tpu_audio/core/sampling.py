@@ -50,17 +50,26 @@ def _mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
+# Nucleus filtering only ever needs the head of the distribution; sorting
+# the full 100k+ vocab every decode step is pure waste on TPU. Prefilter
+# with lax.top_k (O(V) selection) and sort only this many candidates. If
+# the true nucleus is wider than this (pathologically flat distributions),
+# the tail beyond the prefilter is dropped — indistinguishable in practice.
+TOP_P_PREFILTER = 2048
+
+
 def _mask_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """Nucleus filtering. Keeps the smallest set of tokens whose cumulative
     probability exceeds ``top_p`` (always keeps the argmax)."""
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    vocab = logits.shape[-1]
+    k = min(TOP_P_PREFILTER, vocab)
+    top_vals, _ = jax.lax.top_k(logits, k)  # sorted descending
+    probs = jax.nn.softmax(top_vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # mask tokens whose *preceding* cumulative mass already exceeds top_p
     exceeded = (cum - probs) > top_p
-    cutoff = jnp.where(exceeded, -jnp.inf, sorted_logits).min(
-        axis=-1, keepdims=True, initial=jnp.inf, where=~exceeded
-    )
+    cutoff = jnp.where(exceeded, jnp.inf, top_vals).min(
+        axis=-1, keepdims=True)
     return jnp.where(logits < cutoff, -jnp.inf, logits)
 
 

@@ -21,6 +21,8 @@ _REGISTRY: dict[str, str] = {
     "glmasr": "tpu_audio.models.stt.glm_asr:GLMASR",
     "glm_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
     "glm4_voice_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
+    "nemotron": "tpu_audio.models.stt.nemotron:NemotronASR",
+    "nemotron_asr": "tpu_audio.models.stt.nemotron:NemotronASR",
     "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
