@@ -2315,6 +2315,95 @@ def make_nemotron_fixture(path: Path) -> Path:
     return path
 
 
+def make_firered_fixture(path: Path) -> Path:
+    """Tiny FireRedASR2: 2+2 layer conformer AED, cmvn.json, WordLevel
+    tokenizer. MLX conv layouts (conv2d [O,H,W,I], conv1d [O,K,I])."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    d, heads, layers, idim, odim, kernel, ch = 16, 4, 2, 16, 32, 5, 8
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.25)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 13, 0.01)
+
+    def ln(name, dim):
+        w[f"{name}.weight"] = np.ones((dim,), np.float32)
+        w[f"{name}.bias"] = np.zeros((dim,), np.float32)
+
+    w["encoder.input_preprocessor.conv1.weight"] = modulo_values(
+        (ch, 3, 3, 1), 7, 0.3)
+    w["encoder.input_preprocessor.conv1.bias"] = np.zeros(ch, np.float32)
+    w["encoder.input_preprocessor.conv2.weight"] = modulo_values(
+        (ch, 3, 3, ch), 11, 0.3)
+    w["encoder.input_preprocessor.conv2.bias"] = np.zeros(ch, np.float32)
+    sub_f = ((idim - 1) // 2 - 1) // 2
+    lin("encoder.input_preprocessor.out", d, ch * sub_f)
+    hd = d // heads
+    for i in range(layers):
+        b = f"encoder.layer_stack.{i}"
+        for ff in ("ffn1", "ffn2"):
+            ln(f"{b}.{ff}.net_0", d)
+            lin(f"{b}.{ff}.net_1", 4 * d, d)
+            lin(f"{b}.{ff}.net_4", d, 4 * d)
+        m = f"{b}.mhsa"
+        for proj in ("w_qs", "w_ks", "w_vs", "fc", "linear_pos"):
+            lin(f"{m}.{proj}", d, d, bias=False)
+        for nrm in ("layer_norm_q", "layer_norm_k", "layer_norm_v"):
+            ln(f"{m}.{nrm}", d)
+        w[f"{m}.pos_bias_u"] = modulo_values((heads, hd), 5, 0.1)
+        w[f"{m}.pos_bias_v"] = modulo_values((heads, hd), 3, 0.1)
+        ln(f"{b}.conv.pre_layer_norm", d)
+        w[f"{b}.conv.pointwise_conv1.weight"] = modulo_values(
+            (4 * d, 1, d), 17, 0.2)
+        w[f"{b}.conv.depthwise_conv.weight"] = modulo_values(
+            (2 * d, kernel, 1), 19, 0.1)
+        ln(f"{b}.conv.batch_norm", 2 * d)
+        w[f"{b}.conv.pointwise_conv2.weight"] = modulo_values(
+            (d, 1, 2 * d), 23, 0.2)
+        ln(f"{b}.layer_norm", d)
+    w["decoder.tgt_word_emb.weight"] = modulo_values((odim, d), 29, 0.3)
+    for i in range(layers):
+        b = f"decoder.layer_stack.{i}"
+        for attn in ("self_attn", "cross_attn"):
+            lin(f"{b}.{attn}.w_qs", d, d)
+            lin(f"{b}.{attn}.w_ks", d, d, bias=False)
+            lin(f"{b}.{attn}.w_vs", d, d)
+            lin(f"{b}.{attn}.fc", d, d)
+        for nrm in ("self_attn_norm", "cross_attn_norm", "mlp_norm"):
+            ln(f"{b}.{nrm}", d)
+        lin(f"{b}.mlp.w_1", 4 * d, d)
+        lin(f"{b}.mlp.w_2", d, 4 * d)
+    ln("decoder.layer_norm_out", d)
+    lin("decoder.tgt_word_prj", odim, d, bias=False)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "fireredasr2",
+        "idim": idim, "odim": odim, "sos_id": 3, "eos_id": 4, "pad_id": 2,
+        "encoder": {"n_layers": layers, "n_head": heads, "d_model": d,
+                    "kernel_size": kernel, "pe_maxlen": 512},
+        "decoder": {"n_layers": layers, "n_head": heads, "d_model": d,
+                    "pe_maxlen": 512},
+    }))
+    (path / "cmvn.json").write_text(json.dumps({
+        "means": modulo_values((idim,), 7, 0.2).tolist(),
+        "istd": np.ones(idim, np.float32).tolist(),
+    }))
+    vmap = {f"w{i}": i for i in range(odim)}
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -22,6 +22,8 @@ _REGISTRY: dict[str, str] = {
     "glm_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
     "glm4_voice_asr": "tpu_audio.models.stt.glm_asr:GLMASR",
     "nemotron": "tpu_audio.models.stt.nemotron:NemotronASR",
+    "fireredasr2": "tpu_audio.models.stt.fireredasr:FireRedASR2",
+    "fireredasr": "tpu_audio.models.stt.fireredasr:FireRedASR2",
     "nemotron_asr": "tpu_audio.models.stt.nemotron:NemotronASR",
     "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
