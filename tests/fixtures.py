@@ -2404,6 +2404,58 @@ def make_firered_fixture(path: Path) -> Path:
     return path
 
 
+def make_byt5_fixture(path: Path) -> Path:
+    """Tiny ByT5 G2P in HF t5 naming (block/SelfAttention/DenseReluDense)."""
+    from safetensors.numpy import save_file
+
+    v, d, dff, dkv, heads, enc_l, dec_l, buckets = 384, 16, 32, 4, 4, 2, 2, 8
+    w = {"shared.weight": modulo_values((v, d), 7, 0.2),
+         "lm_head.weight": modulo_values((v, d), 11, 0.2),
+         "encoder.final_layer_norm.weight": np.ones(d, np.float32),
+         "decoder.final_layer_norm.weight": np.ones(d, np.float32),
+         "encoder.block.0.layer.0.SelfAttention.relative_attention_bias"
+         ".weight": modulo_values((buckets, heads), 13, 0.1),
+         "decoder.block.0.layer.0.SelfAttention.relative_attention_bias"
+         ".weight": modulo_values((buckets, heads), 17, 0.1)}
+
+    def lin(name, o, i):
+        w[f"{name}.weight"] = modulo_values((o, i), 19 + (o + i) % 7, 0.25)
+
+    for i in range(enc_l):
+        b = f"encoder.block.{i}"
+        for proj in ("q", "k", "v"):
+            lin(f"{b}.layer.0.SelfAttention.{proj}", heads * dkv, d)
+        lin(f"{b}.layer.0.SelfAttention.o", d, heads * dkv)
+        w[f"{b}.layer.0.layer_norm.weight"] = np.ones(d, np.float32)
+        lin(f"{b}.layer.1.DenseReluDense.wi_0", dff, d)
+        lin(f"{b}.layer.1.DenseReluDense.wi_1", dff, d)
+        lin(f"{b}.layer.1.DenseReluDense.wo", d, dff)
+        w[f"{b}.layer.1.layer_norm.weight"] = np.ones(d, np.float32)
+    for i in range(dec_l):
+        b = f"decoder.block.{i}"
+        for li, mod in ((0, "SelfAttention"), (1, "EncDecAttention")):
+            for proj in ("q", "k", "v"):
+                lin(f"{b}.layer.{li}.{mod}.{proj}", heads * dkv, d)
+            lin(f"{b}.layer.{li}.{mod}.o", d, heads * dkv)
+            w[f"{b}.layer.{li}.layer_norm.weight"] = np.ones(d, np.float32)
+        lin(f"{b}.layer.2.DenseReluDense.wi_0", dff, d)
+        lin(f"{b}.layer.2.DenseReluDense.wi_1", dff, d)
+        lin(f"{b}.layer.2.DenseReluDense.wo", d, dff)
+        w[f"{b}.layer.2.layer_norm.weight"] = np.ones(d, np.float32)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "byt5", "vocab_size": v, "d_model": d, "d_ff": dff,
+        "d_kv": dkv, "num_heads": heads, "num_layers": enc_l,
+        "num_decoder_layers": dec_l, "relative_attention_num_buckets": buckets,
+        "relative_attention_max_distance": 32,
+        "tie_word_embeddings": False, "decoder_start_token_id": 0,
+        "eos_token_id": 1, "pad_token_id": 0,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""
