@@ -2456,6 +2456,76 @@ def make_byt5_fixture(path: Path) -> Path:
     return path
 
 
+def make_dacvae_fixture(path: Path) -> Path:
+    """Tiny DACVAE (VAE bottleneck, main decoder path; includes a
+    watermark key that sanitize must drop). MLX conv layouts."""
+    from safetensors.numpy import save_file
+
+    enc_dim, enc_rates = 4, (2, 4)
+    dec_dim, dec_rates = 16, (4, 2)
+    latent, cb = 8, 4
+    w = {}
+    c = [0]
+
+    def wn(pre, o, k, i, transpose=False):
+        c[0] += 1
+        v = modulo_values((o, k, i), 9 + c[0] % 5, 0.2)
+        axes = (2,) if transpose else tuple(range(1, 3))
+        g = np.sqrt((v.astype(np.float64) ** 2).sum(
+            axis=(1, 2), keepdims=True)).astype(np.float32)
+        w[f"{pre}.weight_g"] = g
+        w[f"{pre}.weight_v"] = v
+        w[f"{pre}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def snake(pre, ch):
+        w[f"{pre}.alpha"] = np.ones((1, ch, 1), np.float32)
+
+    def res(pre, dim, k=7):
+        snake(f"{pre}.act1", dim)
+        wn(f"{pre}.conv1", dim, k, dim)
+        snake(f"{pre}.act2", dim)
+        wn(f"{pre}.conv2", dim, 1, dim)
+
+    wn("encoder.conv_in", enc_dim, 7, 1)
+    dim = enc_dim
+    for i, s in enumerate(enc_rates):
+        dim *= 2
+        pre = f"encoder.blocks.{i}"
+        for j in range(3):
+            res(f"{pre}.res{j + 1}", dim // 2)
+        snake(f"{pre}.snake", dim // 2)
+        wn(f"{pre}.conv", dim, 2 * s, dim // 2)
+    snake("encoder.snake_out", dim)
+    wn("encoder.conv_out", latent, 3, dim)
+    wn("quantizer_in_proj", 2 * cb, 1, latent)
+    wn("quantizer_out_proj", latent, 1, cb)
+    wn("decoder.conv_in", dec_dim, 7, latent)
+    d = dec_dim
+    for i, s in enumerate(dec_rates):
+        pre = f"decoder.blocks.{i}"
+        snake(f"{pre}.block_0", d)
+        wn(f"{pre}.block_1", d // 2, 2 * s, d, transpose=True)
+        d //= 2
+        for bi in (4, 5, 8):
+            res(f"{pre}.block_{bi}", d)
+        # watermark side-path key that must be dropped
+        w[f"{pre}.block_3.weight"] = modulo_values((2, 4, 2), 7, 0.1)
+    snake("decoder.snake_out", d)
+    wn("decoder.conv_out", 1, 7, d)
+    w["wm_model.msg_linear.weight"] = modulo_values((4, 4), 11, 0.1)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "dacvae",
+        "encoder_dim": enc_dim, "encoder_rates": list(enc_rates),
+        "latent_dim": latent, "decoder_dim": dec_dim,
+        "decoder_rates": list(dec_rates), "codebook_dim": cb,
+        "sample_rate": 16000, "mean": 0.0, "std": 1.0,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -39,6 +39,7 @@ _REGISTRY: dict[str, str] = {
     "encodec": "tpu_audio.codecs.encodec:Encodec",
     "bigvgan": "tpu_audio.codecs.bigvgan:BigVGAN",
     "dac": "tpu_audio.codecs.dac:DescriptDAC",
+    "dacvae": "tpu_audio.codecs.dacvae:DACVAE",
     "descript": "tpu_audio.codecs.dac:DescriptDAC",
 }
 
