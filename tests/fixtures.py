@@ -2526,6 +2526,147 @@ def make_dacvae_fixture(path: Path) -> Path:
     return path
 
 
+def make_fish_s1_fixture(path: Path) -> Path:
+    """Tiny Fish-S1 DAC: causal SEANet with one encoder-stage transformer,
+    2x-downsampled dual RVQ with pre/post window transformers. Uses
+    torch-style parametrized weight-norm keys with .conv wrappers."""
+    from safetensors.numpy import save_file
+
+    enc_dim, enc_rates = 4, (2, 2)
+    dec_dim, dec_rates = 16, (2, 2)
+    latent, cb_dim, cb_size, sem_size, n_q = 8, 4, 16, 32, 2
+    head_dim = 4
+    w = {}
+    c = [0]
+
+    def conv(pre, o, i, k, wrapped=True):
+        c[0] += 1
+        v = modulo_values((o, i, k), 9 + c[0] % 5, 0.2)
+        g = np.sqrt((v.astype(np.float64) ** 2).sum(
+            axis=(1, 2), keepdims=True)).astype(np.float32)
+        mid = ".conv" if wrapped else ""
+        w[f"{pre}{mid}.parametrizations.weight.original0"] = g
+        w[f"{pre}{mid}.parametrizations.weight.original1"] = v
+        w[f"{pre}{mid}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def convt(pre, i, o, k):
+        c[0] += 1
+        v = modulo_values((i, o, k), 9 + c[0] % 5, 0.2)
+        g = np.sqrt((v.astype(np.float64) ** 2).sum(
+            axis=(1, 2), keepdims=True)).astype(np.float32)
+        w[f"{pre}.conv.parametrizations.weight.original0"] = g
+        w[f"{pre}.conv.parametrizations.weight.original1"] = v
+        w[f"{pre}.conv.bias"] = modulo_values((o,), 3, 0.01)
+
+    def snake(pre, ch):
+        w[f"{pre}.alpha"] = np.ones((1, ch, 1), np.float32)
+
+    def res(pre, dim):
+        snake(f"{pre}.block.0", dim)
+        conv(f"{pre}.block.1", dim, dim, 7)
+        snake(f"{pre}.block.2", dim)
+        conv(f"{pre}.block.3", dim, dim, 1)
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def transformer(pre, dim, n_layers, n_heads):
+        ad = n_heads * head_dim
+        for i in range(n_layers):
+            b = f"{pre}.layers.{i}"
+            lin(f"{b}.attention.wqkv", 3 * ad, dim)
+            lin(f"{b}.attention.wo", dim, ad)
+            w[f"{b}.attention_norm.weight"] = np.ones(dim, np.float32)
+            w[f"{b}.ffn_norm.weight"] = np.ones(dim, np.float32)
+            w[f"{b}.attention_layer_scale.gamma"] = np.full(
+                (dim,), 0.01, np.float32)
+            w[f"{b}.ffn_layer_scale.gamma"] = np.full((dim,), 0.01,
+                                                      np.float32)
+            lin(f"{b}.feed_forward.w1", 2 * dim, dim)
+            lin(f"{b}.feed_forward.w3", 2 * dim, dim)
+            lin(f"{b}.feed_forward.w2", dim, 2 * dim)
+        w[f"{pre}.norm.weight"] = np.ones(dim, np.float32)
+
+    def convnext(pre, dim):
+        conv(f"{pre}.dwconv", dim, 1, 7, wrapped=False)
+        # depthwise torch weight [C,1,K]; fix shape after the fact
+        del w[f"{pre}.dwconv.parametrizations.weight.original0"]
+        del w[f"{pre}.dwconv.parametrizations.weight.original1"]
+        del w[f"{pre}.dwconv.bias"]
+        w[f"{pre}.dwconv.weight"] = modulo_values((dim, 1, 7), 13, 0.1)
+        w[f"{pre}.dwconv.bias"] = np.zeros(dim, np.float32)
+        w[f"{pre}.norm.weight"] = np.ones(dim, np.float32)
+        w[f"{pre}.norm.bias"] = np.zeros(dim, np.float32)
+        lin(f"{pre}.pwconv1", 2 * dim, dim, bias=True)
+        lin(f"{pre}.pwconv2", dim, 2 * dim, bias=True)
+        w[f"{pre}.gamma"] = np.full((dim,), 1e-2, np.float32)
+
+    # encoder: block.0 conv, stages 1..2, snake, out conv
+    conv("encoder.block.0", enc_dim, 1, 7)
+    dim = enc_dim
+    for i, s in enumerate(enc_rates):
+        dim *= 2
+        pre = f"encoder.block.{i + 1}.block"
+        for j in range(3):
+            res(f"{pre}.{j}", dim // 2)
+        snake(f"{pre}.3", dim // 2)
+        conv(f"{pre}.4", dim, dim // 2, 2 * s)
+        if i == 1:  # encoder_transformer_layers (0, 1)
+            transformer(f"{pre}.5", dim, 1, max(dim // 64, 1))
+    snake("encoder.block.3", dim)
+    conv("encoder.block.4", latent, dim, 3)
+    # quantizer
+    conv("quantizer.downsample.0.0", latent, latent, 2, wrapped=False)
+    convnext("quantizer.downsample.0.1", latent)
+    convt("quantizer.upsample.0.0", latent, latent, 2)
+    convnext("quantizer.upsample.0.1", latent)
+    transformer("quantizer.pre_module", latent, 1, 2)
+    transformer("quantizer.post_module", latent, 1, 2)
+    for part, nq, size in (("semantic_quantizer", 1, sem_size),
+                           ("quantizer", n_q, cb_size)):
+        for i in range(nq):
+            pre = f"quantizer.{part}.quantizers.{i}"
+            conv(f"{pre}.in_proj", cb_dim, latent, 1)
+            conv(f"{pre}.out_proj", latent, cb_dim, 1)
+            w[f"{pre}.codebook.weight"] = modulo_values((size, cb_dim),
+                                                        17 + i, 0.5)
+    # decoder
+    conv("decoder.model.0", dec_dim, latent, 7)
+    d = dec_dim
+    for i, s in enumerate(dec_rates):
+        pre = f"decoder.model.{i + 1}.block"
+        snake(f"{pre}.0", d)
+        convt(f"{pre}.1", d, d // 2, 2 * s)
+        d //= 2
+        for j in range(3):
+            res(f"{pre}.{j + 2}", d)
+    snake("decoder.model.3", d)
+    conv("decoder.model.4", 1, d, 7)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "fish_s1_dac",
+        "encoder_dim": enc_dim, "encoder_rates": list(enc_rates),
+        "latent_dim": latent, "decoder_dim": dec_dim,
+        "decoder_rates": list(dec_rates), "n_codebooks": n_q,
+        "codebook_size": cb_size, "codebook_dim": cb_dim,
+        "semantic_codebook_size": sem_size, "downsample_factor": [2],
+        "sample_rate": 16000, "causal": True,
+        "encoder_transformer_layers": [0, 1],
+        "decoder_transformer_layers": [0, 0],
+        "quantizer_transformer_layers": 1,
+        "quantizer_transformer_heads": 2,
+        "quantizer_transformer_dim": latent,
+        "transformer_head_dim": head_dim,
+        "quantizer_window_size": 16, "window_size": 16,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -40,6 +40,8 @@ _REGISTRY: dict[str, str] = {
     "bigvgan": "tpu_audio.codecs.bigvgan:BigVGAN",
     "dac": "tpu_audio.codecs.dac:DescriptDAC",
     "dacvae": "tpu_audio.codecs.dacvae:DACVAE",
+    "fish_s1_dac": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
+    "firefly": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
     "descript": "tpu_audio.codecs.dac:DescriptDAC",
 }
 
