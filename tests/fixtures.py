@@ -2667,6 +2667,48 @@ def make_fish_s1_fixture(path: Path) -> Path:
     return path
 
 
+def make_s3_tokenizer_fixture(path: Path) -> Path:
+    """Tiny S3TokenizerV2 (FSMN attention + FSQ)."""
+    from safetensors.numpy import save_file
+
+    d, heads, layers, n_mels, kernel = 16, 4, 2, 8, 7
+    w = {}
+
+    def lin(name, o, i, seed, bias=True):
+        w[f"{name}.weight"] = modulo_values((o, i), seed, 0.25)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    w["encoder.conv1.weight"] = modulo_values((d, 3, n_mels), 7, 0.3)
+    w["encoder.conv1.bias"] = np.zeros(d, np.float32)
+    w["encoder.conv2.weight"] = modulo_values((d, 3, d), 11, 0.3)
+    w["encoder.conv2.bias"] = np.zeros(d, np.float32)
+    for i in range(layers):
+        b = f"encoder.blocks.{i}"
+        lin(f"{b}.attn.query", d, d, 13 + i)
+        lin(f"{b}.attn.key", d, d, 17 + i, bias=False)
+        lin(f"{b}.attn.value", d, d, 19 + i)
+        lin(f"{b}.attn.out", d, d, 23 + i)
+        w[f"{b}.attn.fsmn_block.weight"] = modulo_values((d, kernel, 1),
+                                                         29 + i, 0.1)
+        for nrm in ("attn_ln", "mlp_ln"):
+            w[f"{b}.{nrm}.weight"] = np.ones(d, np.float32)
+            w[f"{b}.{nrm}.bias"] = np.zeros(d, np.float32)
+        lin(f"{b}.mlp.0", 4 * d, d, 31 + i)
+        lin(f"{b}.mlp.2", d, 4 * d, 37 + i)
+    lin("quantizer.fsq_codebook.project_down", 8, d, 41)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "s3tokenizer",
+        "n_mels": n_mels, "n_audio_state": d, "n_audio_head": heads,
+        "n_audio_layer": layers, "n_codebook_size": 6561,
+        "kernel_size": kernel,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -41,6 +41,8 @@ _REGISTRY: dict[str, str] = {
     "dac": "tpu_audio.codecs.dac:DescriptDAC",
     "dacvae": "tpu_audio.codecs.dacvae:DACVAE",
     "fish_s1_dac": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
+    "s3tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",
+    "s3_tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",
     "firefly": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
     "descript": "tpu_audio.codecs.dac:DescriptDAC",
 }
