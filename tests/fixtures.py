@@ -2709,6 +2709,77 @@ def make_s3_tokenizer_fixture(path: Path) -> Path:
     return path
 
 
+def make_higgs_fixture(path: Path) -> Path:
+    """Tiny HiggsAudio tokenizer (decode path): 2-stage decoder,
+    2-codebook RVQ, with semantic-branch keys that sanitize must drop."""
+    from safetensors.numpy import save_file
+
+    latent, cb_dim, cb_size, n_q = 8, 4, 16, 2
+    dec_in = 8  # fc2 output / decoder conv1 input
+    w = {}
+    c = [0]
+
+    def conv(pre, o, i, k):
+        c[0] += 1
+        w[f"{pre}.weight"] = modulo_values((o, i, k), 9 + c[0] % 5, 0.2)
+        w[f"{pre}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def convt(pre, i, o, k):
+        c[0] += 1
+        w[f"{pre}.weight"] = modulo_values((i, o, k), 9 + c[0] % 5, 0.2)
+        w[f"{pre}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def lin(pre, o, i):
+        c[0] += 1
+        w[f"{pre}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.25)
+        w[f"{pre}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def snake(pre, ch):
+        w[f"{pre}.alpha"] = np.ones((1, ch, 1), np.float32)
+
+    def res(pre, dim):
+        snake(f"{pre}.snake1", dim)
+        conv(f"{pre}.conv1", dim, dim, 7)
+        snake(f"{pre}.snake2", dim)
+        conv(f"{pre}.conv2", dim, dim, 1)
+
+    for i in range(n_q):
+        pre = f"quantizer.quantizers.{i}"
+        lin(f"{pre}.project_in", cb_dim, latent)
+        lin(f"{pre}.project_out", latent, cb_dim)
+        w[f"{pre}.codebook.embed"] = modulo_values((cb_size, cb_dim),
+                                                   17 + i, 0.5)
+        w[f"{pre}.codebook.embed_avg"] = np.zeros((cb_size, cb_dim),
+                                                  np.float32)
+        w[f"{pre}.codebook.cluster_size"] = np.ones(cb_size, np.float32)
+    lin("fc2", dec_in, latent)
+    conv("acoustic_decoder.conv1", 16, dec_in, 7)
+    d = 16
+    for i, s in enumerate((4, 2)):
+        pre = f"acoustic_decoder.block.{i}"
+        snake(f"{pre}.snake1", d)
+        convt(f"{pre}.conv_t1", d, d // 2, 2 * s)
+        d //= 2
+        for j in range(3):
+            res(f"{pre}.res_unit{j + 1}", d)
+    snake("acoustic_decoder.snake1", d)
+    conv("acoustic_decoder.conv2", 1, d, 7)
+    # semantic branch keys that must be dropped
+    w["semantic_model.masked_spec_embed"] = np.zeros(4, np.float32)
+    lin("fc1", 4, 4)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "higgs_audio_v2_tokenizer",
+        "sample_rate": 16000, "codebook_size": cb_size,
+        "codebook_dim": cb_dim, "downsample_factor": 8,
+        "dac_num_codebooks": n_q, "dac_encoder_ratios": [4, 2],
+        "dac_decoder_hidden": latent,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -42,6 +42,8 @@ _REGISTRY: dict[str, str] = {
     "dacvae": "tpu_audio.codecs.dacvae:DACVAE",
     "fish_s1_dac": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
     "s3tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",
+    "higgs_audio_v2_tokenizer": "tpu_audio.codecs.higgs:HiggsAudioTokenizer",
+    "higgs": "tpu_audio.codecs.higgs:HiggsAudioTokenizer",
     "s3_tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",
     "firefly": "tpu_audio.codecs.fish_s1_dac:FishS1DAC",
     "descript": "tpu_audio.codecs.dac:DescriptDAC",
