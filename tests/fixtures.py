@@ -2780,6 +2780,92 @@ def make_higgs_fixture(path: Path) -> Path:
     return path
 
 
+def make_moss_tokenizer_fixture(path: Path) -> Path:
+    """Tiny MOSS audio tokenizer: patch(4) + transformer encoder, RLFQ,
+    transformer + unpatch decoder. Weight-norm 1x1 projs."""
+    from safetensors.numpy import save_file
+
+    d, heads, layers = 8, 2, 1
+    rvq, cb_dim, cb_size, n_q = 8, 4, 16, 2
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.25)
+
+    def wn1x1(pre, o, i):
+        c[0] += 1
+        v = modulo_values((o, i, 1), 9 + c[0] % 5, 0.3)
+        g = np.sqrt((v.astype(np.float64) ** 2).sum(
+            axis=(1, 2), keepdims=True)).astype(np.float32)
+        w[f"{pre}.parametrizations.weight.original0"] = g
+        w[f"{pre}.parametrizations.weight.original1"] = v
+        w[f"{pre}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def transformer(pre, d_model, in_dim, out_dim):
+        if in_dim != d_model:
+            lin(f"{pre}.input_proj", d_model, in_dim)
+        if out_dim != d_model:
+            lin(f"{pre}.output_proj", out_dim, d_model)
+        for i in range(layers):
+            b = f"{pre}.transformer.layers.{i}"
+            lin(f"{b}.self_attn.in_projs.0", 3 * d_model, d_model)
+            lin(f"{b}.self_attn.out_projs.0", d_model, d_model)
+            for nrm in ("norm1", "norm2"):
+                w[f"{b}.{nrm}.weight"] = np.ones(d_model, np.float32)
+                w[f"{b}.{nrm}.bias"] = np.zeros(d_model, np.float32)
+            lin(f"{b}.linear1", 2 * d_model, d_model)
+            lin(f"{b}.linear2", d_model, 2 * d_model)
+            w[f"{b}.layer_scale_1.scale"] = np.full((d_model,), 0.01,
+                                                    np.float32)
+            w[f"{b}.layer_scale_2.scale"] = np.full((d_model,), 0.01,
+                                                    np.float32)
+
+    transformer("encoder.1", d, 4, rvq)  # after patch(4): 4 channels in
+    wn1x1("quantizer.input_proj", rvq, rvq)
+    wn1x1("quantizer.output_proj", rvq, rvq)
+    for i in range(n_q):
+        pre = f"quantizer.quantizers.{i}"
+        wn1x1(f"{pre}.in_proj", cb_dim, rvq)
+        wn1x1(f"{pre}.out_proj", rvq, cb_dim)
+        w[f"{pre}.codebook.weight"] = modulo_values((cb_size, cb_dim),
+                                                    17 + i, 0.5)
+    transformer("decoder.0", d, rvq, 4)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "moss_audio_tokenizer",
+        "sample_rate": 16000, "sampling_rate": 16000,
+        "downsample_rate": 4, "number_channels": 1,
+        "enable_channel_interleave": False,
+        "causal_transformer_context_duration": 0.01,
+        "encoder_kwargs": [
+            {"module_type": "PatchedPretransform", "patch_size": 4},
+            {"module_type": "Transformer", "input_dimension": 4,
+             "output_dimension": rvq, "d_model": d, "num_heads": heads,
+             "num_layers": layers, "dim_feedforward": 2 * d,
+             "causal": True, "positional_embedding": "rope",
+             "layer_scale": 0.01},
+        ],
+        "decoder_kwargs": [
+            {"module_type": "Transformer", "input_dimension": rvq,
+             "output_dimension": 4, "d_model": d, "num_heads": heads,
+             "num_layers": layers, "dim_feedforward": 2 * d,
+             "causal": True, "positional_embedding": "rope",
+             "layer_scale": 0.01},
+            {"module_type": "PatchedPretransform", "patch_size": 4},
+        ],
+        "quantizer_type": "rlfq",
+        "quantizer_kwargs": {"input_dim": rvq, "rvq_dim": rvq,
+                             "output_dim": rvq, "num_quantizers": n_q,
+                             "codebook_size": cb_size,
+                             "codebook_dim": cb_dim},
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""
