@@ -2866,6 +2866,71 @@ def make_moss_tokenizer_fixture(path: Path) -> Path:
     return path
 
 
+def make_moss_tts_fixture(path: Path) -> Path:
+    """Tiny MOSS-TTS Nano: rope GPT-2 global + local transformers, 2
+    audio codebooks, bundled audio_tokenizer dir, WordLevel tokenizer."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    d, heads, n_vq, avocab, tvocab = 16, 4, 2, 16, 64
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.25)
+        w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def gpt2(pre, layers):
+        for i in range(layers):
+            b = f"{pre}.h.{i}"
+            lin(f"{b}.attn.c_attn", 3 * d, d)
+            lin(f"{b}.attn.c_proj", d, d)
+            for nrm in ("ln_1", "ln_2"):
+                w[f"{b}.{nrm}.weight"] = np.ones(d, np.float32)
+                w[f"{b}.{nrm}.bias"] = np.zeros(d, np.float32)
+            lin(f"{b}.mlp.fc_in", 4 * d, d)
+            lin(f"{b}.mlp.fc_out", d, 4 * d)
+        w[f"{pre}.ln_f.weight"] = np.ones(d, np.float32)
+        w[f"{pre}.ln_f.bias"] = np.zeros(d, np.float32)
+
+    w["transformer.wte.weight"] = modulo_values((tvocab, d), 7, 0.3)
+    gpt2("transformer", 2)
+    gpt2("local_transformer", 1)
+    for ch in range(n_vq):
+        w[f"audio_embeddings.{ch}.weight"] = modulo_values(
+            (avocab + 1, d), 13 + ch, 0.3)  # +1 pad row
+    # alias keys sanitize must drop
+    w["text_lm_head.weight"] = modulo_values((tvocab, d), 3, 0.1)
+    w["audio_lm_heads.0.weight"] = modulo_values((avocab, d), 3, 0.1)
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "moss_tts_nano",
+        "gpt2_config": {"vocab_size": tvocab, "n_embd": d, "n_layer": 2,
+                        "n_head": heads, "n_positions": 1024,
+                        "activation_function": "gelu_new",
+                        "position_embedding_type": "rope"},
+        "local_transformer_layers": 1,
+        "n_vq": n_vq, "audio_vocab_size": avocab,
+        "audio_pad_token_id": avocab,
+        "im_start_token_id": 4, "im_end_token_id": 5,
+        "audio_start_token_id": 6, "audio_end_token_id": 7,
+        "audio_user_slot_token_id": 8, "audio_assistant_slot_token_id": 9,
+        "audio_tokenizer_sample_rate": 16000,
+    }))
+    vmap = {f"w{i}": i for i in range(tvocab)}
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    # bundled audio tokenizer (reuse the MOSS tokenizer fixture layout)
+    make_moss_tokenizer_fixture(path / "audio_tokenizer")
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
 def write_fixture_tokenizer(path: Path, vocab: int = 64) -> None:
     """Write a real tokenizer.json (WordLevel) with whisper-style special
     tokens at the top of the vocab, loadable by WhisperTokenizer.from_dir."""

@@ -12,6 +12,8 @@ _REGISTRY: dict[str, str] = {
     "kokoro": "tpu_audio.models.tts.kokoro:Kokoro",
     "soprano": "tpu_audio.models.tts.soprano:Soprano",
     "pocket_tts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
+    "moss_tts_nano": "tpu_audio.models.tts.moss_tts:MossTTSNano",
+    "mosstts": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "pockettts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
     "marvis": "tpu_audio.models.tts.csm:MarvisTTS",
