@@ -758,7 +758,7 @@ def make_qwen3_asr_fixture(path: Path) -> Path:
     from tokenizers.models import WordLevel
     from tokenizers.pre_tokenizers import Whitespace
 
-    vocab_map = {f"w{i}": i for i in range(65)}
+    vocab_map = {f"w{i}": i for i in range(66)}  # no id holes before specials
     vocab_map.update({"hello": 60, "system": 61, "user": 62, "assistant": 63})
     specials = ["<|im_start|>", "<|im_end|>", "<|audio_start|>",
                 "<|audio_end|>", "<|audio_pad|>", "<asr_text>"]
@@ -768,6 +768,34 @@ def make_qwen3_asr_fixture(path: Path) -> Path:
     tok.pre_tokenizer = Whitespace()
     tok.add_special_tokens(specials)
     tok.save(str(path / "tokenizer.json"))
+    return path
+
+
+def make_qwen3_aligner_fixture(path: Path) -> Path:
+    """Tiny Qwen3 forced-aligner checkpoint: the qwen3_asr fixture plus a
+    timestamp classification lm_head and a ``<timestamp>`` special token.
+    Detected by repo/dir name like the reference (App.swift:448-452), so the
+    caller should pass a path whose name contains ``forced-aligner``."""
+    from safetensors.numpy import load_file, save_file
+    from tokenizers import Tokenizer
+
+    path = make_qwen3_asr_fixture(path)
+    w = dict(load_file(str(path / "model.safetensors")))
+    w["lm_head.weight"] = modulo_values((40, 24), 19, 0.2)
+    save_file(w, str(path / "model.safetensors"))
+
+    tok = Tokenizer.from_file(str(path / "tokenizer.json"))
+    tok.add_special_tokens(["<timestamp>"])
+    tok.save(str(path / "tokenizer.json"))
+    # derive the id from a reload: it must be stable across save/load
+    ts_id = Tokenizer.from_file(
+        str(path / "tokenizer.json")).token_to_id("<timestamp>")
+    assert ts_id == 72, ts_id
+
+    cfg = json.loads((path / "config.json").read_text())
+    cfg.update(classify_num=40, timestamp_token_id=ts_id,
+               timestamp_segment_time=80.0)
+    (path / "config.json").write_text(json.dumps(cfg))
     return path
 
 

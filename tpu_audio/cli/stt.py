@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--format", default="txt", choices=["txt", "srt", "json"])
     parser.add_argument("--stream", action="store_true", help="stream per-chunk text")
+    parser.add_argument("--text", default=None,
+                        help="alignment text (required for forced aligner models)")
     parser.add_argument("--output", default=None, help="write result to file")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -45,7 +47,27 @@ def main(argv=None):
         temperature=args.temperature, verbose=args.verbose,
     )
 
-    if args.stream and hasattr(model, "encode_single_window"):
+    if getattr(model, "is_forced_aligner", False):
+        # forced aligner: (audio, --text) -> word timestamps
+        # (reference App.swift:317-340)
+        if args.stream:
+            parser.error("--stream is not supported for forced aligner models")
+        if not args.text:
+            parser.error("--text is required when using a forced aligner model")
+        from tpu_audio.core.generation import STTOutput, STTSegment
+
+        aligned = model.generate(audio, text=args.text,
+                                 language=args.language or "English")
+        output = STTOutput(
+            text=aligned.text,
+            segments=[STTSegment(text=i.text, start=i.start_time,
+                                 end=i.end_time) for i in aligned.items],
+            language=args.language,
+            prompt_token_count=aligned.prompt_tokens,
+            total_time=aligned.total_time,
+            generation_time=aligned.total_time,
+        )
+    elif args.stream and hasattr(model, "encode_single_window"):
         # live session with provisional/confirmed promotion
         from tpu_audio.core.generation import STTOutput
         from tpu_audio.models.stt.streaming import (

@@ -28,6 +28,7 @@ _REGISTRY: dict[str, str] = {
     "lasr_ctc": "tpu_audio.models.stt.lasr:LasrCTC",
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
+    "qwen3_forced_aligner": "tpu_audio.models.stt.qwen3_aligner:Qwen3ForcedAligner",
 }
 
 
@@ -39,7 +40,12 @@ def load_model(repo_or_path: str, **kwargs):
     """Load any supported STT model from a local dir or HF repo id."""
     model_dir = hub.resolve_or_download_model(repo_or_path)
     cfg = hub.load_config(model_dir)
-    model_type = hub.resolve_model_type(cfg, str(repo_or_path))
+    # forced-aligner checkpoints share the qwen3_asr config; like the
+    # reference they are detected by repo name (App.swift:448-452)
+    if "forcedalign" in str(repo_or_path).lower().replace("-", "").replace("_", ""):
+        model_type = "qwen3_forced_aligner"
+    else:
+        model_type = hub.resolve_model_type(cfg, str(repo_or_path))
     if model_type is None or model_type not in _REGISTRY:
         # repo-name inference fallback (reference MLXAudioSTT.swift:51-85)
         name = str(repo_or_path).lower()

@@ -63,6 +63,10 @@ class Qwen3ASRConfig:
     audio_token_id: int = 151646
     support_languages: list = field(default_factory=list)
     quantization: dict | None = None
+    # forced-aligner head (Qwen3ForcedAligner.swift:336-358)
+    classify_num: int = 5000
+    timestamp_token_id: int = 151705
+    timestamp_segment_time: float = 80.0
 
     @classmethod
     def from_dict(cls, d: dict) -> "Qwen3ASRConfig":
@@ -74,6 +78,9 @@ class Qwen3ASRConfig:
             audio_token_id=d.get("audio_token_id", 151646),
             support_languages=d.get("support_languages") or [],
             quantization=d.get("quantization"),
+            classify_num=d.get("classify_num", 5000),
+            timestamp_token_id=d.get("timestamp_token_id", 151705),
+            timestamp_segment_time=d.get("timestamp_segment_time", 80.0),
         )
 
 
