@@ -799,6 +799,140 @@ def make_qwen3_aligner_fixture(path: Path) -> Path:
     return path
 
 
+def serialize_sp_model(pieces, model_type: int = 1) -> bytes:
+    """Hand-serialize a SentencePiece ModelProto: repeated pieces (field 1:
+    piece=1 str, score=2 float32, type=3 enum) + TrainerSpec.model_type
+    (field 2 -> field 3). Assumes all lengths < 128 (tiny fixtures)."""
+    import struct
+
+    out = b""
+    for tok, score, ty in pieces:
+        tb = tok.encode("utf-8")
+        body = bytes([0x0A, len(tb)]) + tb
+        body += bytes([0x15]) + struct.pack("<f", score)
+        body += bytes([0x18, ty])
+        out += bytes([0x0A, len(body)]) + body
+    ts = bytes([0x18, model_type])
+    out += bytes([0x12, len(ts)]) + ts
+    return out
+
+
+def make_cohere_fixture(path: Path) -> Path:
+    """Tiny CohereTranscribe checkpoint with NeMo-style keys (exercises the
+    full sanitize mapping) + a hand-serialized sentencepiece tokenizer.model
+    and special tokens in tokenizer_config.json."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    D, CH, MELS, H, INNER, VOCAB = 16, 4, 16, 16, 32, 64
+    cfg = {
+        "model_type": "cohere_asr",
+        "sample_rate": 16000,
+        "max_audio_clip_s": 30,
+        "head": {"num_classes": VOCAB},
+        "encoder": {
+            "d_model": D, "ff_expansion_factor": 2, "n_heads": 2,
+            "conv_kernel_size": 5, "n_layers": 1, "pos_emb_max_len": 64,
+            "subsampling_conv_channels": CH, "subsampling_factor": 8,
+            "feat_in": MELS,
+        },
+        "transf_decoder": {"config_dict": {
+            "hidden_size": H, "inner_size": INNER,
+            "num_attention_heads": 2, "num_layers": 1,
+            "max_sequence_length": 64,
+        }},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name):
+        w[f"{name}.weight"] = np.ones((D,), np.float32)
+        w[f"{name}.bias"] = np.zeros((D,), np.float32)
+
+    # subsampling (torch conv2d layouts, NeMo flat-index keys)
+    pre = "encoder.pre_encode"
+    w[f"{pre}.conv.0.weight"] = modulo_values((CH, 1, 3, 3), 7, 0.2)
+    w[f"{pre}.conv.0.bias"] = modulo_values((CH,), 3, 0.01)
+    w[f"{pre}.conv.2.weight"] = modulo_values((CH, 1, 3, 3), 9, 0.2)
+    w[f"{pre}.conv.2.bias"] = modulo_values((CH,), 4, 0.01)
+    w[f"{pre}.conv.3.weight"] = modulo_values((CH, CH, 1, 1), 11, 0.2)
+    w[f"{pre}.conv.3.bias"] = modulo_values((CH,), 5, 0.01)
+    w[f"{pre}.conv.5.weight"] = modulo_values((CH, 1, 3, 3), 13, 0.2)
+    w[f"{pre}.conv.5.bias"] = modulo_values((CH,), 6, 0.01)
+    w[f"{pre}.conv.6.weight"] = modulo_values((CH, CH, 1, 1), 15, 0.2)
+    w[f"{pre}.conv.6.bias"] = modulo_values((CH,), 7, 0.01)
+    lin(f"{pre}.out", D, CH * (MELS // 8))
+
+    base = "encoder.layers.0"
+    for nm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+               "norm_feed_forward2", "norm_out"):
+        ln(f"{base}.{nm}")
+    for ff in ("feed_forward1", "feed_forward2"):
+        lin(f"{base}.{ff}.linear1", D * 2, D)
+        lin(f"{base}.{ff}.linear2", D, D * 2)
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        lin(f"{base}.self_attn.{proj}", D, D)
+    lin(f"{base}.self_attn.linear_pos", D, D, bias=False)
+    w[f"{base}.self_attn.pos_bias_u"] = modulo_values((2, D // 2), 7, 0.05)
+    w[f"{base}.self_attn.pos_bias_v"] = modulo_values((2, D // 2), 9, 0.05)
+    w[f"{base}.conv.pointwise_conv1.weight"] = modulo_values((D * 2, D, 1), 8, 0.15)
+    w[f"{base}.conv.pointwise_conv1.bias"] = modulo_values((D * 2,), 3, 0.01)
+    w[f"{base}.conv.depthwise_conv.weight"] = modulo_values((D, 1, 5), 10, 0.15)
+    w[f"{base}.conv.depthwise_conv.bias"] = modulo_values((D,), 4, 0.01)
+    w[f"{base}.conv.batch_norm.weight"] = np.ones((D,), np.float32)
+    w[f"{base}.conv.batch_norm.bias"] = np.zeros((D,), np.float32)
+    w[f"{base}.conv.batch_norm.running_mean"] = np.zeros((D,), np.float32)
+    w[f"{base}.conv.batch_norm.running_var"] = np.ones((D,), np.float32)
+    w[f"{base}.conv.batch_norm.num_batches_tracked"] = np.zeros((), np.int64)
+    w[f"{base}.conv.pointwise_conv2.weight"] = modulo_values((D, D, 1), 12, 0.15)
+    w[f"{base}.conv.pointwise_conv2.bias"] = modulo_values((D,), 5, 0.01)
+
+    # decoder (NeMo underscore-prefixed module names)
+    w["transf_decoder._embedding.token_embedding.weight"] = \
+        modulo_values((VOCAB, H), 13, 0.3)
+    w["transf_decoder._embedding.layer_norm.weight"] = np.ones((H,), np.float32)
+    w["transf_decoder._embedding.layer_norm.bias"] = np.zeros((H,), np.float32)
+    dbase = "transf_decoder._decoder.layers.0"
+    for nm in ("layer_norm_1", "layer_norm_2", "layer_norm_3"):
+        w[f"{dbase}.{nm}.weight"] = np.ones((H,), np.float32)
+        w[f"{dbase}.{nm}.bias"] = np.zeros((H,), np.float32)
+    for sub in ("first_sub_layer", "second_sub_layer"):
+        for proj in ("query_net", "key_net", "value_net", "out_projection"):
+            lin(f"{dbase}.{sub}.{proj}", H, H)
+    lin(f"{dbase}.third_sub_layer.dense_in", INNER, H)
+    lin(f"{dbase}.third_sub_layer.dense_out", H, INNER)
+    w["transf_decoder._decoder.final_layer_norm.weight"] = np.ones((H,), np.float32)
+    w["transf_decoder._decoder.final_layer_norm.bias"] = np.zeros((H,), np.float32)
+    lin("log_softmax.mlp.layer0", VOCAB, H)
+    save_file(w, str(path / "model.safetensors"))
+
+    # sentencepiece vocab: ids 0..39; specials 40..50 via tokenizer_config
+    pieces = [("<unk>", 0.0, 2)]
+    pieces += [(f"▁w{i}", -float(i), 1) for i in range(1, 20)]
+    pieces += [(ch, -25.0, 1) for ch in "abcdefghij"]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(10)]
+    (path / "tokenizer.model").write_bytes(serialize_sp_model(pieces))
+    specials = ["<|startofcontext|>", "<|startoftranscript|>",
+                "<|emo:undefined|>", "<|en|>", "<|pnc|>", "<|nopnc|>",
+                "<|noitn|>", "<|notimestamp|>", "<|timestamp|>",
+                "<|nodiarize|>", "<|endoftext|>"]
+    (path / "tokenizer_config.json").write_text(json.dumps({
+        "added_tokens_decoder": {
+            str(40 + i): {"content": s} for i, s in enumerate(specials)
+        }
+    }))
+    return path
+
+
 def make_kokoro_fixture(path: Path) -> Path:
     """Tiny Kokoro (StyleTTS2) checkpoint in the MLX-ish layout the sanitizer
     expects: conv weights [O,K,I], transpose convs [I,K,O], weight-norm pairs

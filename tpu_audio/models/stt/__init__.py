@@ -29,6 +29,8 @@ _REGISTRY: dict[str, str] = {
     "sensevoice": "tpu_audio.models.stt.sensevoice:SenseVoice",
     "moonshine": "tpu_audio.models.stt.moonshine:Moonshine",
     "qwen3_forced_aligner": "tpu_audio.models.stt.qwen3_aligner:Qwen3ForcedAligner",
+    "cohere_asr": "tpu_audio.models.stt.cohere:CohereTranscribe",
+    "cohere": "tpu_audio.models.stt.cohere:CohereTranscribe",
 }
 
 
