@@ -933,6 +933,138 @@ def make_cohere_fixture(path: Path) -> Path:
     return path
 
 
+def make_granite_fixture(path: Path) -> Path:
+    """Tiny GraniteSpeech: block-attention conformer + QFormer + Granite LM."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    ED, HD, NH = 12, 6, 2          # encoder hidden, dim_head, heads
+    PD, TH, VOCAB = 12, 16, 96     # projector hidden, text hidden, vocab
+    CS = 8                          # context_size
+    cfg = {
+        "model_type": "granite_speech",
+        "audio_token_index": 90,
+        "downsample_rate": 5,
+        "window_size": 15,
+        "encoder_config": {
+            "input_dim": 160, "num_layers": 2, "hidden_dim": ED,
+            "feedforward_mult": 2, "num_heads": NH, "dim_head": HD,
+            "output_dim": 10, "context_size": CS, "max_pos_emb": 16,
+            "conv_kernel_size": 4, "conv_expansion_factor": 2,
+        },
+        "projector_config": {
+            "hidden_size": PD, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 24,
+            "layer_norm_eps": 1e-12, "encoder_hidden_size": ED,
+        },
+        "text_config": {
+            "hidden_size": TH, "num_hidden_layers": 2,
+            "intermediate_size": 32, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "vocab_size": VOCAB,
+            "rope_theta": 10000.0, "rms_norm_eps": 1e-5,
+            "tie_word_embeddings": True,
+            "attention_multiplier": 0.125, "embedding_multiplier": 12.0,
+            "residual_multiplier": 0.22, "logits_scaling": 8.0,
+        },
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.12)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+        w[f"{name}.bias"] = np.zeros((d,), np.float32)
+
+    inner_attn = NH * HD
+    inner_conv = ED * 2
+    lin("encoder.input_linear", ED, 160)
+    for i in range(2):
+        b = f"encoder.layers.{i}"
+        for ff in ("ff1", "ff2"):
+            ln(f"{b}.{ff}.pre_norm", ED)
+            lin(f"{b}.{ff}.up_proj", ED * 2, ED)
+            lin(f"{b}.{ff}.down_proj", ED, ED * 2)
+        ln(f"{b}.attn.pre_norm", ED)
+        lin(f"{b}.attn.to_q", inner_attn, ED, bias=False)
+        lin(f"{b}.attn.to_kv", inner_attn * 2, ED, bias=False)
+        lin(f"{b}.attn.to_out", ED, inner_attn)
+        w[f"{b}.attn.rel_pos_emb.weight"] = modulo_values((33, HD), 9, 0.05)
+        ln(f"{b}.conv.norm", ED)
+        w[f"{b}.conv.up_conv.weight"] = modulo_values(
+            (inner_conv * 2, ED, 1), 8, 0.12)
+        w[f"{b}.conv.up_conv.bias"] = modulo_values((inner_conv * 2,), 3, 0.01)
+        w[f"{b}.conv.depth_conv.conv.weight"] = modulo_values(
+            (inner_conv, 1, 4), 10, 0.12)
+        w[f"{b}.conv.batch_norm.weight"] = np.ones((inner_conv,), np.float32)
+        w[f"{b}.conv.batch_norm.bias"] = np.zeros((inner_conv,), np.float32)
+        w[f"{b}.conv.batch_norm.running_mean"] = np.zeros(
+            (inner_conv,), np.float32)
+        w[f"{b}.conv.batch_norm.running_var"] = np.ones(
+            (inner_conv,), np.float32)
+        w[f"{b}.conv.down_conv.weight"] = modulo_values((ED, inner_conv, 1),
+                                                        12, 0.12)
+        w[f"{b}.conv.down_conv.bias"] = modulo_values((ED,), 5, 0.01)
+        ln(f"{b}.post_norm", ED)
+    lin("encoder.out", 10, ED)
+    lin("encoder.out_mid", ED, 10)
+
+    w["projector.query"] = modulo_values((1, 3, PD), 7, 0.1)
+    ln("projector.qformer.layernorm", PD)
+    b = "projector.qformer.encoder.layer.0"
+    for attn, kvd in (("attention", PD), ("crossattention", ED)):
+        lin(f"{b}.{attn}.attention.query", PD, PD)
+        lin(f"{b}.{attn}.attention.key", PD, kvd)
+        lin(f"{b}.{attn}.attention.value", PD, kvd)
+        lin(f"{b}.{attn}.output.dense", PD, PD)
+        ln(f"{b}.{attn}.output.LayerNorm", PD)
+    lin(f"{b}.intermediate_query.dense", 24, PD)
+    lin(f"{b}.output_query.dense", PD, 24)
+    ln(f"{b}.output_query.LayerNorm", PD)
+    lin("projector.linear", TH, PD)
+
+    hd = TH // 2
+    w["language_model.model.embed_tokens.weight"] = modulo_values(
+        (VOCAB, TH), 13, 0.3)
+    w["language_model.model.norm.weight"] = np.ones((TH,), np.float32)
+    for i in range(2):
+        b = f"language_model.model.layers.{i}"
+        w[f"{b}.input_layernorm.weight"] = np.ones((TH,), np.float32)
+        w[f"{b}.post_attention_layernorm.weight"] = np.ones((TH,), np.float32)
+        lin(f"{b}.self_attn.q_proj", TH, TH, bias=False)
+        lin(f"{b}.self_attn.k_proj", TH, TH, bias=False)
+        lin(f"{b}.self_attn.v_proj", TH, TH, bias=False)
+        lin(f"{b}.self_attn.o_proj", TH, TH, bias=False)
+        lin(f"{b}.mlp.gate_proj", 32, TH, bias=False)
+        lin(f"{b}.mlp.up_proj", 32, TH, bias=False)
+        lin(f"{b}.mlp.down_proj", TH, 32, bias=False)
+    save_file(w, str(path / "model.safetensors"))
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab_map = {f"w{i}": i for i in range(85)}
+    specials = ["<|start_of_role|>", "<|end_of_role|>", "<|end_of_text|>",
+                "user", "assistant", "<|audio|>"]
+    for j, s in enumerate(specials):
+        vocab_map[s] = 85 + j  # <|audio|> -> 90
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    (path / "tokenizer_config.json").write_text(json.dumps(
+        {"eos_token": "<|end_of_text|>"}))
+    return path
+
+
 def make_kokoro_fixture(path: Path) -> Path:
     """Tiny Kokoro (StyleTTS2) checkpoint in the MLX-ish layout the sanitizer
     expects: conv weights [O,K,I], transpose convs [I,K,O], weight-norm pairs

@@ -37,6 +37,12 @@ class LlamaConfig:
     qk_norm: bool = False  # Qwen3-style per-head q/k RMSNorm
     rope_interleaved: bool = False  # "traditional"/NeoX pairing (GLM)
     max_position_embeddings: int = 8192
+    # Granite-style scale knobs (GraniteSpeech.swift:536-668); the defaults
+    # are exact no-ops for every other Llama-family model
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
+    attention_multiplier: float | None = None  # sdpa scale override
+    logits_scaling: float = 1.0
 
     @property
     def resolved_head_dim(self) -> int:
@@ -79,6 +85,8 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
     else:
         b, t = tokens.shape
         x = nn.embedding(p["embed_tokens"], tokens)
+    if cfg.embedding_multiplier != 1.0:
+        x = x * cfg.embedding_multiplier
     offset = cache.offset if cache is not None else 0
     positions = offset + jnp.arange(t)
     cos, sin = _rope_tables(cfg, positions)
@@ -102,18 +110,20 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         k = nn.apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
         if cache is not None:
             cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
-            o = nn.sdpa(q, k_full, v_full, mask=mask)
+            o = nn.sdpa(q, k_full, v_full, mask=mask,
+                        scale=cfg.attention_multiplier)
         else:
-            o = nn.sdpa(q, k, v, is_causal=True)
+            o = nn.sdpa(q, k, v, is_causal=True,
+                        scale=cfg.attention_multiplier)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
-        x = x + nn.linear(ap["o_proj"], o)
+        x = x + nn.linear(ap["o_proj"], o) * cfg.residual_multiplier
 
         h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         mp = lp["mlp"]
         x = x + nn.linear(
             mp["down_proj"],
             nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h),
-        )
+        ) * cfg.residual_multiplier
 
     x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
     if cache is not None:
@@ -124,6 +134,8 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         logits = nn.linear(params["lm_head"], x)
     else:
         logits = nn.embedding_as_linear(p["embed_tokens"], x)
+    if cfg.logits_scaling != 1.0:
+        logits = logits / cfg.logits_scaling
     return logits, cache
 
 

@@ -31,6 +31,8 @@ _REGISTRY: dict[str, str] = {
     "qwen3_forced_aligner": "tpu_audio.models.stt.qwen3_aligner:Qwen3ForcedAligner",
     "cohere_asr": "tpu_audio.models.stt.cohere:CohereTranscribe",
     "cohere": "tpu_audio.models.stt.cohere:CohereTranscribe",
+    "granite_speech": "tpu_audio.models.stt.granite:GraniteSpeech",
+    "granitespeech": "tpu_audio.models.stt.granite:GraniteSpeech",
 }
 
 
