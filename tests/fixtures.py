@@ -1065,6 +1065,94 @@ def make_granite_fixture(path: Path) -> Path:
     return path
 
 
+def make_voxtral_fixture(path: Path) -> Path:
+    """Tiny VoxtralRealtime checkpoint with raw Mistral-style keys
+    (exercises the sanitize renames) and a tekken.json tokenizer."""
+    import base64
+
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    ED, EH, EHD, EFF, MELS = 8, 2, 4, 16, 16
+    DD, DH, DKV, DHD, DFF, VOCAB = 12, 2, 1, 6, 24, 64
+    cfg = {
+        "model_type": "voxtral_realtime",
+        "encoder_args": {
+            "dim": ED, "n_layers": 1, "n_heads": EH, "head_dim": EHD,
+            "hidden_dim": EFF, "n_kv_heads": EH, "rope_theta": 10000.0,
+            "sliding_window": 64, "downsample_factor": 4,
+            "audio_encoding_args": {"num_mel_bins": MELS,
+                                    "global_log_mel_max": 1.5},
+        },
+        "decoder": {
+            "dim": DD, "n_layers": 1, "n_heads": DH, "n_kv_heads": DKV,
+            "head_dim": DHD, "hidden_dim": DFF, "vocab_size": VOCAB,
+            "rope_theta": 10000.0, "sliding_window": 32,
+            "ada_rms_norm_t_cond": True, "ada_rms_norm_t_cond_dim": 4,
+        },
+        "transcription_delay_ms": 80,
+        "bos_token_id": 1, "eos_token_id": 2,
+        "streaming_pad_token_id": 3, "n_left_pad_tokens": 1,
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.12)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    enc = "mm_streams_embeddings.embedding_module.whisper_encoder"
+    w[f"{enc}.conv_layers.0.conv.weight"] = modulo_values((ED, MELS, 3), 7, 0.15)
+    w[f"{enc}.conv_layers.0.conv.bias"] = modulo_values((ED,), 3, 0.01)
+    w[f"{enc}.conv_layers.1.conv.weight"] = modulo_values((ED, ED, 3), 9, 0.15)
+    w[f"{enc}.conv_layers.1.conv.bias"] = modulo_values((ED,), 4, 0.01)
+    b = f"{enc}.transformer.layers.0"
+    w[f"{b}.attention_norm.weight"] = np.ones((ED,), np.float32)
+    lin(f"{b}.attention.wq", EH * EHD, ED, bias=True)
+    lin(f"{b}.attention.wk", EH * EHD, ED)
+    lin(f"{b}.attention.wv", EH * EHD, ED, bias=True)
+    lin(f"{b}.attention.wo", ED, EH * EHD, bias=True)
+    w[f"{b}.ffn_norm.weight"] = np.ones((ED,), np.float32)
+    lin(f"{b}.feed_forward.w1", EFF, ED)
+    lin(f"{b}.feed_forward.w3", EFF, ED)
+    lin(f"{b}.feed_forward.w2", ED, EFF, bias=True)
+    w[f"{enc}.transformer.norm.weight"] = np.ones((ED,), np.float32)
+    adapter = "mm_streams_embeddings.embedding_module"
+    lin(f"{adapter}.audio_language_projection.0", DD, ED * 4)
+    lin(f"{adapter}.audio_language_projection.2", DD, DD)
+    w[f"{adapter}.tok_embeddings.weight"] = modulo_values((VOCAB, DD), 13, 0.3)
+
+    b = "layers.0"
+    w[f"{b}.attention_norm.weight"] = np.ones((DD,), np.float32)
+    lin(f"{b}.attention.wq", DH * DHD, DD)
+    lin(f"{b}.attention.wk", DKV * DHD, DD)
+    lin(f"{b}.attention.wv", DKV * DHD, DD)
+    lin(f"{b}.attention.wo", DD, DH * DHD)
+    w[f"{b}.ffn_norm.weight"] = np.ones((DD,), np.float32)
+    lin(f"{b}.ada_rms_norm_t_cond.0", 4, DD)
+    lin(f"{b}.ada_rms_norm_t_cond.2", DD, 4)
+    lin(f"{b}.feed_forward.w1", DFF, DD)
+    lin(f"{b}.feed_forward.w3", DFF, DD)
+    lin(f"{b}.feed_forward.w2", DD, DFF)
+    w["norm.weight"] = np.ones((DD,), np.float32)
+    save_file(w, str(path / "model.safetensors"))
+
+    n_special = 10
+    vocab = [{"token_bytes": base64.b64encode(
+        f" w{i}".encode()).decode()} for i in range(VOCAB - n_special)]
+    (path / "tekken.json").write_text(json.dumps({
+        "config": {"default_num_special_tokens": n_special},
+        "vocab": vocab,
+        "special_tokens": [{"rank": i} for i in range(n_special)],
+    }))
+    return path
+
+
 def make_kokoro_fixture(path: Path) -> Path:
     """Tiny Kokoro (StyleTTS2) checkpoint in the MLX-ish layout the sanitizer
     expects: conv weights [O,K,I], transpose convs [I,K,O], weight-norm pairs

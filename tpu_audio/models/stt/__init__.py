@@ -33,6 +33,8 @@ _REGISTRY: dict[str, str] = {
     "cohere": "tpu_audio.models.stt.cohere:CohereTranscribe",
     "granite_speech": "tpu_audio.models.stt.granite:GraniteSpeech",
     "granitespeech": "tpu_audio.models.stt.granite:GraniteSpeech",
+    "voxtral_realtime": "tpu_audio.models.stt.voxtral:VoxtralRealtime",
+    "voxtral": "tpu_audio.models.stt.voxtral:VoxtralRealtime",
 }
 
 
