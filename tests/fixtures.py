@@ -3357,3 +3357,110 @@ class FakeWhisperTokenizer:
 
     def decode(self, tokens):
         return " ".join(f"t{t}" for t in tokens if t < self.sot - 7)
+
+
+def make_moss_diarize_fixture(path: Path) -> Path:
+    """Tiny MOSS-Transcribe-Diarize checkpoint: whisper encoder + VQ adaptor
+    (written in raw HF layout to exercise sanitize, including the
+    ``vq_adwaptor`` typo path) + Qwen3 LM + digit-token tokenizer."""
+    import json
+
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    MELS, AD, AH, AFFN = 16, 16, 2, 32
+    TH, THEADS, TKV, TFFN, VOCAB = 24, 2, 1, 48, 100
+    cfg = {
+        "model_type": "moss_transcribe_diarize",
+        "audio_token_id": 94,
+        "audio_merge_size": 4,
+        "tie_word_embeddings": True,
+        "sample_rate": 16000,
+        "audio_config": {
+            "num_mel_bins": MELS, "d_model": AD, "encoder_layers": 1,
+            "encoder_attention_heads": AH, "encoder_ffn_dim": AFFN,
+            "max_source_positions": 1500,
+        },
+        "text_config": {
+            "hidden_size": TH, "num_hidden_layers": 2,
+            "intermediate_size": TFFN, "num_attention_heads": THEADS,
+            "num_key_value_heads": TKV, "vocab_size": VOCAB,
+            "rope_theta": 10000.0, "rms_norm_eps": 1e-6,
+        },
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+    (path / "processor_config.json").write_text(json.dumps({
+        "audio_tokens_per_second": 12.5,
+        "time_marker_every_seconds": 5,
+        "enable_time_marker": True,
+    }))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    enc = "model.whisper_encoder"
+    w[f"{enc}.conv1.weight"] = modulo_values((AD, MELS, 3), 9, 0.2)
+    w[f"{enc}.conv1.bias"] = modulo_values((AD,), 3, 0.01)
+    w[f"{enc}.conv2.weight"] = modulo_values((AD, AD, 3), 10, 0.2)
+    w[f"{enc}.conv2.bias"] = modulo_values((AD,), 3, 0.01)
+    w[f"{enc}.embed_positions.weight"] = modulo_values((1500, AD), 7, 0.05)
+    w[f"{enc}.layer_norm.weight"] = np.ones((AD,), np.float32)
+    w[f"{enc}.layer_norm.bias"] = np.zeros((AD,), np.float32)
+    base = f"{enc}.layers.0"
+    for proj in ("q_proj", "v_proj", "out_proj"):
+        lin(f"{base}.self_attn.{proj}", AD, AD)
+    lin(f"{base}.self_attn.k_proj", AD, AD, bias=False)
+    for nrm in ("self_attn_layer_norm", "final_layer_norm"):
+        w[f"{base}.{nrm}.weight"] = np.ones((AD,), np.float32)
+        w[f"{base}.{nrm}.bias"] = np.zeros((AD,), np.float32)
+    lin(f"{base}.fc1", AFFN, AD)
+    lin(f"{base}.fc2", AD, AFFN)
+
+    # VQ adaptor, with the checkpoint's "vq_adwaptor" typo
+    lin("model.vq_adwaptor.layers.0", TH, AD * 4)
+    lin("model.vq_adwaptor.layers.2", TH, TH)
+    w["model.vq_adwaptor.layers.3.weight"] = np.ones((TH,), np.float32)
+    w["model.vq_adwaptor.layers.3.bias"] = np.zeros((TH,), np.float32)
+
+    lm = "model.language_model"
+    hd = TH // THEADS
+    w[f"{lm}.embed_tokens.weight"] = modulo_values((VOCAB, TH), 13, 0.3)
+    w[f"{lm}.norm.weight"] = np.ones((TH,), np.float32)
+    for i in range(2):
+        base = f"{lm}.layers.{i}"
+        w[f"{base}.input_layernorm.weight"] = np.ones((TH,), np.float32)
+        w[f"{base}.post_attention_layernorm.weight"] = np.ones((TH,),
+                                                               np.float32)
+        lin(f"{base}.self_attn.q_proj", THEADS * hd, TH, bias=False)
+        lin(f"{base}.self_attn.k_proj", TKV * hd, TH, bias=False)
+        lin(f"{base}.self_attn.v_proj", TKV * hd, TH, bias=False)
+        lin(f"{base}.self_attn.o_proj", TH, THEADS * hd, bias=False)
+        w[f"{base}.self_attn.q_norm.weight"] = np.ones((hd,), np.float32)
+        w[f"{base}.self_attn.k_norm.weight"] = np.ones((hd,), np.float32)
+        lin(f"{base}.mlp.gate_proj", TFFN, TH, bias=False)
+        lin(f"{base}.mlp.up_proj", TFFN, TH, bias=False)
+        lin(f"{base}.mlp.down_proj", TH, TFFN, bias=False)
+    save_file(w, str(path / "model.safetensors"))
+
+    vocab_map = {f"w{i}": i for i in range(80)}
+    for d in range(10):
+        vocab_map[str(d)] = 80 + d
+    specials = ["<|im_start|>", "<|im_end|>", "<|audio_start|>",
+                "<|audio_end|>", "<|audio_pad|>"]
+    for j, s in enumerate(specials):
+        vocab_map[s] = 90 + j  # audio_pad -> 94
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    return path

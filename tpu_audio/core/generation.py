@@ -141,6 +141,8 @@ class STTSegment:
     start: float
     end: float
     tokens: list[int] = field(default_factory=list)
+    # diarizing models (MossTranscribeDiarize) attach a speaker label
+    speaker: str | None = None
 
 
 @dataclass

@@ -35,6 +35,10 @@ _REGISTRY: dict[str, str] = {
     "granitespeech": "tpu_audio.models.stt.granite:GraniteSpeech",
     "voxtral_realtime": "tpu_audio.models.stt.voxtral:VoxtralRealtime",
     "voxtral": "tpu_audio.models.stt.voxtral:VoxtralRealtime",
+    "moss_transcribe_diarize": (
+        "tpu_audio.models.stt.moss_diarize:MossTranscribeDiarize"),
+    "mosstranscribediarize": (
+        "tpu_audio.models.stt.moss_diarize:MossTranscribeDiarize"),
 }
 
 
