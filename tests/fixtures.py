@@ -3464,3 +3464,86 @@ def make_moss_diarize_fixture(path: Path) -> Path:
     tok.add_special_tokens(specials)
     tok.save(str(path / "tokenizer.json"))
     return path
+
+
+def make_fish_speech_fixture(path: Path) -> Path:
+    """Tiny FishSpeech checkpoint: the fish_s1 codec fixture plus a dual-AR
+    LM (slow 2-layer + fast 1-layer) in raw HF layout (text_model.model.* /
+    audio_decoder.*) and a merged config.json."""
+    import json
+
+    from safetensors.numpy import load_file, save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    path = make_fish_s1_fixture(path)
+    w = dict(load_file(str(path / "model.safetensors")))
+
+    D, HEADS, KV, HD, FFN, VOCAB = 16, 2, 1, 8, 32, 128
+    FAST_VOCAB, K = 32, 3  # 1 semantic + 2 residual codebooks
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[name + ".weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+
+    w["text_model.model.embeddings.weight"] = modulo_values((VOCAB, D), 13, 0.3)
+    w["text_model.model.codebook_embeddings.weight"] = modulo_values(
+        (FAST_VOCAB * K, D), 15, 0.3)
+    w["text_model.model.norm.weight"] = np.ones((D,), np.float32)
+    for i in range(2):
+        base = f"text_model.model.layers.{i}"
+        lin(f"{base}.attention.wqkv", (HEADS + 2 * KV) * HD, D)
+        lin(f"{base}.attention.wo", D, HEADS * HD)
+        w[f"{base}.attention.q_norm.weight"] = np.ones((HD,), np.float32)
+        w[f"{base}.attention.k_norm.weight"] = np.ones((HD,), np.float32)
+        w[f"{base}.attention_norm.weight"] = np.ones((D,), np.float32)
+        w[f"{base}.ffn_norm.weight"] = np.ones((D,), np.float32)
+        lin(f"{base}.feed_forward.w1", FFN, D)
+        lin(f"{base}.feed_forward.w2", D, FFN)
+        lin(f"{base}.feed_forward.w3", FFN, D)
+    # fast decoder (audio_decoder.*, no qk_norm, same dim -> no project_in)
+    w["audio_decoder.embeddings.weight"] = modulo_values((FAST_VOCAB, D), 19, 0.3)
+    w["audio_decoder.norm.weight"] = np.ones((D,), np.float32)
+    lin("audio_decoder.output", FAST_VOCAB, D)
+    base = "audio_decoder.layers.0"
+    lin(f"{base}.attention.wqkv", (HEADS + 2 * HEADS) * HD, D)
+    lin(f"{base}.attention.wo", D, HEADS * HD)
+    w[f"{base}.attention_norm.weight"] = np.ones((D,), np.float32)
+    w[f"{base}.ffn_norm.weight"] = np.ones((D,), np.float32)
+    lin(f"{base}.feed_forward.w1", FFN, D)
+    lin(f"{base}.feed_forward.w2", D, FFN)
+    lin(f"{base}.feed_forward.w3", FFN, D)
+    save_file(w, str(path / "model.safetensors"))
+
+    codec_cfg = json.loads((path / "config.json").read_text())
+    codec_cfg.update({
+        "model_type": "fish_speech",
+        "pad_token_id": 1, "eos_token_id": 61,
+        "semantic_start_token_id": 64, "semantic_end_token_id": 95,
+        "text_config": {
+            "vocab_size": VOCAB, "n_layer": 2, "n_head": HEADS,
+            "dim": D, "intermediate_size": FFN, "n_local_heads": KV,
+            "head_dim": HD, "rope_base": 10000.0, "norm_eps": 1e-6,
+            "attention_qk_norm": True,
+        },
+        "audio_decoder_config": {
+            "vocab_size": FAST_VOCAB, "n_layer": 1, "n_head": HEADS,
+            "dim": D, "intermediate_size": FFN, "n_local_heads": HEADS,
+            "head_dim": HD, "rope_base": 10000.0, "norm_eps": 1e-6,
+            "attention_qk_norm": False, "num_codebooks": K, "text_dim": D,
+        },
+    })
+    (path / "config.json").write_text(json.dumps(codec_cfg))
+
+    vocab_map = {f"w{i}": i for i in range(60)}
+    vocab_map.update({"hello": 50, "world": 51, "speech": 52})
+    specials = ["<|im_start|>", "<|im_end|>", "<|voice|>", "<|speaker:0|>"]
+    for j, s in enumerate(specials):
+        vocab_map[s] = 60 + j  # im_end -> 61
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    return path

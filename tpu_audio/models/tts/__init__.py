@@ -15,6 +15,9 @@ _REGISTRY: dict[str, str] = {
     "moss_tts_nano": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "mosstts": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "pockettts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
+    "fish_speech": "tpu_audio.models.tts.fish_speech:FishSpeech",
+    "fishspeech": "tpu_audio.models.tts.fish_speech:FishSpeech",
+    "fishaudio": "tpu_audio.models.tts.fish_speech:FishSpeech",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
     "marvis": "tpu_audio.models.tts.csm:MarvisTTS",
     # repo-name fallbacks
