@@ -3547,3 +3547,224 @@ def make_fish_speech_fixture(path: Path) -> Path:
     tok.add_special_tokens(specials)
     tok.save(str(path / "tokenizer.json"))
     return path
+
+
+def make_indextts_fixture(path: Path) -> Path:
+    """Tiny IndexTTS checkpoint in RAW torch layout (num_batches_tracked
+    markers, GPT-2 Conv1D [in,out] weights, weight-normed BigVGAN,
+    SpeechBrain-style speaker encoder keys) to exercise the full sanitize."""
+    import json
+    import struct
+
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    D, HEADS = 16, 2                      # gpt
+    CD, CH_HEADS, CFF = 16, 2, 32         # conformer (output dim = D)
+    MELS = 8                              # conformer + vocoder mels
+    N_LAT, P_HD = 4, 64                   # perceiver latents / head dim
+    N_TEXT, N_MEL = 30, 12
+    SPK, VCH = 4, 8                       # speaker dim, vocoder channels
+
+    cfg = {
+        "model_type": "indextts",
+        "sample_rate": 24000,
+        "gpt": {
+            "model_dim": D, "heads": HEADS, "layers": 1,
+            "max_mel_tokens": 32, "max_text_tokens": 32,
+            "number_text_tokens": N_TEXT, "number_mel_codes": N_MEL,
+            "start_mel_token": 10, "stop_mel_token": 11,
+            "start_text_token": 0, "stop_text_token": 1,
+            "use_mel_codes_as_input": True, "mel_length_compression": 256,
+            "condition_type": "conformer_perceiver",
+            "condition_num_latent": N_LAT,
+            "condition_module": {
+                "input_size": MELS, "output_size": CD, "num_blocks": 1,
+                "linear_units": CFF, "attention_heads": CH_HEADS,
+                "pos_enc_layer_type": "rel_pos", "input_layer": "conv2d",
+                "cnn_module_kernel": 3, "perceiver_mult": 2,
+            },
+        },
+        "bigvgan": {
+            "num_mels": MELS, "upsample_rates": [2],
+            "upsample_kernel_sizes": [4], "upsample_initial_channel": VCH,
+            "resblock": "1", "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "activation": "snakebeta", "snake_logscale": True,
+            "gpt_dim": D, "speaker_embedding_dim": SPK,
+            "cond_d_vector_in_each_upsampling_layer": True,
+        },
+        "speaker_encoder": {
+            "channels": 8, "attention_channels": 4, "se_channels": 4,
+            "res2net_scale": 4,
+        },
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name, ch):
+        w[f"{name}.weight"] = np.ones((ch,), np.float32)
+        w[f"{name}.bias"] = np.zeros((ch,), np.float32)
+
+    # conformer conditioning encoder (raw torch: embed.conv.0 / .2)
+    ce = "conditioning_encoder"
+    c[0] += 1
+    w[f"{ce}.embed.conv.0.weight"] = modulo_values((CD, 1, 3, 3), 9, 0.2)
+    w[f"{ce}.embed.conv.0.bias"] = modulo_values((CD,), 3, 0.01)
+    out_freq = (MELS - 3 + 2) // 2
+    lin(f"{ce}.embed.out.0", CD, CD * out_freq)
+    b0 = f"{ce}.encoders.0"
+    for nm in ("norm_mha", "norm_conv", "norm_ff", "norm_final"):
+        ln(f"{b0}.{nm}", CD)
+    sa = f"{b0}.self_attn"
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        lin(f"{sa}.{proj}", CD, CD)
+    lin(f"{sa}.linear_pos", CD, CD, bias=False)
+    w[f"{sa}.pos_bias_u"] = modulo_values((CH_HEADS, CD // CH_HEADS), 7, 0.1)
+    w[f"{sa}.pos_bias_v"] = modulo_values((CH_HEADS, CD // CH_HEADS), 9, 0.1)
+    cm = f"{b0}.conv_module"
+    lin(f"{cm}.pointwise_conv1", CD * 2, CD)
+    w[f"{cm}.pointwise_conv1.weight"] = w.pop(
+        f"{cm}.pointwise_conv1.weight")[..., None]  # conv1d k=1
+    c[0] += 1
+    w[f"{cm}.depthwise_conv.weight"] = modulo_values((CD, 1, 3), 13, 0.2)
+    w[f"{cm}.depthwise_conv.bias"] = modulo_values((CD,), 3, 0.01)
+    ln(f"{cm}.norm", CD)
+    lin(f"{cm}.pointwise_conv2", CD, CD)
+    w[f"{cm}.pointwise_conv2.weight"] = w.pop(
+        f"{cm}.pointwise_conv2.weight")[..., None]
+    lin(f"{b0}.feed_forward.w_1", CFF, CD)
+    lin(f"{b0}.feed_forward.w_2", CD, CFF)
+    ln(f"{ce}.after_norm", CD)
+
+    # perceiver (raw names: layers.N.0.to_q / .1.0)
+    pe = "perceiver_encoder"
+    w[f"{pe}.latents"] = modulo_values((N_LAT, D), 15, 0.3)
+    dff = (D * 2 * 2) // 3
+    for i in range(2):
+        lin(f"{pe}.layers.{i}.0.to_q", P_HD * CH_HEADS, D, bias=False)
+        lin(f"{pe}.layers.{i}.0.to_kv", P_HD * CH_HEADS * 2, D, bias=False)
+        lin(f"{pe}.layers.{i}.0.to_out", D, P_HD * CH_HEADS, bias=False)
+        lin(f"{pe}.layers.{i}.1.0", dff * 2, D)
+        lin(f"{pe}.layers.{i}.1.2", D, dff)
+    w[f"{pe}.norm.gamma"] = np.ones((D,), np.float32)
+    w[f"{pe}.norm.beta"] = np.zeros((D,), np.float32)
+
+    # GPT core
+    w["text_embedding.weight"] = modulo_values((N_TEXT + 1, D), 17, 0.3)
+    w["mel_embedding.weight"] = modulo_values((N_MEL, D), 19, 0.3)
+    w["text_pos_embedding.emb.weight"] = modulo_values((34, D), 21, 0.1)
+    w["mel_pos_embedding.emb.weight"] = modulo_values((64, D), 23, 0.1)
+    lin("text_head", N_TEXT + 1, D)
+    lin("mel_head", N_MEL, D)
+    ln("final_norm", D)
+    g0 = "gpt.h.0"
+    ln(f"{g0}.ln_1", D)
+    ln(f"{g0}.ln_2", D)
+    ln("gpt.ln_f", D)
+    # raw GPT-2 Conv1D stores [in, out]
+    c[0] += 1
+    w[f"{g0}.attn.c_attn.weight"] = modulo_values((D, 3 * D), 25, 0.2)
+    w[f"{g0}.attn.c_attn.bias"] = modulo_values((3 * D,), 5, 0.01)
+    w[f"{g0}.attn.c_proj.weight"] = modulo_values((D, D), 27, 0.2)
+    w[f"{g0}.attn.c_proj.bias"] = modulo_values((D,), 5, 0.01)
+    w[f"{g0}.mlp.c_fc.weight"] = modulo_values((D, 4 * D), 29, 0.2)
+    w[f"{g0}.mlp.c_fc.bias"] = modulo_values((4 * D,), 5, 0.01)
+    w[f"{g0}.mlp.c_proj.weight"] = modulo_values((4 * D, D), 31, 0.2)
+    w[f"{g0}.mlp.c_proj.bias"] = modulo_values((D,), 5, 0.01)
+
+    # BigVGAN vocoder (weight-normed, "bigvgan." prefix)
+    def wn_conv(pre, o, i, k, seed):
+        v = modulo_values((o, i, k), seed)
+        g = np.linalg.norm(v.reshape(o, -1), axis=1).reshape(
+            o, 1, 1).astype(np.float32)
+        w[f"{pre}.weight_g"] = g
+        w[f"{pre}.weight_v"] = v
+        w[f"{pre}.bias"] = modulo_values((o,), 5)
+
+    def wn_convt(pre, i, o, k, seed):
+        v = modulo_values((i, o, k), seed)
+        g = np.linalg.norm(v.reshape(i, -1), axis=1).reshape(
+            i, 1, 1).astype(np.float32)
+        w[f"{pre}.weight_g"] = g
+        w[f"{pre}.weight_v"] = v
+        w[f"{pre}.bias"] = modulo_values((o,), 7)
+
+    bv = "bigvgan"
+    wn_conv(f"{bv}.conv_pre", VCH, D, 7, 11)
+    c[0] += 1
+    w[f"{bv}.cond_layer.weight"] = modulo_values((VCH, SPK, 1), 33, 0.2)
+    w[f"{bv}.cond_layer.bias"] = modulo_values((VCH,), 5, 0.01)
+    wn_convt(f"{bv}.ups.0.0", VCH, VCH // 2, 4, 13)
+    w[f"{bv}.conds.0.weight"] = modulo_values((VCH // 2, SPK, 1), 35, 0.2)
+    w[f"{bv}.conds.0.bias"] = modulo_values((VCH // 2,), 5, 0.01)
+    rb = f"{bv}.resblocks.0"
+    for i in range(2):
+        wn_conv(f"{rb}.convs1.{i}", VCH // 2, VCH // 2, 3, 17 + i)
+        wn_conv(f"{rb}.convs2.{i}", VCH // 2, VCH // 2, 3, 19 + i)
+        for j in (2 * i, 2 * i + 1):
+            w[f"{rb}.activations.{j}.act.alpha"] = modulo_values(
+                (1, VCH // 2, 1), 23 + j, 0.1)
+            w[f"{rb}.activations.{j}.act.beta"] = modulo_values(
+                (1, VCH // 2, 1), 29 + j, 0.1)
+    w[f"{bv}.activation_post.act.alpha"] = modulo_values((1, VCH // 2, 1),
+                                                         31, 0.1)
+    w[f"{bv}.activation_post.act.beta"] = modulo_values((1, VCH // 2, 1),
+                                                        37, 0.1)
+    wn_conv(f"{bv}.conv_post", 1, VCH // 2, 7, 37)
+
+    # speaker encoder (SpeechBrain keys, torch conv layout [O, I, K])
+    def sconv(name, o, i, k, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i, k), 9 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def sbn(name, ch):
+        w[f"{name}.weight"] = np.ones((ch,), np.float32)
+        w[f"{name}.bias"] = np.zeros((ch,), np.float32)
+        w[f"{name}.running_mean"] = np.zeros((ch,), np.float32)
+        w[f"{name}.running_var"] = np.ones((ch,), np.float32)
+        w[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    def stdnn(prefix, o, i, k):
+        sconv(f"{prefix}.conv.conv", o, i, k)
+        sbn(f"{prefix}.norm.norm", o)
+
+    SCH, SCALE, SATT = 8, 4, 4
+    se = f"{bv}.speaker_encoder"
+    stdnn(f"{se}.blocks.0", SCH, MELS, 5)
+    hidden = SCH // SCALE
+    for b in (1, 2, 3):
+        base = f"{se}.blocks.{b}"
+        stdnn(f"{base}.tdnn1", SCH, SCH, 1)
+        for i in range(SCALE - 1):
+            stdnn(f"{base}.res2net_block.blocks.{i}", hidden, hidden, 3)
+        stdnn(f"{base}.tdnn2", SCH, SCH, 1)
+        sconv(f"{base}.se_block.conv1.conv", SATT, SCH, 1)
+        sconv(f"{base}.se_block.conv2.conv", SCH, SATT, 1)
+    stdnn(f"{se}.mfa", SCH * 3, SCH * 3, 1)
+    stdnn(f"{se}.asp.tdnn", SATT, SCH * 9, 1)
+    sconv(f"{se}.asp.conv", SCH * 3, SATT, 1)
+    sbn(f"{se}.asp_bn.norm", SCH * 6)
+    sconv(f"{se}.fc.conv", SPK, SCH * 6, 1)
+
+    save_file(w, str(path / "model.safetensors"))
+
+    # sentencepiece tokenizer (uppercase pieces: IndexTTS uppercases text)
+    pieces = [("<unk>", 0.0, 2)]
+    pieces += [(f"▁W{i}", -float(i), 1) for i in range(1, 10)]
+    pieces += [("▁HELLO", -1.0, 1), ("▁WORLD", -1.5, 1)]
+    pieces += [(ch, -25.0, 1) for ch in "ABCDEFGHIJ"]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(8)]
+    (path / "tokenizer.model").write_bytes(serialize_sp_model(pieces))
+    return path

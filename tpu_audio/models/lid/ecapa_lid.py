@@ -37,6 +37,9 @@ class EcapaConfig:
     res2net_scale: int = 8
     se_channels: int = 128
     global_context: bool = False
+    # IndexTTS's speaker encoder pads convs with reflect instead of zeros
+    # (IndexTTSBigVGAN.swift:127 reflectPadding: true)
+    reflect_padding: bool = False
     num_classes: int = 107
     classifier_hidden_dim: int = 512
     id2label: dict = field(default_factory=dict)
@@ -51,22 +54,25 @@ class EcapaConfig:
         return cls(**kw)
 
 
-def _tdnn(p, x, kernel: int, dilation: int = 1):
+def _tdnn(p, x, kernel: int, dilation: int = 1, reflect: bool = False):
     pad = (kernel - 1) * dilation // 2
+    if reflect and pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        pad = 0
     y = jax.nn.relu(nn.conv1d(p["conv"], x, padding=pad, dilation=dilation))
     return nn.batch_norm(p["norm"], y)
 
 
 def _se_res2net(p, x, cfg: EcapaConfig, kernel: int, dilation: int):
     residual = x
-    out = _tdnn(p["tdnn1"], x, 1)
+    out = _tdnn(p["tdnn1"], x, 1)  # kernel 1: padding mode irrelevant
     # Res2Net: hierarchical splits (Res2NetBlock)
     chunks = jnp.split(out, cfg.res2net_scale, axis=-1)
     outs = [chunks[0]]
     for i in range(cfg.res2net_scale - 1):
         inp = chunks[i + 1] if i == 0 else chunks[i + 1] + outs[-1]
         outs.append(_tdnn(p["res2net_block"]["blocks"][str(i)], inp, kernel,
-                          dilation))
+                          dilation, reflect=cfg.reflect_padding))
     out = jnp.concatenate(outs, axis=-1)
     out = _tdnn(p["tdnn2"], out, 1)
     # SE
@@ -78,14 +84,16 @@ def _se_res2net(p, x, cfg: EcapaConfig, kernel: int, dilation: int):
 
 def ecapa_backbone_forward(p, x, cfg: EcapaConfig):
     """mel [B, T, n_mels] -> embeddings [B, embed_dim]."""
-    out = _tdnn(p["block0"], x, cfg.kernel_sizes[0], cfg.dilations[0])
+    out = _tdnn(p["block0"], x, cfg.kernel_sizes[0], cfg.dilations[0],
+                reflect=cfg.reflect_padding)
     feats = []
     for i in (1, 2, 3):
         out = _se_res2net(p[f"block{i}"], out, cfg, cfg.kernel_sizes[i],
                           cfg.dilations[i])
         feats.append(out)
     out = jnp.concatenate(feats, axis=-1)
-    out = _tdnn(p["mfa"], out, cfg.kernel_sizes[4], cfg.dilations[4])
+    out = _tdnn(p["mfa"], out, cfg.kernel_sizes[4], cfg.dilations[4],
+                reflect=cfg.reflect_padding)
     # attentive statistics pooling
     ap = p["asp"]
     if cfg.global_context:
