@@ -3768,3 +3768,36 @@ def make_indextts_fixture(path: Path) -> Path:
     pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(8)]
     (path / "tokenizer.model").write_bytes(serialize_sp_model(pieces))
     return path
+
+
+def make_kitten_fixture(path: Path) -> Path:
+    """Tiny KittenTTS: the Kokoro fixture nets with kitten-style config,
+    ``.alphaN.i`` list keys (exercising the rename), and a single
+    voices.safetensors of named style matrices."""
+    import json
+
+    from safetensors.numpy import load_file, save_file
+
+    path = make_kokoro_fixture(path)
+    w = {}
+    for k, v in load_file(str(path / "model.safetensors")).items():
+        k = k.replace(".alpha1_", ".alpha1.").replace(".alpha2_", ".alpha2.")
+        w[k] = v
+    save_file(w, str(path / "model.safetensors"))
+
+    cfg = json.loads((path / "config.json").read_text())
+    cfg.update({
+        "model_type": "kitten_tts",
+        "max_conv_dim": 32, "n_mels": 80, "decoder_out_dim": 16,
+        "voices_path": "voices.npz",
+        "speed_priors": {"expr-voice-5-m": 1.25},
+        "voice_aliases": {"voice-5": "expr-voice-5-m"},
+    })
+    del cfg["vocab"]
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    save_file({
+        "expr-voice-5-m": modulo_values((8, 16), 29, 0.5),
+        "expr-voice-2-f": modulo_values((8, 16), 31, 0.5),
+    }, str(path / "voices.safetensors"))
+    return path

@@ -33,9 +33,11 @@ __all__ = [
 ]
 
 
-def load_safetensors(model_dir: str | Path) -> dict[str, np.ndarray]:
+def load_safetensors(model_dir: str | Path,
+                     exclude_files: tuple[str, ...] = ()) -> dict[str, np.ndarray]:
     """Load and merge all safetensors shards in a directory (honors
-    ``model.safetensors.index.json`` when present)."""
+    ``model.safetensors.index.json`` when present). ``exclude_files`` skips
+    auxiliary archives (e.g. KittenTTS voices.safetensors)."""
     from safetensors import safe_open
 
     model_dir = Path(model_dir)
@@ -45,7 +47,8 @@ def load_safetensors(model_dir: str | Path) -> dict[str, np.ndarray]:
             weight_map = json.load(f)["weight_map"]
         files = sorted({model_dir / v for v in weight_map.values()})
     else:
-        files = sorted(model_dir.glob("*.safetensors"))
+        files = sorted(f for f in model_dir.glob("*.safetensors")
+                       if f.name not in exclude_files)
     if not files:
         raise FileNotFoundError(f"no *.safetensors found in {model_dir}")
     out: dict[str, np.ndarray] = {}
@@ -121,6 +124,7 @@ def load_params(
     sanitize: Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]] | None = None,
     dtype=None,
     expected_prefixes: tuple[str, ...] = (),
+    exclude_files: tuple[str, ...] = (),
 ) -> dict:
     """Full loading path: shards -> sanitize -> unflatten -> device arrays.
 
@@ -128,7 +132,7 @@ def load_params(
     packed quantized tensors (uint32) and their scales/biases pass through and
     are consumed by ``quant.quantized_matmul``.
     """
-    flat = load_safetensors(model_dir)
+    flat = load_safetensors(model_dir, exclude_files)
     if sanitize is not None:
         flat = sanitize(flat)
     params = unflatten(flat)

@@ -10,6 +10,8 @@ _REGISTRY: dict[str, str] = {
     "qwen3": "tpu_audio.models.tts.qwen3_vyvo:VyvoTTS",
     "qwen3_tts": "tpu_audio.models.tts.qwen3_tts:Qwen3TTS",
     "kokoro": "tpu_audio.models.tts.kokoro:Kokoro",
+    "kitten_tts": "tpu_audio.models.tts.kitten_tts:KittenTTS",
+    "kittentts": "tpu_audio.models.tts.kitten_tts:KittenTTS",
     "soprano": "tpu_audio.models.tts.soprano:Soprano",
     "pocket_tts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
     "moss_tts_nano": "tpu_audio.models.tts.moss_tts:MossTTSNano",

@@ -317,9 +317,12 @@ def _unwrap(p):
     return jnp.concatenate([p[:, :1], p[:, 1:] + jnp.cumsum(correct, axis=1)], axis=1)
 
 
-def generator_forward(p, x, s, f0, cfg: ISTFTNetConfig, sample_rate: int, rng):
+def generator_forward(p, x, s, f0, cfg: ISTFTNetConfig, sample_rate: int, rng,
+                      phase_unwrap: bool = True):
     """x [B, T, C], style, f0 [B, T_f0] -> waveform [B, T_samples]
-    (KokoroGenerator)."""
+    (KokoroGenerator). KittenTTS reuses this with ``phase_unwrap=False``
+    (KittenGenerator uses sin(h) as the phase directly,
+    KittenTTSISTFTNet.swift:102-104)."""
     total_up = int(np.prod(cfg.upsample_rates)) * cfg.gen_istft_hop_size
     n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
     win = dsp.hanning_window(n_fft, periodic=True)
@@ -362,13 +365,17 @@ def generator_forward(p, x, s, f0, cfg: ISTFTNetConfig, sample_rate: int, rng):
     h = nn.conv1d(p["conv_post"], h, padding=3)  # [B, F, n_fft+2]
     mag = jnp.exp(h[..., : n_fft // 2 + 1])
     phase = jnp.sin(h[..., n_fft // 2 + 1:])
-    phase_cont = _unwrap(phase[0].T[None])[0].T  # unwrap along frames
-    spec = mag[0] * jnp.exp(1j * phase_cont)
+    if phase_unwrap:
+        phase = _unwrap(phase[0].T[None])[0].T  # unwrap along frames
+        spec = mag[0] * jnp.exp(1j * phase)
+    else:
+        spec = mag[0] * jnp.exp(1j * phase[0])
     wav = dsp.istft(spec, win, n_fft, hop)
     return wav[None]
 
 
-def decoder_forward(p, asr, f0, n, style, cfg: KokoroConfig, rng):
+def decoder_forward(p, asr, f0, n, style, cfg: KokoroConfig, rng,
+                    phase_unwrap: bool = True):
     """asr [B, T, C], f0/n [B, 2T] -> audio [B, samples] (KokoroDecoder)."""
     f0_down = nn.conv1d(p["F0_conv"], f0[..., None], stride=2, padding=1)
     n_down = nn.conv1d(p["N_conv"], n[..., None], stride=2, padding=1)
@@ -384,7 +391,7 @@ def decoder_forward(p, asr, f0, n, style, cfg: KokoroConfig, rng):
         if upsample:
             res = False
     return generator_forward(p["generator"], x, style, f0, cfg.istftnet,
-                             cfg.sample_rate, rng)
+                             cfg.sample_rate, rng, phase_unwrap=phase_unwrap)
 
 
 # ---------------------------------------------------------------------------
