@@ -3801,3 +3801,219 @@ def make_kitten_fixture(path: Path) -> Path:
         "expr-voice-2-f": modulo_values((8, 16), 31, 0.5),
     }, str(path / "voices.safetensors"))
     return path
+
+
+def make_s3gen_fixture(path: Path, estimator: str = "dit") -> Path:
+    """Tiny S3Gen token2wav: flow.safetensors (conformer + DiT or U-Net
+    estimator) + hift.safetensors (raw torch key names, exercising
+    sanitize_hift) + campplus.safetensors."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    D, HEADS, FF, V, M, SPK = 8, 2, 16, 32, 4, 6
+    c = [0]
+
+    def lin(w, name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def conv(w, name, o, i, k, bias=True):  # torch [O, I, K]
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i, k), 9 + c[0] % 5, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def ln(w, name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+        w[f"{name}.bias"] = np.zeros((d,), np.float32)
+
+    # ---- flow ----
+    fw = {}
+    fw["input_embedding.weight"] = modulo_values((V, D), 13, 0.3)
+    lin(fw, "spk_embed_affine_layer", M, SPK)
+    lin(fw, "encoder_proj", M, D)
+    enc = "encoder"
+    for emb in ("embed", "up_embed"):
+        lin(fw, f"{enc}.{emb}.linear", D, D)
+        ln(fw, f"{enc}.{emb}.norm", D)
+    conv(fw, f"{enc}.pre_lookahead_layer.conv1", D, D, 4)
+    conv(fw, f"{enc}.pre_lookahead_layer.conv2", D, D, 3)
+    conv(fw, f"{enc}.up_layer.conv", D, D, 5)
+    ln(fw, f"{enc}.after_norm", D)
+    for group in ("encoders", "up_encoders"):
+        base = f"{enc}.{group}.0"
+        ln(fw, f"{base}.norm_mha", D)
+        ln(fw, f"{base}.norm_ff", D)
+        sa = f"{base}.self_attn"
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            lin(fw, f"{sa}.{proj}", D, D)
+        lin(fw, f"{sa}.linear_pos", D, D, bias=False)
+        fw[f"{sa}.pos_bias_u"] = modulo_values((HEADS, D // HEADS), 7, 0.1)
+        fw[f"{sa}.pos_bias_v"] = modulo_values((HEADS, D // HEADS), 9, 0.1)
+        lin(fw, f"{base}.feed_forward.w_1", FF, D)
+        lin(fw, f"{base}.feed_forward.w_2", D, FF)
+
+    est = "decoder.estimator"
+    if estimator == "dit":
+        HID, HD = 8, 4
+        # raw sequential names exercising sanitize_flow
+        lin(fw, f"{est}.t_embedder.mlp.0", HID, 256)
+        lin(fw, f"{est}.t_embedder.mlp.2", HID, HID)
+        lin(fw, f"{est}.in_proj", HID, 4 * M)
+        b0 = f"{est}.blocks.0"
+        lin(fw, f"{b0}.adaLN_modulation.1", 9 * HID, HID)
+        for proj in ("to_q", "to_k", "to_v"):
+            lin(fw, f"{b0}.attn.{proj}", HEADS * HD, HID)
+        ln(fw, f"{b0}.attn.q_norm", HD)
+        ln(fw, f"{b0}.attn.k_norm", HD)
+        lin(fw, f"{b0}.attn.proj", HID, HEADS * HD)
+        conv(fw, f"{b0}.conv.block.1", HID, HID, 3)
+        ln(fw, f"{b0}.conv.block.3", HID)
+        conv(fw, f"{b0}.conv.block.6", HID, HID, 3)
+        lin(fw, f"{b0}.mlp.fc1", 4 * HID, HID)
+        lin(fw, f"{b0}.mlp.fc2", HID, 4 * HID)
+        lin(fw, f"{est}.final_layer.adaLN_modulation.1", 2 * HID, HID)
+        lin(fw, f"{est}.final_layer.linear", M, HID)
+        fw["decoder.rand_noise"] = modulo_values((1, M, 512), 21, 1.0)
+    else:  # unet
+        CH = 8  # channels[0]
+        TE = CH * 4
+        IN = 4 * M  # x + mu + spks + cond
+        lin(fw, f"{est}.time_mlp.linear_1", TE, IN)
+        lin(fw, f"{est}.time_mlp.linear_2", TE, TE)
+        lin(fw, f"{est}.time_embed_mixer", TE, TE * 2, bias=False)
+
+        def resnet(name, din, dout):
+            conv(fw, f"{name}.block1.block.0.conv.conv", dout, din, 3)
+            ln(fw, f"{name}.block1.block.1", dout)
+            conv(fw, f"{name}.block2.block.0.conv.conv", dout, dout, 3)
+            ln(fw, f"{name}.block2.block.1", dout)
+            lin(fw, f"{name}.mlp.0", dout, TE)
+            conv(fw, f"{name}.res_conv.conv", dout, din, 1)
+
+        def tblock(name, dim):
+            ln(fw, f"{name}.norm1", dim)
+            for proj in ("to_q", "to_k", "to_v"):
+                lin(fw, f"{name}.attn1.{proj}", 8 * 2, dim, bias=False)
+            lin(fw, f"{name}.attn1.to_out.0", dim, 8 * 2)
+            ln(fw, f"{name}.norm3", dim)
+            lin(fw, f"{name}.ff.net.0.proj", dim * 4, dim)
+            lin(fw, f"{name}.ff.net.1", dim, dim * 4)
+
+        d0 = f"{est}.down_blocks.0"
+        resnet(f"{d0}.resnet", IN, CH)
+        tblock(f"{d0}.transformer_blocks.0", CH)
+        conv(fw, f"{d0}.downsample.conv.conv", CH, CH, 3)  # isLast: causal
+        m0 = f"{est}.mid_blocks.0"
+        resnet(f"{m0}.resnet", CH, CH)
+        tblock(f"{m0}.transformer_blocks.0", CH)
+        u0 = f"{est}.up_blocks.0"
+        resnet(f"{u0}.resnet", CH * 2, CH)
+        tblock(f"{u0}.transformer_blocks.0", CH)
+        conv(fw, f"{u0}.upsample.conv.conv", CH, CH, 3)  # isLast: causal
+        conv(fw, f"{est}.final_block.block.0.conv.conv", CH, CH, 3)
+        ln(fw, f"{est}.final_block.block.1", CH)
+        conv(fw, f"{est}.final_proj.conv", M, CH, 1)
+        fw["decoder.rand_noise"] = modulo_values((1, M, 512), 21, 1.0)
+    save_file(fw, str(path / "flow.safetensors"))
+
+    # ---- hift (raw torch names, no .conv nesting) ----
+    hw = {}
+    BASE = 8
+    conv(hw, "f0_predictor.condnet.0", BASE, M, 3)
+    for i in range(1, 5):
+        conv(hw, f"f0_predictor.condnet.{i}", BASE, BASE, 3)
+    lin(hw, "f0_predictor.classifier", 1, BASE)
+    lin(hw, "m_source.l_linear", 1, 3)  # harmonics+1 = 3
+    conv(hw, "conv_pre", BASE, M, 7)
+    # ups: torch ConvTranspose [I, O, K]
+    c[0] += 1
+    hw["ups.0.weight"] = modulo_values((BASE, BASE // 2, 4), 15, 0.2)
+    hw["ups.0.bias"] = modulo_values((BASE // 2,), 3, 0.01)
+    hw["ups.1.weight"] = modulo_values((BASE // 2, BASE // 4, 4), 17, 0.2)
+    hw["ups.1.bias"] = modulo_values((BASE // 4,), 3, 0.01)
+    NF2 = 8 + 2  # n_fft + 2
+    conv(hw, "source_downs.0", BASE // 2, NF2, 4)
+    conv(hw, "source_downs.1", BASE // 4, NF2, 1)
+
+    def hifi_res(name, ch, k, dils):
+        for i in range(len(dils)):
+            hw[f"{name}.activations1.{i}.alpha"] = np.ones((ch,), np.float32)
+            hw[f"{name}.activations2.{i}.alpha"] = np.ones((ch,), np.float32)
+            conv(hw, f"{name}.convs1.{i}", ch, ch, k)
+            conv(hw, f"{name}.convs2.{i}", ch, ch, k)
+
+    hifi_res("source_resblocks.0", BASE // 2, 3, (1, 3))
+    hifi_res("source_resblocks.1", BASE // 4, 3, (1, 3))
+    hifi_res("resblocks.0", BASE // 2, 3, (1, 3))
+    hifi_res("resblocks.1", BASE // 4, 3, (1, 3))
+    conv(hw, "conv_post", NF2, BASE // 4, 7)
+    save_file(hw, str(path / "hift.safetensors"))
+
+    # ---- campplus (tiny: 2 dense blocks of (2,3,1)/(2,3,2)) ----
+    cw = {}
+    MC = 4  # m_channels; feat_dim 8 -> FCM out = MC * 1 = 4
+    GROWTH, BN_CH, INIT = 4, 8, 8
+
+    def bn(name, ch):
+        cw[f"{name}.weight"] = np.ones((ch,), np.float32)
+        cw[f"{name}.bias"] = np.zeros((ch,), np.float32)
+        cw[f"{name}.running_mean"] = np.zeros((ch,), np.float32)
+        cw[f"{name}.running_var"] = np.ones((ch,), np.float32)
+
+    def conv2d(name, o, i, bias=False):
+        c[0] += 1
+        cw[f"{name}.weight"] = modulo_values((o, i, 3, 3), 9 + c[0] % 5, 0.2)
+
+    conv2d("head.conv1", MC, 1)
+    bn("head.bn1", MC)
+    for layer in ("layer1", "layer2"):
+        for i, stride in ((0, 2), (1, 1)):
+            base = f"head.{layer}.{i}"
+            conv2d(f"{base}.conv1", MC, MC)
+            bn(f"{base}.bn1", MC)
+            conv2d(f"{base}.conv2", MC, MC)
+            bn(f"{base}.bn2", MC)
+            if stride != 1:
+                c[0] += 1
+                cw[f"{base}.shortcut.0.weight"] = modulo_values(
+                    (MC, MC, 1, 1), 9 + c[0] % 5, 0.2)
+                bn(f"{base}.shortcut.1", MC)
+    conv2d("head.conv2", MC, MC)
+    bn("head.bn2", MC)
+    conv(cw, "tdnn.linear", INIT, MC, 5, bias=False)
+    bn("tdnn.nonlinear.0", INIT)
+    ch = INIT
+    for bi, (n_layers, kernel, dil) in enumerate(((2, 3, 1), (2, 3, 2))):
+        for li in range(n_layers):
+            base = f"blocks.{bi}.layers.{li}"
+            lin_ch = ch + li * GROWTH
+            bn(f"{base}.nonlinear1.0", lin_ch)
+            conv(cw, f"{base}.linear1", BN_CH, lin_ch, 1, bias=False)
+            bn(f"{base}.nonlinear2.0", BN_CH)
+            cl = f"{base}.cam_layer"
+            conv(cw, f"{cl}.linear_local", GROWTH, BN_CH, kernel,
+                 bias=False)
+            conv(cw, f"{cl}.linear1", BN_CH // 2, BN_CH, 1)
+            conv(cw, f"{cl}.linear2", GROWTH, BN_CH // 2, 1)
+            bn(f"{cl}.bn1", BN_CH // 2)
+            bn(f"{cl}.bn2", GROWTH)
+        block_out = ch + n_layers * GROWTH
+        bn(f"transits.{bi}.nonlinear.0", block_out)
+        conv(cw, f"transits.{bi}.linear", block_out // 2, block_out, 1)
+        ch = block_out // 2
+    bn("out_nonlinear.0", ch)
+    conv(cw, "dense.linear", SPK, ch * 2, 1, bias=False)
+    bn("dense.nonlinear.0", SPK)
+    save_file(cw, str(path / "campplus.safetensors"))
+
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "s3gen", "estimator": estimator,
+        "n_mels": M, "vocab_size": V, "spk_dim": SPK,
+    }))
+    return path

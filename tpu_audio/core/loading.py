@@ -24,6 +24,7 @@ import numpy as np
 
 __all__ = [
     "load_safetensors",
+    "load_safetensors_file",
     "unflatten",
     "flatten",
     "tree_get",
@@ -56,6 +57,18 @@ def load_safetensors(model_dir: str | Path,
         with safe_open(str(fp), framework="numpy") as f:
             for k in f.keys():
                 out[k] = f.get_tensor(k)
+    return out
+
+
+def load_safetensors_file(path: str | Path) -> dict[str, np.ndarray]:
+    """Load a single safetensors file (e.g. the split flow.safetensors /
+    hift.safetensors archives of Step-Audio-2 token2wav)."""
+    from safetensors import safe_open
+
+    out: dict[str, np.ndarray] = {}
+    with safe_open(str(path), framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
     return out
 
 
