@@ -4017,3 +4017,130 @@ def make_s3gen_fixture(path: Path, estimator: str = "dit") -> Path:
         "n_mels": M, "vocab_size": V, "spk_dim": SPK,
     }))
     return path
+
+
+def make_chatterbox_fixture(path: Path) -> Path:
+    """Tiny Chatterbox (Regular/Llama variant): VE + T3 + the tiny unet
+    S3Gen stack in one model.safetensors (s3gen.flow.* keys exercising the
+    prefix routing), plus conds.safetensors default voice + tokenizer."""
+    import json
+
+    from safetensors.numpy import load_file, save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    path = Path(path)
+    s3dir = path / "_s3gen_src"
+    make_s3gen_fixture(s3dir, "unet")
+
+    w = {}
+    for k, v in load_file(str(s3dir / "flow.safetensors")).items():
+        w[f"s3gen.flow.{k}"] = v
+    for k, v in load_file(str(s3dir / "hift.safetensors")).items():
+        w[f"s3gen.mel2wav.{k}"] = v
+    for k, v in load_file(str(s3dir / "campplus.safetensors")).items():
+        w[f"s3gen.speaker_encoder.{k}"] = v
+
+    D, HEADS, KV, HD, FFN = 16, 2, 2, 8, 32
+    TVOC, SVOC, SPKR = 40, 20, 8
+    c = [0]
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    # voice encoder (MLX lstm.layers.N naming, exercising _sanitize_ve)
+    for i, inp in enumerate((40, 8, 8)):
+        c[0] += 1
+        w[f"ve.lstm.layers.{i}.Wx"] = modulo_values((32, inp), 13 + i, 0.2)
+        w[f"ve.lstm.layers.{i}.Wh"] = modulo_values((32, 8), 17 + i, 0.2)
+        w[f"ve.lstm.layers.{i}.bias"] = modulo_values((32,), 5, 0.01)
+    lin("ve.proj", SPKR, 8)
+
+    # T3: llama backbone (tfmr.model.* exercising the strip)
+    w["t3.tfmr.model.embed_tokens.weight"] = modulo_values((50, D), 19, 0.3)
+    w["t3.tfmr.model.norm.weight"] = np.ones((D,), np.float32)
+    w["t3.tfmr.lm_head.weight"] = modulo_values((50, D), 21, 0.3)  # dropped
+    base = "t3.tfmr.model.layers.0"
+    w[f"{base}.input_layernorm.weight"] = np.ones((D,), np.float32)
+    w[f"{base}.post_attention_layernorm.weight"] = np.ones((D,), np.float32)
+    lin(f"{base}.self_attn.q_proj", HEADS * HD, D, bias=False)
+    lin(f"{base}.self_attn.k_proj", KV * HD, D, bias=False)
+    lin(f"{base}.self_attn.v_proj", KV * HD, D, bias=False)
+    lin(f"{base}.self_attn.o_proj", D, HEADS * HD, bias=False)
+    lin(f"{base}.mlp.gate_proj", FFN, D, bias=False)
+    lin(f"{base}.mlp.up_proj", FFN, D, bias=False)
+    lin(f"{base}.mlp.down_proj", D, FFN, bias=False)
+    w["t3.text_emb.weight"] = modulo_values((TVOC, D), 23, 0.3)
+    w["t3.speech_emb.weight"] = modulo_values((SVOC, D), 25, 0.3)
+    w["t3.text_pos_emb.emb.weight"] = modulo_values((34, D), 27, 0.1)
+    w["t3.speech_pos_emb.emb.weight"] = modulo_values((36, D), 29, 0.1)
+    lin("t3.text_head", TVOC, D, bias=False)
+    lin("t3.speech_head", SVOC, D, bias=False)
+    lin("t3.cond_enc.spkr_enc", D, SPKR)
+    lin("t3.cond_enc.emotion_adv_fc", D, 1, bias=False)
+    w["t3.cond_enc.perceiver.pre_attention_query"] = modulo_values(
+        (1, 4, D), 31, 0.3)
+    pa = "t3.cond_enc.perceiver.attn"
+    w[f"{pa}.norm.weight"] = np.ones((D,), np.float32)
+    w[f"{pa}.norm.bias"] = np.zeros((D,), np.float32)
+    for proj in ("to_q", "to_k", "to_v", "proj_out"):
+        lin(f"{pa}.{proj}", D, D)
+    save_file(w, str(path / "model.safetensors"))
+
+    save_file({
+        "t3.speaker_emb": modulo_values((1, SPKR), 33, 0.5),
+        "t3.cond_prompt_speech_tokens": np.asarray([[1, 2, 3, 4]],
+                                                   np.int32),
+        "t3.emotion_adv": np.full((1, 1, 1), 0.5, np.float32),
+        "gen.embedding": modulo_values((1, 6), 35, 0.5),
+        "gen.prompt_token": np.asarray([[1, 2]], np.int32),
+        "gen.prompt_feat": modulo_values((1, 4, 4), 37, 0.3),
+    }, str(path / "conds.safetensors"))
+
+    cfg = {
+        "model_type": "chatterbox",
+        "t3_config": {
+            "text_tokens_dict_size": TVOC, "start_text_token": 38,
+            "stop_text_token": 0, "max_text_tokens": 32,
+            "speech_tokens_dict_size": SVOC, "start_speech_token": 16,
+            "stop_speech_token": 17, "max_speech_tokens": 32,
+            "input_pos_emb": "learned", "speech_cond_prompt_len": 6,
+            "speaker_embed_size": SPKR, "use_perceiver_resampler": True,
+            "emotion_adv": True,
+        },
+        "llama_config": {
+            "vocab_size": 50, "hidden_size": D, "num_hidden_layers": 1,
+            "intermediate_size": FFN, "num_attention_heads": HEADS,
+            "num_key_value_heads": KV, "head_dim": HD,
+            "rope_theta": 10000.0, "rope_scaling": None,
+        },
+        "enc_cond_len": 16000, "dec_cond_len": 24000,
+        "decoder_in_channels": 16, "s3gen_n_mels": 4,
+        "s3gen_conformer": {
+            "input_size": 8, "output_size": 8, "attention_heads": 2,
+            "linear_units": 16, "num_blocks": 1, "num_up_blocks": 1,
+        },
+        "s3gen_hift": {
+            "in_channels": 4, "base_channels": 8, "nb_harmonics": 2,
+            "sampling_rate": 16000, "upsample_rates": [2, 2],
+            "upsample_kernel_sizes": [4, 4], "n_fft": 8, "hop_len": 2,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "source_resblock_kernel_sizes": [3, 3],
+            "source_resblock_dilation_sizes": [[1, 3], [1, 3]],
+        },
+        "s3gen_campplus": {"num_mels": 8,
+                           "blocks": [[2, 3, 1], [2, 3, 2]]},
+    }
+    (path / "config.json").write_text(json.dumps(cfg))
+
+    vocab_map = {f"w{i}": i for i in range(36)}
+    vocab_map.update({"hello": 30, "world": 31})
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    return path
