@@ -4144,3 +4144,103 @@ def make_chatterbox_fixture(path: Path) -> Path:
     tok.pre_tokenizer = Whitespace()
     tok.save(str(path / "tokenizer.json"))
     return path
+
+
+def make_echo_tts_fixture(path: Path) -> Path:
+    """Tiny EchoTTS: DiT with joint attention + low-rank adaLN, byte text
+    encoder, patched speaker encoder, PCA state, fish_s1 codec in codec/."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    make_fish_s1_fixture(path / "codec")
+
+    L, D, HEADS = 6, 16, 2
+    TD, SD = 8, 8  # text/speaker model sizes
+    RANK = 4
+    c = [0]
+    w = {}
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def rms(name, shape):
+        w[f"{name}.weight"] = np.ones(shape, np.float32)
+
+    def enc_block(name, dim, inter):
+        for proj in ("wq", "wk", "wv", "wo", "gate"):
+            lin(f"{name}.attention.{proj}", dim, dim)
+        rms(f"{name}.attention.q_norm", (HEADS, dim // HEADS))
+        rms(f"{name}.attention.k_norm", (HEADS, dim // HEADS))
+        rms(f"{name}.attention_norm", (dim,))
+        rms(f"{name}.mlp_norm", (dim,))
+        lin(f"{name}.mlp.w1", inter, dim)
+        lin(f"{name}.mlp.w3", inter, dim)
+        lin(f"{name}.mlp.w2", dim, inter)
+
+    w["text_encoder.text_embedding.weight"] = modulo_values((256, TD), 13,
+                                                            0.3)
+    enc_block("text_encoder.blocks.0", TD, 16)
+    lin("speaker_encoder.in_proj", SD, L * 2, bias=True)
+    enc_block("speaker_encoder.blocks.0", SD, 16)
+    lin("latent_encoder.in_proj", SD, L * 2, bias=True)
+    enc_block("latent_encoder.blocks.0", SD, 16)
+    rms("latent_norm", (SD,))
+    rms("text_norm", (TD,))
+    rms("speaker_norm", (SD,))
+    lin("cond_module.0", D, 16)
+    lin("cond_module.2", D, D)
+    lin("cond_module.4", 3 * D, D)
+    lin("in_proj", D, L, bias=True)
+    b0 = "blocks.0"
+    for proj in ("wq", "wk", "wv", "wo", "gate"):
+        lin(f"{b0}.attention.{proj}", D, D)
+    for proj in ("wk_text", "wv_text"):
+        lin(f"{b0}.attention.{proj}", D, TD)
+    for proj in ("wk_speaker", "wv_speaker", "wk_latent", "wv_latent"):
+        lin(f"{b0}.attention.{proj}", D, SD)
+    rms(f"{b0}.attention.q_norm", (HEADS, D // HEADS))
+    rms(f"{b0}.attention.k_norm", (HEADS, D // HEADS))
+    for ada in ("attention_adaln", "mlp_adaln"):
+        for part in ("shift", "scale", "gate"):
+            lin(f"{b0}.{ada}.{part}_down", RANK, D)
+            lin(f"{b0}.{ada}.{part}_up", D, RANK, bias=True)
+    lin(f"{b0}.mlp.w1", 32, D)
+    lin(f"{b0}.mlp.w3", 32, D)
+    lin(f"{b0}.mlp.w2", D, 32)
+    rms("out_norm", (D,))
+    lin("out_proj", L, D, bias=True)
+    save_file(w, str(path / "model.safetensors"))
+
+    save_file({
+        "pca_components": modulo_values((L, 8), 17, 0.4),
+        "pca_mean": modulo_values((8,), 19, 0.1),
+        "latent_scale": np.asarray(0.5, np.float32),
+    }, str(path / "pca_state.safetensors"))
+
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "echo_tts",
+        "sample_rate": 16000, "audio_downsample_factor": 8,
+        "max_text_length": 64, "max_speaker_latent_length": 64,
+        "normalize_text": True,
+        "dit": {
+            "latent_size": L, "model_size": D, "num_layers": 1,
+            "num_heads": HEADS, "intermediate_size": 32,
+            "norm_eps": 1e-5, "text_vocab_size": 256,
+            "text_model_size": TD, "text_num_layers": 1,
+            "text_num_heads": HEADS, "text_intermediate_size": 16,
+            "speaker_patch_size": 2, "speaker_model_size": SD,
+            "speaker_num_layers": 1, "speaker_num_heads": HEADS,
+            "speaker_intermediate_size": 16,
+            "timestep_embed_size": 16, "adaln_rank": RANK,
+        },
+        "sampler": {"num_steps": 2, "sequence_length": 8,
+                    "cfg_scale_text": 3.0, "cfg_scale_speaker": 8.0,
+                    "cfg_min_t": 0.5, "cfg_max_t": 1.0},
+    }))
+    return path

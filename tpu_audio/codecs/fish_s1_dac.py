@@ -287,6 +287,36 @@ def dequantize(params, codes, cfg: FishS1Config):
     return h
 
 
+def encode_zq(params, audio, cfg: FishS1Config):
+    """waveform -> continuous quantized latents z_q [B, T', latent_dim]
+    (FishS1DAC.encodeZQ, FishS1DAC.swift:417-438): semantic + residual
+    from_codes sums, used as the EchoTTS latent space."""
+    codes = quantize(params, encoder_forward(params, audio, cfg), cfg)
+    q = params["quantizer"]
+    sem = _rvq_from_codes(q["semantic_quantizer"],
+                          jnp.clip(codes[:, :1], 0,
+                                   cfg.semantic_codebook_size - 1))
+    if codes.shape[1] > 1:
+        sem = sem + _rvq_from_codes(q["quantizer"],
+                                    jnp.clip(codes[:, 1:], 0,
+                                             cfg.codebook_size - 1))
+    return sem
+
+
+def decode_zq(params, z_q, cfg: FishS1Config):
+    """z_q [B, T', latent_dim] -> waveform [B, T, 1]
+    (FishS1DAC.decodeZQ, FishS1DAC.swift:440-451)."""
+    h = _quantizer_transform(params, z_q, cfg, "post_module")
+    q = params["quantizer"]
+    for i, factor in reversed(list(enumerate(cfg.downsample_factor))):
+        up = q["upsample"][str(len(cfg.downsample_factor) - 1 - i)]
+        h = _causal_convt(up["0"], h, factor, factor)
+        h = _convnext(up["1"], h)
+    wav = decoder_forward(params, h, cfg)
+    expected = z_q.shape[1] * cfg.frame_length
+    return wav[:, :expected]
+
+
 def sanitize(weights):
     """torch fish-speech checkpoints: unwrap .conv(.conv) wrappers, fold
     parametrized weight norm; torch layouts already match our convs."""
@@ -360,6 +390,23 @@ class FishS1DAC(AudioCodecModel):
         if codes.ndim == 2:
             codes = codes[None]
         return self._decode(self.params, codes)
+
+    def encode_zq(self, audio):
+        """waveform [T] -> z_q [B, T', latent_dim] (EchoTTS latent)."""
+        x = np.asarray(audio, np.float32)
+        if x.ndim == 1:
+            x = x[None, :, None]
+        elif x.ndim == 2:
+            x = x[:, :, None]
+        pad = (-x.shape[1]) % self.config.frame_length
+        if pad:
+            x = np.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return encode_zq(self.params, jnp.asarray(x, self.dtype),
+                         self.config)
+
+    def decode_zq(self, z_q):
+        return decode_zq(self.params, jnp.asarray(z_q, self.dtype),
+                         self.config)
 
     def reconstruct(self, audio):
         audio = np.atleast_1d(np.asarray(audio))

@@ -17,6 +17,8 @@ _REGISTRY: dict[str, str] = {
     "moss_tts_nano": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "mosstts": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "pockettts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
+    "echo_tts": "tpu_audio.models.tts.echo_tts:EchoTTS",
+    "echotts": "tpu_audio.models.tts.echo_tts:EchoTTS",
     "chatterbox": "tpu_audio.models.tts.chatterbox:Chatterbox",
     "chatterbox_turbo": "tpu_audio.models.tts.chatterbox:Chatterbox",
     "indextts": "tpu_audio.models.tts.indextts:IndexTTS",
