@@ -4244,3 +4244,214 @@ def make_echo_tts_fixture(path: Path) -> Path:
                     "cfg_min_t": 0.5, "cfg_max_t": 1.0},
     }))
     return path
+
+
+def make_lfm_audio_fixture(path: Path) -> Path:
+    """Tiny LFM2.5-Audio: conformer encoder + adapter + hybrid LFM2
+    backbone + depthformer audio head, in raw checkpoint layout
+    (conformer.* / depthformer.* keys exercising sanitize), plus the
+    audio_detokenizer subdirectory."""
+    import json
+
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    H, HEADS, KV, HD = 16, 2, 1, 8      # lfm backbone
+    CD, CH = 8, 4                       # conformer d_model / subsample ch
+    K, AV = 2, 12                       # codebooks, audio vocab (EOS=8)
+    DD, DHEADS, DKV = 8, 2, 1           # depthformer
+    MELS = 8
+    c = [0]
+    w = {}
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+        w[f"{name}.bias"] = np.zeros((d,), np.float32)
+
+    def rms(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+
+    # conformer (raw "conformer." keys)
+    pe = "conformer.pre_encode"
+    c[0] += 1
+    w[f"{pe}.conv.0.weight"] = modulo_values((CH, 1, 3, 3), 9, 0.2)
+    w[f"{pe}.conv.0.bias"] = modulo_values((CH,), 3, 0.01)
+    w[f"{pe}.conv.2.weight"] = modulo_values((CH, 1, 3, 3), 10, 0.2)
+    w[f"{pe}.conv.2.bias"] = modulo_values((CH,), 3, 0.01)
+    w[f"{pe}.conv.3.weight"] = modulo_values((CH, CH, 1, 1), 11, 0.2)
+    w[f"{pe}.conv.3.bias"] = modulo_values((CH,), 3, 0.01)
+    w[f"{pe}.conv.5.weight"] = modulo_values((CH, 1, 3, 3), 12, 0.2)
+    w[f"{pe}.conv.5.bias"] = modulo_values((CH,), 3, 0.01)
+    w[f"{pe}.conv.6.weight"] = modulo_values((CH, CH, 1, 1), 13, 0.2)
+    w[f"{pe}.conv.6.bias"] = modulo_values((CH,), 3, 0.01)
+    lin(f"{pe}.out", CD, CH * (MELS // 8), bias=True)
+    l0 = "conformer.layers.0"
+    for nm in ("norm_feed_forward1", "norm_feed_forward2", "norm_self_att",
+               "norm_conv", "norm_out"):
+        ln(f"{l0}.{nm}", CD)
+    for ff in ("feed_forward1", "feed_forward2"):
+        lin(f"{l0}.{ff}.linear1", CD * 4, CD, bias=True)
+        lin(f"{l0}.{ff}.linear2", CD, CD * 4, bias=True)
+    sa = f"{l0}.self_attn"
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        lin(f"{sa}.{proj}", CD, CD, bias=True)
+    lin(f"{sa}.linear_pos", CD, CD)
+    w[f"{sa}.pos_bias_u"] = modulo_values((2, CD // 2), 7, 0.1)
+    w[f"{sa}.pos_bias_v"] = modulo_values((2, CD // 2), 9, 0.1)
+    cv = f"{l0}.conv"
+    lin(f"{cv}.pointwise_conv1", 2 * CD, CD, bias=True)
+    c[0] += 1
+    w[f"{cv}.depthwise_conv.weight"] = modulo_values((CD, 1, 3), 15, 0.2)
+    w[f"{cv}.depthwise_conv.bias"] = modulo_values((CD,), 3, 0.01)
+    for nm in ("weight", "bias"):
+        pass
+    w[f"{cv}.batch_norm.weight"] = np.ones((CD,), np.float32)
+    w[f"{cv}.batch_norm.bias"] = np.zeros((CD,), np.float32)
+    w[f"{cv}.batch_norm.running_mean"] = np.zeros((CD,), np.float32)
+    w[f"{cv}.batch_norm.running_var"] = np.ones((CD,), np.float32)
+    lin(f"{cv}.pointwise_conv2", CD, CD, bias=True)
+
+    # adapter (model.N indices: norm at 0, linears at 1,2)
+    ln("audio_adapter.model.0", CD)
+    lin("audio_adapter.model.1", 12, CD, bias=True)
+    lin("audio_adapter.model.2", H, 12, bias=True)
+
+    # lfm backbone: layer 0 conv, layer 1 attention
+    w["lfm.embed_tokens.weight"] = modulo_values((200, H), 17, 0.3)
+    rms("lfm.embedding_norm", H)
+    b0 = "lfm.layers.0"
+    rms(f"{b0}.operator_norm", H)
+    rms(f"{b0}.ffn_norm", H)
+    lin(f"{b0}.conv.in_proj", 3 * H, H)
+    c[0] += 1
+    w[f"{b0}.conv.conv.weight"] = modulo_values((H, 1, 3), 19, 0.2)
+    lin(f"{b0}.conv.out_proj", H, H)
+    lin(f"{b0}.feed_forward.linear1", 32, H)
+    lin(f"{b0}.feed_forward.linear2", H, 32)
+    lin(f"{b0}.feed_forward.linear3", 32, H)
+    b1 = "lfm.layers.1"
+    rms(f"{b1}.operator_norm", H)
+    rms(f"{b1}.ffn_norm", H)
+    lin(f"{b1}.self_attn.q_proj", HEADS * HD, H)
+    lin(f"{b1}.self_attn.k_proj", KV * HD, H)
+    lin(f"{b1}.self_attn.v_proj", KV * HD, H)
+    lin(f"{b1}.self_attn.out_proj", H, HEADS * HD)
+    rms(f"{b1}.self_attn.q_layernorm", HD)
+    rms(f"{b1}.self_attn.k_layernorm", HD)
+    lin(f"{b1}.feed_forward.linear1", 32, H)
+    lin(f"{b1}.feed_forward.linear2", H, 32)
+    lin(f"{b1}.feed_forward.linear3", 32, H)
+
+    # audio embedding + depth
+    w["audio_embedding.embedding.weight"] = modulo_values((AV * K, H), 21,
+                                                          0.3)
+    rms("audio_embedding.embedding_norm", H)
+    lin("audio_embedding.to_logits", AV * K, H)
+    for i in range(K):
+        w[f"depth_embeddings.{i}.embedding.weight"] = modulo_values(
+            (AV, DD), 23 + i, 0.3)
+        rms(f"depth_embeddings.{i}.embedding_norm", DD)
+        lin(f"depth_embeddings.{i}.to_logits", AV, DD)
+    lin("depth_linear", K * DD, H, bias=True)
+    # depthformer (raw fused-qkv layout exercising the split)
+    for i in range(1):
+        base = f"depthformer.layers.{i}"
+        c[0] += 1
+        w[f"{base}.operator.qkv_proj.weight"] = modulo_values(
+            (DHEADS * 4 + 2 * DKV * 4, DD), 25, 0.2)  # q=8, k=v=4
+        lin(f"{base}.operator.out_proj", DD, DHEADS * 4)
+        rms(f"{base}.operator.bounded_attention.q_layernorm", 4)
+        rms(f"{base}.operator.bounded_attention.k_layernorm", 4)
+        rms(f"{base}.operator_norm", DD)
+        rms(f"{base}.ffn_norm", DD)
+        lin(f"{base}.feed_forward.w1", 16, DD)
+        lin(f"{base}.feed_forward.w2", DD, 16)
+        lin(f"{base}.feed_forward.w3", 16, DD)
+    save_file(w, str(path / "model.safetensors"))
+
+    # detokenizer subdir
+    dw = {}
+    DH = 8
+    dw["emb.emb.weight"] = modulo_values((K * (AV - 1), DH), 27, 0.3)
+
+    def dlin(name, o, i, bias=False):
+        c[0] += 1
+        dw[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            dw[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    d0 = "lfm.layers.0"
+    dw[f"{d0}.operator_norm.weight"] = np.ones((DH,), np.float32)
+    dw[f"{d0}.ffn_norm.weight"] = np.ones((DH,), np.float32)
+    dlin(f"{d0}.conv.in_proj", 3 * DH, DH)
+    c[0] += 1
+    dw[f"{d0}.conv.conv.weight"] = modulo_values((DH, 1, 3), 29, 0.2)
+    dlin(f"{d0}.conv.out_proj", DH, DH)
+    dlin(f"{d0}.feed_forward.w1", 16, DH)
+    dlin(f"{d0}.feed_forward.w2", DH, 16)
+    dlin(f"{d0}.feed_forward.w3", 16, DH)
+    d1 = "lfm.layers.1"
+    dw[f"{d1}.operator_norm.weight"] = np.ones((DH,), np.float32)
+    dw[f"{d1}.ffn_norm.weight"] = np.ones((DH,), np.float32)
+    dlin(f"{d1}.self_attn.q_proj", DH, DH)
+    dlin(f"{d1}.self_attn.k_proj", 4, DH)
+    dlin(f"{d1}.self_attn.v_proj", 4, DH)
+    dlin(f"{d1}.self_attn.out_proj", DH, DH)
+    dw[f"{d1}.self_attn.q_layernorm.weight"] = np.ones((4,), np.float32)
+    dw[f"{d1}.self_attn.k_layernorm.weight"] = np.ones((4,), np.float32)
+    dlin(f"{d1}.feed_forward.w1", 16, DH)
+    dlin(f"{d1}.feed_forward.w2", DH, 16)
+    dlin(f"{d1}.feed_forward.w3", 16, DH)
+    dw["lfm.embedding_norm.weight"] = np.ones((DH,), np.float32)
+    dlin("lin", 10, DH, bias=True)  # n_fft 8 -> 5 mag + 5 phase
+    detok_dir = path / "audio_detokenizer"
+    detok_dir.mkdir(exist_ok=True)
+    save_file(dw, str(detok_dir / "model.safetensors"))
+    (detok_dir / "config.json").write_text(json.dumps({
+        "hidden_size": DH, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "layer_types": ["conv",
+                                                  "sliding_attention"],
+        "sliding_window": 4, "norm_eps": 1e-5, "rope_theta": 10000.0,
+        "output_size": 10, "num_codebooks": K, "vocab_size": AV - 1,
+        "n_fft": 8, "hop_length": 2, "upsample_factor": 2,
+    }))
+
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "lfm_audio", "sample_rate": 16000, "codebooks": K,
+        "audio_vocab_size": AV, "interleaved_n_text": 2,
+        "interleaved_n_audio": 3,
+        "preprocessor": {"sample_rate": 16000, "features": MELS,
+                         "n_fft": 64, "window_size": 0.004,
+                         "window_stride": 0.002},
+        "encoder": {"feat_in": MELS, "n_layers": 1, "d_model": CD,
+                    "subsampling_conv_channels": CH, "n_heads": 2,
+                    "conv_kernel_size": 3},
+        "lfm": {"vocab_size": 200, "hidden_size": H,
+                "num_hidden_layers": 2, "num_attention_heads": HEADS,
+                "num_key_value_heads": KV, "conv_L_cache": 3,
+                "full_attn_idxs": [1], "rope_theta": 10000.0},
+        "depthformer": {"layers": 1, "dim": DD, "num_heads": DHEADS,
+                        "num_kv_heads": DKV},
+    }))
+
+    vocab_map = {f"w{i}": i for i in range(140)}
+    vocab_map.update({"hello": 50, "system": 51, "user": 52,
+                      "assistant": 53})
+    specials = ["<|im_start|>", "<|im_end|>"]
+    for j, s in enumerate(specials):
+        vocab_map[s] = 140 + j
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    return path

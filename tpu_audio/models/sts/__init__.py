@@ -12,6 +12,9 @@ _REGISTRY: dict[str, str] = {
     "mossformer2_se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
     "mossformer2se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
     "mossformer2": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
+    "lfm_audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
+    "lfm2_audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
+    "lfm2audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
 }
 
 
