@@ -4455,3 +4455,118 @@ def make_lfm_audio_fixture(path: Path) -> Path:
     tok.add_special_tokens(specials)
     tok.save(str(path / "tokenizer.json"))
     return path
+
+
+def make_sam_audio_fixture(path: Path) -> Path:
+    """Tiny SAM-Audio: DACVAE codec (audio_codec.*), HF-layout T5 text
+    encoder (text_encoder.*), adaLN DiT with cross-attention and anchors."""
+    import json
+
+    from safetensors.numpy import load_file, save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    path = Path(path)
+    codec_dir = path / "_codec_src"
+    make_dacvae_fixture(codec_dir)
+    codec_cfg = json.loads((codec_dir / "config.json").read_text())
+
+    w = {}
+    for k, v in load_file(str(codec_dir / "model.safetensors")).items():
+        w[f"audio_codec.{k}"] = v
+
+    D, HEADS, HD, C = 8, 2, 4, 4  # DiT dim/heads/head_dim, codebook dim
+    TD = 8                         # t5 d_model
+    FFN = 24                       # per ffn_hidden() with multiple_of=4
+    c = [0]
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def rms(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+
+    # text encoder (HF t5-base layout, non-gated relu FF)
+    te = "text_encoder"
+    w[f"{te}.shared.weight"] = modulo_values((64, TD), 13, 0.3)
+    b0 = f"{te}.encoder.block.0.layer"
+    for proj in ("q", "k", "v", "o"):
+        lin(f"{b0}.0.SelfAttention.{proj}", TD, TD)
+    w[f"{te}.encoder.block.0.layer.0.SelfAttention."
+      f"relative_attention_bias.weight"] = modulo_values((32, 2), 15, 0.1)
+    rms(f"{b0}.0.layer_norm", TD)
+    lin(f"{b0}.1.DenseReluDense.wi", 16, TD)
+    lin(f"{b0}.1.DenseReluDense.wo", TD, 16)
+    rms(f"{b0}.1.layer_norm", TD)
+    rms(f"{te}.encoder.final_layer_norm", TD)
+
+    # top-level projections
+    lin("proj", D, 6 * C, bias=True)
+    w["embed_anchors.embed.weight"] = modulo_values((5, 4), 17, 0.3)
+    w["embed_anchors.gate"] = np.zeros((1,), np.float32)
+    lin("embed_anchors.proj", D, 4)
+    lin("memory_proj", D, TD, bias=True)
+
+    # DiT
+    tr = "transformer"
+    xb = f"{tr}.x_embedder.block"
+    for blk in ("block1", "block2"):
+        w[f"{xb}.{blk}.groupnorm.weight"] = np.ones((D,), np.float32)
+        w[f"{xb}.{blk}.groupnorm.bias"] = np.zeros((D,), np.float32)
+        # MLX layout [O, K, I] exercising the transpose heuristic
+        c[0] += 1
+        w[f"{xb}.{blk}.project.weight"] = modulo_values((D, 3, D),
+                                                        19 + c[0] % 5, 0.2)
+        w[f"{xb}.{blk}.project.bias"] = modulo_values((D,), 3, 0.01)
+    l0 = f"{tr}.layers.0"
+    for attn in ("attention", "cross_attention"):
+        for proj in ("wq", "wk", "wv", "wo"):
+            lin(f"{l0}.{attn}.{proj}", D, D)
+        rms(f"{l0}.{attn}.q_norm", HD)
+        rms(f"{l0}.{attn}.k_norm", HD)
+    rms(f"{l0}.attention_norm", D)
+    rms(f"{l0}.ffn_norm", D)
+    lin(f"{l0}.feed_forward.w1", FFN, D)
+    lin(f"{l0}.feed_forward.w3", FFN, D)
+    lin(f"{l0}.feed_forward.w2", D, FFN)
+    w[f"{l0}.scale_shift_table"] = modulo_values((6, D), 21, 0.1)
+    rms(f"{tr}.norm", D)
+    lin(f"{tr}.output", 2 * C, D)
+    for emb, in_d in (("t_embedder", 8), ("y_embedder", D)):
+        lin(f"{tr}.{emb}.projection.w1", D, in_d)
+        lin(f"{tr}.{emb}.projection.w3", D, in_d)
+        lin(f"{tr}.{emb}.projection.w2", D, D)
+    lin(f"{tr}.t_block", 6 * D, D, bias=True)
+    w[f"{tr}.final_layer_scale_shift_table"] = modulo_values((2, D), 23,
+                                                             0.1)
+    path.mkdir(parents=True, exist_ok=True)
+    save_file(w, str(path / "model.safetensors"))
+
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "sam_audio",
+        "in_channels": 6 * C, "num_anchors": 4,
+        "anchor_embedding_dim": 4,
+        "transformer": {
+            "dim": D, "n_heads": HEADS, "n_layers": 1,
+            "qk_norm": True, "fc_bias": False, "ffn_exp": 4,
+            "multiple_of": 4, "use_rope": True, "max_positions": 512,
+            "frequency_embedding_dim": 8, "context_dim": D,
+            "out_channels": 2 * C,
+        },
+        "text_encoder": {
+            "vocab_size": 64, "d_model": TD, "d_kv": HD,
+            "num_heads": HEADS, "num_layers": 1, "d_ff": 16,
+        },
+        "audio_codec": codec_cfg,
+    }))
+
+    vocab_map = {f"w{i}": i for i in range(60)}
+    vocab_map.update({"speech": 40, "music": 41, "noise": 42})
+    tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    return path

@@ -130,6 +130,8 @@ def _t5_attention(p, q_in, kv_in, cfg: T5Config, mask=None):
 
 
 def _dense(p, x, cfg: T5Config):
+    if "wi" in p:  # non-gated relu FF (t5-base, used by SAM-Audio)
+        return nn.linear(p["wo"], jax.nn.relu(nn.linear(p["wi"], x)))
     return nn.linear(p["wo"], nn.gelu(nn.linear(p["wi_0"], x))
                      * nn.linear(p["wi_1"], x))
 
@@ -143,8 +145,9 @@ def encode(params, input_ids, n_valid, cfg: T5Config):
     pos = jnp.arange(t)
     bias = _position_bias(p["relative_attention_bias"], pos, pos, cfg,
                           bidirectional=True)[None]
-    key_valid = pos < n_valid
-    bias = bias + jnp.where(key_valid, 0.0, -1e9)[None, None, None, :]
+    # per-item valid lengths (batched callers like SAM-Audio) or a scalar
+    key_valid = pos[None, :] < jnp.atleast_1d(n_valid)[:, None]  # [B, T]
+    bias = bias + jnp.where(key_valid, 0.0, -1e9)[:, None, None, :]
     for i in range(cfg.num_layers):
         lp = p["layers"][str(i)]
         x = x + _t5_attention(lp["attention"],

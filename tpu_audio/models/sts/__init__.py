@@ -12,6 +12,8 @@ _REGISTRY: dict[str, str] = {
     "mossformer2_se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
     "mossformer2se": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
     "mossformer2": "tpu_audio.models.sts.mossformer2_se:MossFormer2SE",
+    "sam_audio": "tpu_audio.models.sts.sam_audio:SAMAudio",
+    "samaudio": "tpu_audio.models.sts.sam_audio:SAMAudio",
     "lfm_audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
     "lfm2_audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
     "lfm2audio": "tpu_audio.models.sts.lfm_audio:LFM2Audio",
