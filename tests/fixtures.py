@@ -4570,3 +4570,238 @@ def make_sam_audio_fixture(path: Path) -> Path:
     tok.pre_tokenizer = Whitespace()
     tok.save(str(path / "tokenizer.json"))
     return path
+
+
+def make_moss_tts_full_fixture(path: Path, local: bool = False) -> Path:
+    """Tiny MOSS-TTS full variant: Qwen3 backbone, 2 codebooks, bundled
+    audio_tokenizer; ``local=True`` adds the local-transformer stack."""
+    from safetensors.numpy import save_file
+    from tokenizers import AddedToken, Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    d, heads, kv, hd, ffn = 16, 2, 1, 8, 32
+    tvocab, n_vq, avocab = 64, 2, 16
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+
+    def qwen3(pre, dim, inter, layers):
+        for i in range(layers):
+            b = f"{pre}.layers.{i}"
+            lin(f"{b}.self_attn.q_proj", heads * hd, dim)
+            lin(f"{b}.self_attn.k_proj", kv * hd, dim)
+            lin(f"{b}.self_attn.v_proj", kv * hd, dim)
+            lin(f"{b}.self_attn.o_proj", dim, heads * hd)
+            w[f"{b}.self_attn.q_norm.weight"] = np.ones(hd, np.float32)
+            w[f"{b}.self_attn.k_norm.weight"] = np.ones(hd, np.float32)
+            w[f"{b}.input_layernorm.weight"] = np.ones(dim, np.float32)
+            w[f"{b}.post_attention_layernorm.weight"] = np.ones(
+                dim, np.float32)
+            lin(f"{b}.mlp.gate_proj", inter, dim)
+            lin(f"{b}.mlp.up_proj", inter, dim)
+            lin(f"{b}.mlp.down_proj", dim, inter)
+        w[f"{pre}.norm.weight"] = np.ones(dim, np.float32)
+
+    if local:
+        dl, ffl, add_ffn = 12, 24, 24
+        w["model.embedding_list.0.weight"] = modulo_values((tvocab, d), 7,
+                                                           0.3)
+        for ch in range(n_vq):
+            w[f"model.embedding_list.{ch + 1}.weight"] = modulo_values(
+                (avocab + 1, d), 13 + ch, 0.3)
+        w["model.language_model.embed_tokens.weight"] = modulo_values(
+            (tvocab, d), 7, 0.3)
+        qwen3("model.language_model", d, ffn, 2)
+        qwen3("local_transformer", dl, ffl, 1)
+        lin("speech_embedding_to_local_mlp.gate_proj", add_ffn, d)
+        lin("speech_embedding_to_local_mlp.up_proj", add_ffn, d)
+        lin("speech_embedding_to_local_mlp.down_proj", dl, add_ffn)
+        for ch in range(n_vq + 1):
+            p = f"local_to_speech_embedding_mlps.{ch}"
+            lin(f"{p}.gate_proj", add_ffn, dl)
+            lin(f"{p}.up_proj", add_ffn, dl)
+            lin(f"{p}.down_proj", d, add_ffn)
+            w[f"layer_norm_before_lm_heads.{ch}.weight"] = np.ones(
+                d, np.float32)
+    else:
+        w["model.language_model.embed_tokens.weight"] = modulo_values(
+            (tvocab, d), 7, 0.3)
+        qwen3("model.language_model", d, ffn, 2)
+        for ch in range(n_vq):
+            w[f"model.emb_ext.{ch}.weight"] = modulo_values(
+                (avocab + 1, d), 13 + ch, 0.3)
+    w["lm_heads.0.weight"] = modulo_values((tvocab, d), 3, 0.15)
+    for ch in range(n_vq):
+        w[f"lm_heads.{ch + 1}.weight"] = modulo_values((avocab + 1, d),
+                                                       19 + ch, 0.15)
+
+    specials = ["<pad>", "<|im_start|>", "<|im_end|>", "<|audio_start|>",
+                "<|audio_end|>", "<|user_slot|>", "<|gen_slot|>",
+                "<|delay_slot|>"]
+    ids = {s: 56 + k for k, s in enumerate(specials)}
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cfg = {
+        "model_type": "moss_tts_local" if local else "moss_tts_delay",
+        "language_config": {
+            "model_type": "qwen3", "vocab_size": tvocab, "hidden_size": d,
+            "num_hidden_layers": 2, "intermediate_size": ffn,
+            "num_attention_heads": heads, "num_key_value_heads": kv,
+            "head_dim": hd, "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+            "max_position_embeddings": 2048, "tie_word_embeddings": False,
+        },
+        "n_vq": n_vq, "audio_vocab_size": avocab, "audio_pad_code": avocab,
+        "pad_token_id": ids["<pad>"],
+        "im_start_token_id": ids["<|im_start|>"],
+        "im_end_token_id": ids["<|im_end|>"],
+        "audio_start_token_id": ids["<|audio_start|>"],
+        "audio_end_token_id": ids["<|audio_end|>"],
+        "audio_user_slot_token_id": ids["<|user_slot|>"],
+        "audio_assistant_gen_slot_token_id": ids["<|gen_slot|>"],
+        "audio_assistant_delay_slot_token_id": ids["<|delay_slot|>"],
+        "sampling_rate": 16000,
+    }
+    if local:
+        cfg.update({"additional_mlp_ffn_hidden_size": 24,
+                    "local_ffn_hidden_size": 24, "local_hidden_size": 12,
+                    "local_num_layers": 1})
+    (path / "config.json").write_text(json.dumps(cfg))
+    vmap = {f"w{i}": i for i in range(56)}
+    vmap.update(ids)
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens([AddedToken(s, special=True) for s in specials])
+    tok.save(str(path / "tokenizer.json"))
+    make_moss_tokenizer_fixture(path / "audio_tokenizer")
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
+def make_irodori_fixture(path: Path) -> Path:
+    """Tiny Irodori-TTS v3 VoiceDesign: dual speaker+caption DiT, duration
+    predictor, bundled DACVAE, WordLevel tokenizer with <s>/</s>."""
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    D, HEADS = 16, 2          # DiT dim/heads
+    TD, SD = 8, 8             # text / speaker encoder dims
+    LAT = 4                   # latent dim (matches DACVAE cb)
+    DH = 8                    # duration hidden
+    w = {}
+    c = [0]
+
+    def lin(name, o, i, bias=False):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.15)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def rms(name, shape):
+        w[f"{name}.weight"] = np.ones(shape, np.float32)
+
+    def enc_block(name, dim, heads, inter):
+        for proj in ("wq", "wk", "wv", "gate", "wo"):
+            lin(f"{name}.attention.{proj}", dim, dim)
+        rms(f"{name}.attention.q_norm", (heads, dim // heads))
+        rms(f"{name}.attention.k_norm", (heads, dim // heads))
+        rms(f"{name}.attention_norm", (dim,))
+        rms(f"{name}.mlp_norm", (dim,))
+        lin(f"{name}.mlp.w1", inter, dim)
+        lin(f"{name}.mlp.w2", dim, inter)
+        lin(f"{name}.mlp.w3", inter, dim)
+
+    pre = "model."
+    # text + caption encoders
+    for enc, dim in (("text_encoder", TD), ("caption_encoder", TD)):
+        w[f"{pre}{enc}.text_embedding.weight"] = modulo_values((64, dim),
+                                                               13, 0.3)
+        enc_block(f"{pre}{enc}.blocks.0", dim, 2, 2 * dim)
+    rms(f"{pre}text_norm", (TD,))
+    rms(f"{pre}caption_norm", (TD,))
+    # speaker encoder
+    lin(f"{pre}speaker_encoder.in_proj", SD, LAT, bias=True)
+    enc_block(f"{pre}speaker_encoder.blocks.0", SD, 2, 2 * SD)
+    rms(f"{pre}speaker_norm", (SD,))
+    # duration predictor (dual token-sum)
+    dp = f"{pre}duration_predictor"
+    w[f"{dp}.null_speaker"] = modulo_values((SD,), 3, 0.1)
+    w[f"{dp}.null_caption"] = modulo_values((TD,), 5, 0.1)
+    lin(f"{dp}.token_input_proj", DH, TD, bias=True)
+    b = f"{dp}.token_blocks.0"
+    rms(f"{b}.norm", (DH,))
+    lin(f"{b}.mlp.w1", DH, DH)
+    lin(f"{b}.mlp.w2", DH, DH)
+    lin(f"{b}.mlp.w3", DH, DH)
+    lin(f"{b}.modulation", 3 * DH, SD, bias=True)
+    lin(f"{b}.caption_modulation", 3 * DH, TD, bias=True)
+    rms(f"{dp}.token_out_norm", (DH,))
+    lin(f"{dp}.token_out_proj", 1, DH, bias=True)
+    # cond module + DiT blocks (strong weights so the adaLN gates are not
+    # ~tanh(0) and context guidance is measurable in tests)
+    w[f"{pre}cond_module.0.weight"] = modulo_values((D, 8), 7, 1.0)
+    w[f"{pre}cond_module.2.weight"] = modulo_values((D, D), 9, 0.8)
+    w[f"{pre}cond_module.4.weight"] = modulo_values((3 * D, D), 11, 0.8)
+    lin(f"{pre}in_proj", D, LAT, bias=True)
+    for i in range(2):
+        bb = f"{pre}blocks.{i}"
+        for proj in ("wq", "wk", "wv", "gate", "wo"):
+            lin(f"{bb}.attention.{proj}", D, D)
+        for proj in ("wk_text", "wv_text"):
+            lin(f"{bb}.attention.{proj}", D, TD)
+        for proj in ("wk_speaker", "wv_speaker"):
+            lin(f"{bb}.attention.{proj}", D, SD)
+        for proj in ("wk_caption", "wv_caption"):
+            lin(f"{bb}.attention.{proj}", D, TD)
+        rms(f"{bb}.attention.q_norm", (HEADS, D // HEADS))
+        rms(f"{bb}.attention.k_norm", (HEADS, D // HEADS))
+        for ada in ("attention_adaln", "mlp_adaln"):
+            for part in ("shift", "scale", "gate"):
+                lin(f"{bb}.{ada}.{part}_down", 4, D)
+                lin(f"{bb}.{ada}.{part}_up", D, 4)
+        lin(f"{bb}.mlp.w1", 2 * D, D)
+        lin(f"{bb}.mlp.w2", D, 2 * D)
+        lin(f"{bb}.mlp.w3", 2 * D, D)
+    rms(f"{pre}out_norm", (D,))
+    lin(f"{pre}out_proj", LAT, D, bias=True)
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "irodori_tts",
+        "sample_rate": 16000, "max_text_length": 12,
+        "max_caption_length": 12, "max_speaker_latent_length": 64,
+        "audio_downsample_factor": 8,
+        "dit": {
+            "latent_dim": LAT, "latent_patch_size": 1, "model_dim": D,
+            "num_layers": 2, "num_heads": HEADS, "mlp_ratio": 2.0,
+            "text_vocab_size": 64, "text_dim": TD, "text_layers": 1,
+            "text_heads": 2, "speaker_dim": SD, "speaker_layers": 1,
+            "speaker_heads": 2, "speaker_patch_size": 1,
+            "timestep_embed_dim": 8, "adaln_rank": 4, "norm_eps": 1e-5,
+            "use_caption_condition": True, "use_speaker_condition": True,
+            "use_duration_predictor": True, "duration_aux_dim": 14,
+            "duration_hidden_dim": DH, "duration_layers": 1,
+            "duration_architecture": "token_sum_dual_adarn_zero_no_aux",
+        },
+        "sampler": {
+            "num_steps": 2, "cfg_scale_text": 1.0, "cfg_scale_speaker": 1.0,
+            "cfg_scale_caption": 1.0, "cfg_guidance_mode": "independent",
+            "cfg_min_t": 0.0, "cfg_max_t": 1.0, "sequence_length": 16,
+            "min_seconds": 0.1, "max_seconds": 4.0,
+        },
+    }))
+    vmap = {f"w{i}": i for i in range(62)}
+    vmap["<s>"] = 62
+    vmap["</s>"] = 63
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(path / "tokenizer.json"))
+    make_dacvae_fixture(path / "dacvae")
+    save_file(w, str(path / "model.safetensors"))
+    return path

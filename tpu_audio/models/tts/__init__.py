@@ -16,6 +16,10 @@ _REGISTRY: dict[str, str] = {
     "pocket_tts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
     "moss_tts_nano": "tpu_audio.models.tts.moss_tts:MossTTSNano",
     "mosstts": "tpu_audio.models.tts.moss_tts:MossTTSNano",
+    "moss_tts": "tpu_audio.models.tts.moss_tts_full:MossTTS",
+    "moss_tts_delay": "tpu_audio.models.tts.moss_tts_full:MossTTS",
+    "moss_tts_local": "tpu_audio.models.tts.moss_tts_full:MossTTS",
+    "moss_ttsd": "tpu_audio.models.tts.moss_tts_full:MossTTS",
     "pockettts": "tpu_audio.models.tts.pocket_tts:PocketTTS",
     "echo_tts": "tpu_audio.models.tts.echo_tts:EchoTTS",
     "echotts": "tpu_audio.models.tts.echo_tts:EchoTTS",
@@ -26,6 +30,8 @@ _REGISTRY: dict[str, str] = {
     "fish_speech": "tpu_audio.models.tts.fish_speech:FishSpeech",
     "fishspeech": "tpu_audio.models.tts.fish_speech:FishSpeech",
     "fishaudio": "tpu_audio.models.tts.fish_speech:FishSpeech",
+    "irodori_tts": "tpu_audio.models.tts.irodori:IrodoriTTS",
+    "irodori": "tpu_audio.models.tts.irodori:IrodoriTTS",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
     "marvis": "tpu_audio.models.tts.csm:MarvisTTS",
     # repo-name fallbacks

@@ -350,6 +350,11 @@ class MossTTSNano:
             return np.zeros((0, cfg.n_vq), np.int32)
         return np.stack(frames, axis=0)
 
+    def default_generation_parameters(self) -> AudioGenerateParameters:
+        return AudioGenerateParameters(max_tokens=375, temperature=0.8,
+                                       top_p=0.95, top_k=25,
+                                       repetition_penalty=1.2)
+
     def generate(self, text: str, voice=None, ref_audio=None, ref_text=None,
                  language=None,
                  generation_parameters: AudioGenerateParameters | None = None,
