@@ -4805,3 +4805,200 @@ def make_irodori_fixture(path: Path) -> Path:
     make_dacvae_fixture(path / "dacvae")
     save_file(w, str(path / "model.safetensors"))
     return path
+
+
+def make_higgs_audio_fixture(path: Path) -> Path:
+    """Tiny HiggsAudioV2 codec: DAC acoustic path (2 stride-2 stages),
+    HuBERT semantic trunk, RVQ with 2 codebooks, fused fc."""
+    from safetensors.numpy import save_file
+
+    E, A, HS, F, CB = 2, 4, 8, 12, 4  # enc hidden/acoustic/semantic/fused/cb
+    w = {}
+    c = [0]
+
+    def conv(name, o, i, k, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i, k), 9 + c[0] % 5, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def convt(name, i, o, k):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((i, o, k), 9 + c[0] % 5, 0.2)
+        w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def lin(name, o, i, bias=True):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        if bias:
+            w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def snake(name, ch):
+        w[f"{name}.alpha"] = np.ones((1, 1, ch), np.float32)
+
+    def res_unit(name, ch):
+        snake(f"{name}.snake1", ch)
+        conv(f"{name}.conv1", ch, ch, 7)
+        snake(f"{name}.snake2", ch)
+        conv(f"{name}.conv2", ch, ch, 1)
+
+    # acoustic encoder: 1 -> E, blocks E->2E->4E, snake, conv2 4E -> A
+    conv("acoustic_encoder.conv1", E, 1, 7)
+    ch = E
+    for i in range(2):
+        b = f"acoustic_encoder.block.{i}"
+        for j in range(3):
+            res_unit(f"{b}.res_unit{j + 1}", ch)
+        snake(f"{b}.snake1", ch)
+        conv(f"{b}.conv1", ch * 2, ch, 4)
+        ch *= 2
+    snake("acoustic_encoder.snake1", ch)
+    conv("acoustic_encoder.conv2", A, ch, 3)
+    # acoustic decoder: A -> 4E, up blocks 4E->2E->E, snake, conv2 -> 1
+    conv("acoustic_decoder.conv1", 2 * E * 2, A, 7)
+    ch = 2 * E * 2
+    for i in range(2):
+        b = f"acoustic_decoder.block.{i}"
+        snake(f"{b}.snake1", ch)
+        convt(f"{b}.conv_t1", ch, ch // 2, 4)
+        ch //= 2
+        for j in range(3):
+            res_unit(f"{b}.res_unit{j + 1}", ch)
+    snake("acoustic_decoder.snake1", ch)
+    conv("acoustic_decoder.conv2", 1, ch, 7)
+    # RVQ: project_in F->CB, codebook [16, CB], project_out CB->F
+    for i in range(2):
+        q = f"quantizer.quantizers.{i}"
+        lin(f"{q}.project_in", CB, F)
+        lin(f"{q}.project_out", F, CB)
+        w[f"{q}.codebook.weight"] = modulo_values((16, CB), 17 + i, 0.5)
+        w[f"{q}.codebook.embed_avg"] = np.zeros((16, CB), np.float32)
+        w[f"{q}.codebook.cluster_size"] = np.zeros((16,), np.float32)
+    lin("fc2", A, F)
+    lin("fc", F, F)
+    w["fc1.weight"] = modulo_values((4, 4), 7, 0.1)  # dropped
+    # HuBERT semantic trunk (2 conv layers, 1 encoder layer)
+    fe = "semantic_model.feature_extractor.conv_layers"
+    conv(f"{fe}.0.conv", 4, 1, 4, bias=False)
+    w[f"{fe}.0.layer_norm.weight"] = np.ones(4, np.float32)
+    w[f"{fe}.0.layer_norm.bias"] = np.zeros(4, np.float32)
+    conv(f"{fe}.1.conv", 4, 4, 2, bias=False)
+    lin("semantic_model.feature_projection.projection", HS, 4)
+    w["semantic_model.feature_projection.layer_norm.weight"] = np.ones(
+        4, np.float32)
+    w["semantic_model.feature_projection.layer_norm.bias"] = np.zeros(
+        4, np.float32)
+    w["semantic_model.masked_spec_embed"] = np.zeros((HS,), np.float32)
+    enc = "semantic_model.encoder"
+    pc = f"{enc}.pos_conv_embed.conv"
+    w[f"{pc}.parametrizations.weight.original0"] = np.ones((1, 1, 4),
+                                                           np.float32)
+    w[f"{pc}.parametrizations.weight.original1"] = modulo_values(
+        (HS, HS // 2, 4), 13, 0.1)
+    w[f"{pc}.bias"] = np.zeros((HS,), np.float32)
+    w[f"{enc}.layer_norm.weight"] = np.ones(HS, np.float32)
+    w[f"{enc}.layer_norm.bias"] = np.zeros(HS, np.float32)
+    el = f"{enc}.layers.0"
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lin(f"{el}.attention.{proj}", HS, HS)
+    for nrm in ("layer_norm", "final_layer_norm"):
+        w[f"{el}.{nrm}.weight"] = np.ones(HS, np.float32)
+        w[f"{el}.{nrm}.bias"] = np.zeros(HS, np.float32)
+    lin(f"{el}.feed_forward.intermediate_dense", 2 * HS, HS)
+    lin(f"{el}.feed_forward.output_dense", HS, 2 * HS)
+    # post-HuBERT semantic CNN
+    se = "encoder_semantic"
+    conv(f"{se}.conv", HS, HS, 3, bias=False)
+    for i in range(2):
+        b = f"{se}.conv_blocks.{i}"
+        for j in range(2):
+            conv(f"{b}.res_units.{j}.conv1", HS, HS, 3, bias=False)
+            conv(f"{b}.res_units.{j}.conv2", HS, HS, 1, bias=False)
+        conv(f"{b}.conv", HS, HS, 3)
+    w["decoder_semantic.conv.weight"] = modulo_values((4, 4, 3), 5, 0.1)
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "higgs_audio_tokenizer",
+        "codebook_size": 16, "codebook_dim": CB, "n_codebooks": 2,
+        "hop_length": 4, "downsampling_ratios": [2, 2],
+        "upsampling_ratios": [2, 2], "encoder_hidden_size": E,
+        "decoder_hidden_size": F, "kernel_size": 3,
+        "hidden_size": HS, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 2 * HS,
+        "conv_dim": [4, 4], "conv_kernel": [4, 2], "conv_stride": [2, 2],
+        "num_conv_pos_embeddings": 4, "num_conv_pos_embedding_groups": 2,
+        "sample_rate": 16000, "semantic_sample_rate": 16000,
+        "downsample_factor": 4,
+    }))
+    save_file(w, str(path / "model.safetensors"))
+    return path
+
+
+def make_omnivoice_fixture(path: Path) -> Path:
+    """Tiny OmniVoice: Qwen3 diffusion LM with 2 codebooks (FUSED
+    embedding/head layout to exercise the split), bundled HiggsAudio
+    tokenizer and special-token WordLevel tokenizer."""
+    from safetensors.numpy import save_file
+    from tokenizers import AddedToken, Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    d, heads, kv, hd, ffn = 16, 2, 1, 8, 32
+    tvocab, n_cb, avocab = 64, 2, 17  # audio vocab incl. mask id 16
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+
+    w["model.embed_tokens.weight"] = modulo_values((tvocab, d), 7, 0.3)
+    for i in range(2):
+        b = f"model.layers.{i}"
+        lin(f"{b}.self_attn.q_proj", heads * hd, d)
+        lin(f"{b}.self_attn.k_proj", kv * hd, d)
+        lin(f"{b}.self_attn.v_proj", kv * hd, d)
+        lin(f"{b}.self_attn.o_proj", d, heads * hd)
+        w[f"{b}.self_attn.q_norm.weight"] = np.ones(hd, np.float32)
+        w[f"{b}.self_attn.k_norm.weight"] = np.ones(hd, np.float32)
+        w[f"{b}.input_layernorm.weight"] = np.ones(d, np.float32)
+        w[f"{b}.post_attention_layernorm.weight"] = np.ones(d, np.float32)
+        lin(f"{b}.mlp.gate_proj", ffn, d)
+        lin(f"{b}.mlp.up_proj", ffn, d)
+        lin(f"{b}.mlp.down_proj", d, ffn)
+    w["model.norm.weight"] = np.ones(d, np.float32)
+    # fused per-codebook tables [C*V, H] (sanitize must split)
+    w["audio_embeddings.weight"] = modulo_values((n_cb * avocab, d), 13, 0.3)
+    w["audio_heads.weight"] = modulo_values((n_cb * avocab, d), 19, 0.15)
+    w["audio_embeddings.codebook_layer_offsets"] = np.arange(
+        n_cb, dtype=np.float32)
+
+    specials = ["<|denoise|>", "<|lang_start|>", "<|lang_end|>",
+                "<|instruct_start|>", "<|instruct_end|>", "<|text_start|>",
+                "<|text_end|>"]
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps({
+        "model_type": "omnivoice",
+        "llm_config": {
+            "model_type": "qwen3", "vocab_size": tvocab, "hidden_size": d,
+            "num_hidden_layers": 2, "intermediate_size": ffn,
+            "num_attention_heads": heads, "num_key_value_heads": kv,
+            "head_dim": hd, "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+            "tie_word_embeddings": True,
+        },
+        "audio_codebook_weights": [8, 8], "audio_mask_id": 16,
+        "audio_vocab_size": avocab, "num_audio_codebook": n_cb,
+        "pad_token_id": 0, "eos_token_id": 1, "sample_rate": 16000,
+    }))
+    vmap = {f"w{i}": i for i in range(57)}
+    vmap.update({s: 57 + k for k, s in enumerate(specials)})
+    tok = Tokenizer(WordLevel(vmap, unk_token="w0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.add_special_tokens([AddedToken(s, special=True) for s in specials])
+    tok.save(str(path / "tokenizer.json"))
+    make_higgs_audio_fixture(path / "audio_tokenizer")
+    save_file(w, str(path / "model.safetensors"))
+    return path

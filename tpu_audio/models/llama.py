@@ -66,14 +66,18 @@ def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
 
 
 def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
-            inputs_embeds=None, return_hidden: bool = False):
+            inputs_embeds=None, return_hidden: bool = False,
+            attn_mask=None, causal: bool = True):
     """Decoder forward over ``tokens [B, T]`` (or precomputed
     ``inputs_embeds [B, T, D]``, e.g. spliced audio features) appending to
     ``cache``.
 
     Returns (logits [B, T, V], cache). Left padding from prompt bucketing is
     masked via ``cache.valid_from`` (RoPE is relative under causal masking,
-    so the absolute position shift is harmless).
+    so the absolute position shift is harmless). Without a cache,
+    ``causal=False`` runs full bidirectional attention (NAR diffusion LMs,
+    e.g. OmniVoice) and ``attn_mask`` ([..., q, k] boolean) can exclude
+    padded positions.
     """
     p = params["model"] if "model" in params else params
     n_heads = cfg.num_attention_heads
@@ -113,7 +117,8 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
             o = nn.sdpa(q, k_full, v_full, mask=mask,
                         scale=cfg.attention_multiplier)
         else:
-            o = nn.sdpa(q, k, v, is_causal=True,
+            o = nn.sdpa(q, k, v, mask=attn_mask,
+                        is_causal=causal and attn_mask is None,
                         scale=cfg.attention_multiplier)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
         x = x + nn.linear(ap["o_proj"], o) * cfg.residual_multiplier

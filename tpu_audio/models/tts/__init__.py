@@ -30,6 +30,8 @@ _REGISTRY: dict[str, str] = {
     "fish_speech": "tpu_audio.models.tts.fish_speech:FishSpeech",
     "fishspeech": "tpu_audio.models.tts.fish_speech:FishSpeech",
     "fishaudio": "tpu_audio.models.tts.fish_speech:FishSpeech",
+    "omnivoice": "tpu_audio.models.tts.omnivoice:OmniVoice",
+    "omni_voice": "tpu_audio.models.tts.omnivoice:OmniVoice",
     "irodori_tts": "tpu_audio.models.tts.irodori:IrodoriTTS",
     "irodori": "tpu_audio.models.tts.irodori:IrodoriTTS",
     "csm": "tpu_audio.models.tts.csm:MarvisTTS",
