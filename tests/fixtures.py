@@ -2881,8 +2881,24 @@ def make_dacvae_fixture(path: Path) -> Path:
     wn("encoder.conv_out", latent, 3, dim)
     wn("quantizer_in_proj", 2 * cb, 1, latent)
     wn("quantizer_out_proj", latent, 1, cb)
+    def plain(name, o, k, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, k, i), 9 + c[0] % 5, 0.2)
+        w[f"{name}.bias"] = modulo_values((o,), 3, 0.01)
+
+    def lstm(name, h, layers=1):
+        for i in range(layers):
+            w[f"{name}.lstm.layers.{i}.Wx"] = modulo_values((4 * h, h), 7,
+                                                            0.1)
+            w[f"{name}.lstm.layers.{i}.Wh"] = modulo_values((4 * h, h), 9,
+                                                            0.1)
+            w[f"{name}.lstm.layers.{i}.bias"] = np.zeros(4 * h, np.float32)
+
     wn("decoder.conv_in", dec_dim, 7, latent)
     d = dec_dim
+    # watermark channel chain: wm_in[i] -> wm_out[i] (== wm_in[i+1])
+    wm_dims = [(8, 4), (4, 2)]
+    wm_strides = [2, 2]
     for i, s in enumerate(dec_rates):
         pre = f"decoder.blocks.{i}"
         snake(f"{pre}.block_0", d)
@@ -2890,11 +2906,25 @@ def make_dacvae_fixture(path: Path) -> Path:
         d //= 2
         for bi in (4, 5, 8):
             res(f"{pre}.block_{bi}", d)
-        # watermark side-path key that must be dropped
-        w[f"{pre}.block_3.weight"] = modulo_values((2, 4, 2), 7, 0.1)
+        # watermark side paths (plain convs, norm "none")
+        wi, wo = wm_dims[i]
+        ws = wm_strides[i]
+        plain(f"{pre}.block_3", wo, 2 * ws, wi)  # MLX convT [O, K, I]
+        plain(f"{pre}.block_11", wi, 2 * ws, wo)
+        for bi in (6, 7):
+            plain(f"{pre}.block_{bi}.conv1", wo // 2, 3, wo)
+            plain(f"{pre}.block_{bi}.conv2", wo, 1, wo // 2)
     snake("decoder.snake_out", d)
     wn("decoder.conv_out", 1, 7, d)
-    w["wm_model.msg_linear.weight"] = modulo_values((4, 4), 11, 0.1)
+    # AudioSeal-style watermarker (wm hidden 8, latent 4, nbits 4)
+    plain("wm_model.encoder_block.pre_3", 2, 7, 1)
+    lstm("wm_model.encoder_block.post_0", 8)
+    plain("wm_model.encoder_block.post_2", 4, 7, 8)
+    w["wm_model.msg_processor.msg_processor.weight"] = modulo_values(
+        (8, 4), 11, 0.2)
+    plain("wm_model.decoder_block.pre_0", 8, 7, 4)
+    lstm("wm_model.decoder_block.pre_1", 8)
+    plain("wm_model.decoder_block.post_1", 1, 7, 2)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     (path / "config.json").write_text(json.dumps({
@@ -2903,6 +2933,7 @@ def make_dacvae_fixture(path: Path) -> Path:
         "latent_dim": latent, "decoder_dim": dec_dim,
         "decoder_rates": list(dec_rates), "codebook_dim": cb,
         "sample_rate": 16000, "mean": 0.0, "std": 1.0,
+        "wm_rates": [2, 2], "wm_nbits": 4,
     }))
     save_file(w, str(path / "model.safetensors"))
     return path

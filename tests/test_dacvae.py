@@ -19,8 +19,11 @@ def test_factory(model):
     assert isinstance(model, DACVAE)
     assert model.config.hop_length == 8
     p = model.params
-    assert "wm_model" not in p
-    assert "block_3" not in p["decoder"]["blocks"]["0"]
+    # watermarker rides the decoder (bare wm_model.* routed under it)
+    assert "wm_model" in p["decoder"]
+    assert "block_3" in p["decoder"]["blocks"]["0"]
+    assert "weight_ih_l0" in p["decoder"]["wm_model"]["encoder_block"][
+        "post_0"]["lstm"]["layers"]["0"]
     assert "weight" in p["quantizer_in_proj"]
 
 
@@ -62,6 +65,25 @@ def test_mean_std_normalization(tmp_path_factory):
     # roundtrip identical: decode un-normalizes
     np.testing.assert_allclose(m.reconstruct(audio),
                                base.reconstruct(audio), atol=1e-5)
+
+
+def test_watermark_decode(model):
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(400) * 0.1).astype(np.float32)
+    z = model.encode(audio)
+    base = np.asarray(model.decode(z))
+    msg = model.random_message(1, seed=1)
+    assert msg.shape == (1, 4) and set(np.unique(msg)) <= {0, 1}
+    wm = np.asarray(model.decode(z, message=msg))
+    assert wm.shape[1] <= base.shape[1]
+    t = wm.shape[1]
+    assert np.isfinite(wm).all()
+    # watermark perturbs the waveform but stays a small delta
+    diff = np.abs(wm[:, :t] - base[:, :t])
+    assert diff.max() > 0
+    # different messages give different watermarks
+    wm2 = np.asarray(model.decode(z, message=1 - msg))
+    assert not np.allclose(wm, wm2)
 
 
 def test_deterministic(model):
