@@ -1,0 +1,121 @@
+"""Voice agent pipeline example — the headless equivalent of the
+reference's SimpleChat app (Examples/SimpleChat: mic -> SemanticVAD
+(+ SmartTurn endpointing) -> local LLM -> TTS -> speaker).
+
+This server-side version reads a WAV as the "microphone", converts it
+through the streaming PCM converter, segments speech with a VAD,
+transcribes each segment, forms a reply (pluggable `respond` hook —
+wire in your LLM here), synthesizes it with a TTS model, and schedules
+the audio chunks through the AudioPlayer sink into an output WAV.
+
+Usage::
+
+    python examples/voice_agent.py input.wav \
+        --vad <silero-dir> --stt <whisper-dir> --tts <tts-dir> \
+        [--smart-turn <smart-turn-dir>] -o reply.wav
+
+All model directories are standard checkpoints loadable by the
+respective registries (tests/fixtures.py can create tiny ones).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def default_respond(transcript: str) -> str:
+    """Replace with an LLM call; SimpleChat uses a local chat model."""
+    transcript = transcript.strip()
+    if not transcript:
+        return "I did not catch that."
+    return f"You said: {transcript}"
+
+
+def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
+              smart_turn=None, respond=default_respond, player_sink=None,
+              verbose=True):
+    """One listen->transcribe->reply->speak turn per VAD segment.
+    Returns a list of (transcript, reply, reply_audio)."""
+    import numpy as np
+
+    from tpu_audio.core.audio_stream import AudioPlayer, PCMStreamConverter
+    from tpu_audio.models.vad.segmenter import segment_speech
+
+    # mic front end: stream the input through the PCM converter in
+    # 100 ms pushes (PCMStreamConverter.swift push/finish semantics)
+    conv = PCMStreamConverter(16000)
+    chunks = []
+    hop = max(1, sample_rate // 10)
+    for i in range(0, len(audio), hop):
+        chunks.append(conv.push(audio[i:i + hop], in_rate=sample_rate))
+    chunks.append(conv.finish())
+    mic = np.concatenate([c for c in chunks if len(c)])
+
+    segments = segment_speech(mic, 16000, vad_model)
+    if verbose:
+        print(f"[agent] {len(segments)} speech segment(s)", file=sys.stderr)
+
+    player = AudioPlayer(tts_model.sample_rate, sink=player_sink)
+    turns = []
+    for seg_audio, offset in segments:
+        if smart_turn is not None:
+            ep = smart_turn.predict_endpoint(seg_audio)
+            if verbose:
+                print(f"[agent] endpoint p={ep.probability:.2f}",
+                      file=sys.stderr)
+            if not ep.prediction:
+                continue  # user still mid-utterance
+        t0 = time.perf_counter()
+        result = stt_model.generate(seg_audio)
+        transcript = result.text if hasattr(result, "text") else str(result)
+        reply = respond(transcript)
+        wav = np.asarray(tts_model.generate(reply))
+        if verbose:
+            dt = time.perf_counter() - t0
+            print(f"[agent] {offset / 16000:.2f}s: {transcript!r} -> "
+                  f"{reply!r} ({dt:.2f}s)", file=sys.stderr)
+        # stream the reply to the player in ~0.5 s chunks with crossfade
+        step = max(1, tts_model.sample_rate // 2)
+        for j in range(0, len(wav), step):
+            player.schedule_audio_chunk(wav[j:j + step])
+        turns.append((transcript, reply, wav))
+    player.finish_streaming()
+    return turns
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="voice-agent", description=__doc__)
+    parser.add_argument("audio")
+    parser.add_argument("--vad", required=True)
+    parser.add_argument("--stt", required=True)
+    parser.add_argument("--tts", required=True)
+    parser.add_argument("--smart-turn", default=None)
+    parser.add_argument("-o", "--output", default="reply.wav")
+    args = parser.parse_args(argv)
+
+    from tpu_audio.core.audio_io import StreamingWAVWriter, load_audio
+    from tpu_audio.models.stt import load_model as load_stt
+    from tpu_audio.models.tts import load_model as load_tts
+    from tpu_audio.models.vad.silero import SileroVAD
+
+    vad = SileroVAD.from_pretrained(args.vad)
+    stt = load_stt(args.stt)
+    tts = load_tts(args.tts)
+    smart_turn = None
+    if args.smart_turn:
+        from tpu_audio.models.vad.smart_turn import SmartTurn
+
+        smart_turn = SmartTurn.from_pretrained(args.smart_turn)
+
+    audio, sr = load_audio(args.audio)
+    with StreamingWAVWriter(args.output, tts.sample_rate) as writer:
+        turns = run_agent(audio, sr, vad, stt, tts, smart_turn=smart_turn,
+                          player_sink=writer.append)
+    print(f"[agent] {len(turns)} turn(s) -> {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
