@@ -64,3 +64,26 @@ def test_whisper_tokenizer_from_fixture(whisper_dir):
     prompt = tok.build_prompt_tokens(None)
     assert prompt[0] == tok.sot
     assert tok.decode([1, 2, tok.eot]) == "w1 w2"
+
+
+def test_tts_cli_timestamps_and_raw_ipa(tmp_path, capsys):
+    """--timestamps runs the forced aligner on the generated audio
+    (App.swift:214-236); --raw-ipa bypasses the text processor."""
+    from fixtures import make_kokoro_fixture, make_qwen3_aligner_fixture
+
+    from tpu_audio.cli import tts
+
+    tts_dir = make_kokoro_fixture(tmp_path / "tts")
+    aligner_dir = make_qwen3_aligner_fixture(
+        tmp_path / "qwen3-forced-aligner")
+    out = str(tmp_path / "o.wav")
+    rc = tts.main(["hello world", "--model", str(tts_dir), "-o", out,
+                   "--timestamps", str(aligner_dir)])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Timestamps:" in captured.out
+    assert "hello" in captured.out and "world" in captured.out
+
+    rc2 = tts.main(["h@loU", "--model", str(tts_dir),
+                    "-o", str(tmp_path / "o2.wav"), "--raw-ipa"])
+    assert rc2 == 0

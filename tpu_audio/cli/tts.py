@@ -31,6 +31,14 @@ def main(argv=None):
                         help="write audio incrementally as it is generated")
     parser.add_argument("--benchmark", action="store_true",
                         help="report TTFB and RTFx from the stream")
+    parser.add_argument("--timestamps", nargs="?", default=None,
+                        const="mlx-community/Qwen3-ForcedAligner-0.6B-4bit",
+                        metavar="ALIGNER",
+                        help="emit word timestamps of the generated audio "
+                             "via a Qwen3 forced aligner (App.swift:214-236)")
+    parser.add_argument("--raw-ipa", action="store_true",
+                        help="treat the input text as raw IPA phonemes "
+                             "(bypasses the model's text processor)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -43,6 +51,9 @@ def main(argv=None):
     if args.codec:
         kwargs["snac_repo"] = args.codec
     model = load_model(args.model, **kwargs)
+    if args.raw_ipa and hasattr(model, "text_processor"):
+        # PassthroughProcessor equivalent (App.swift:93)
+        model.text_processor = None
     params = model.default_generation_parameters()
     params.max_tokens = args.max_tokens
     if args.temperature is not None:
@@ -92,6 +103,19 @@ def main(argv=None):
         dur = len(audio) / model.sample_rate
         print(f"[tts] {dur:.2f}s audio in {wall:.2f}s "
               f"(RTFx {dur/wall:.2f}x) -> {args.output}", file=sys.stderr)
+
+    if args.timestamps:
+        from tpu_audio.core.audio_io import resample_audio
+        from tpu_audio.models.stt import load_model as load_stt
+
+        aligner = load_stt(args.timestamps)
+        wav, sr = load_audio(args.output)
+        aligned = aligner.generate(resample_audio(wav, sr, 16000),
+                                   text=args.text, language="English")
+        print("Timestamps:")
+        for item in aligned.items:
+            print(f"  [{item.start_time:.3f}s - {item.end_time:.3f}s] "
+                  f"{item.text}")
     return 0
 
 
