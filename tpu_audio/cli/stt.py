@@ -34,6 +34,12 @@ def main(argv=None):
                         help="alignment text (required for forced aligner models)")
     parser.add_argument("--output", default=None, help="write result to file")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--chunk-duration", type=float, default=None,
+                        help="chunking window in seconds (model-dependent)")
+    parser.add_argument("--kv-bits", type=int, default=None,
+                        choices=[8],
+                        help="quantize the decode KV cache (int8)")
+    parser.add_argument("--kv-group-size", type=int, default=64)
     args = parser.parse_args(argv)
 
     from tpu_audio.core.audio_io import load_audio
@@ -45,6 +51,8 @@ def main(argv=None):
     params = STTGenerateParameters(
         language=args.language, task=args.task, max_tokens=args.max_tokens,
         temperature=args.temperature, verbose=args.verbose,
+        chunk_duration=args.chunk_duration, kv_bits=args.kv_bits,
+        kv_group_size=args.kv_group_size,
     )
 
     if getattr(model, "is_forced_aligner", False):

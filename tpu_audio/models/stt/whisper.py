@@ -462,7 +462,7 @@ class Whisper:
         )
         self._decode_loop = jax.jit(
             functools.partial(_decode_loop, cfg=cfg),
-            static_argnames=("max_total",),
+            static_argnames=("max_total", "kv_bits", "kv_group_size"),
         )
         if config.quantization:
             from tpu_audio.core import quant
@@ -619,7 +619,8 @@ class Whisper:
             jnp.asarray(prompt_buf), jnp.int32(len(prompt)),
             jnp.int32(self.tokenizer.eot), jnp.asarray(suppress),
             jnp.asarray(begin), jnp.float32(params.temperature), rng,
-            max_total=max_total,
+            max_total=max_total, kv_bits=params.kv_bits,
+            kv_group_size=params.kv_group_size,
         )
         tokens = np.asarray(tokens)
         count = int(count)
@@ -653,18 +654,27 @@ class Whisper:
 
 
 def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
-                 begin, temperature, rng, *, max_total: int, cfg: WhisperConfig):
+                 begin, temperature, rng, *, max_total: int, cfg: WhisperConfig,
+                 kv_bits: int | None = None, kv_group_size: int = 64):
     """One jitted graph: cross-KV precompute + prompt prefill (teacher-forced
     through the single-token step) + AR decode with fused suppression and
-    sampling + on-device EOT stop."""
+    sampling + on-device EOT stop. ``kv_bits=8`` stores the self-attention
+    KV cache as int8 per-head-group affine (Generation.swift:14-19 knobs),
+    halving decode HBM reads on long transcripts."""
     b = enc_out.shape[0]
     n_heads = cfg.decoder_attention_heads
     head_dim = cfg.d_model // n_heads
     cross_k, cross_v = _cross_kv(params, enc_out, cfg)
-    cache = kv_cache.init_cache(
-        cfg.decoder_layers, b, n_heads, head_dim, max_total,
-        enc_out.dtype,
-    )
+    if kv_bits == 8:
+        cache = kv_cache.init_quant_cache(
+            cfg.decoder_layers, b, n_heads, head_dim, max_total,
+            group_size=kv_group_size,
+        )
+    else:
+        cache = kv_cache.init_cache(
+            cfg.decoder_layers, b, n_heads, head_dim, max_total,
+            enc_out.dtype,
+        )
     tokens0 = prompt_buf[:max_total] if prompt_buf.shape[0] >= max_total else jnp.pad(
         prompt_buf, (0, max_total - prompt_buf.shape[0])
     )
