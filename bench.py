@@ -25,7 +25,7 @@ import numpy as np
 
 
 def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
-                      repeats: int = 3) -> dict:
+                      repeats: int = 3, kv_bits: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
             jnp.asarray(prompt_buf), jnp.int32(len(prompt)),
             jnp.int32(-1),  # unmatched EOT -> full-length decode
             jnp.asarray(suppress), jnp.asarray(begin),
-            jnp.float32(0.0), key, max_total=max_total,
+            jnp.float32(0.0), key, max_total=max_total, kv_bits=kv_bits,
         )
         return tokens.block_until_ready(), int(count)
 
@@ -87,7 +87,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     rtf = wall / 30.0
     baseline_rtf = 0.05
     return {
-        "metric": f"whisper_{size}_rtf_30s_{decode_tokens}tok",
+        "metric": f"whisper_{size}_rtf_30s_{decode_tokens}tok"
+                  + ("_kv8" if kv_bits == 8 else ""),
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
@@ -206,10 +207,11 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
+    kv_bits = 8 if "kv8" in sys.argv[2:] else None
     if mode == "tts":
         result = bench_tts_ttfb()
     else:
-        result = bench_whisper_rtf(mode)
+        result = bench_whisper_rtf(mode, kv_bits=kv_bits)
     print(json.dumps(result))
 
 

@@ -44,6 +44,8 @@ _REGISTRY: dict[str, str] = {
     "s3tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",
     "higgs_audio_v2_tokenizer": "tpu_audio.codecs.higgs:HiggsAudioTokenizer",
     "higgs": "tpu_audio.codecs.higgs:HiggsAudioTokenizer",
+    "higgs_audio_tokenizer":
+        "tpu_audio.codecs.higgs_audio:HiggsAudioTokenizer",
     "moss_audio_tokenizer": "tpu_audio.codecs.moss_tokenizer:MossAudioTokenizer",
     "mossaudio": "tpu_audio.codecs.moss_tokenizer:MossAudioTokenizer",
     "s3_tokenizer": "tpu_audio.codecs.s3_tokenizer:S3TokenizerV2",

@@ -241,7 +241,12 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
         cp = lp["encoder_attn"]
         q = nn.linear(cp["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        o = nn.sdpa(q, cross_k[i], cross_v[i])
+        if isinstance(cross_k, tuple):  # int8-quantized cross KV (kv_bits=8)
+            ck = kv_cache._dequantize(cross_k[0][i], cross_k[1][i], x.dtype)
+            cv = kv_cache._dequantize(cross_v[0][i], cross_v[1][i], x.dtype)
+        else:
+            ck, cv = cross_k[i], cross_v[i]
+        o = nn.sdpa(q, ck, cv)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.linear(cp["out_proj"], o)
 
@@ -659,12 +664,24 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
     """One jitted graph: cross-KV precompute + prompt prefill (teacher-forced
     through the single-token step) + AR decode with fused suppression and
     sampling + on-device EOT stop. ``kv_bits=8`` stores the self-attention
-    KV cache as int8 per-head-group affine (Generation.swift:14-19 knobs),
-    halving decode HBM reads on long transcripts."""
+    KV cache AND the cross-attention K/V as int8 per-head-group affine
+    (Generation.swift:14-19 knobs) — a memory-footprint option for long
+    transcripts / batched decode (measured RTF-neutral on v5e: XLA
+    materializes the dequantized KV before the attention matmul)."""
     b = enc_out.shape[0]
     n_heads = cfg.decoder_attention_heads
     head_dim = cfg.d_model // n_heads
     cross_k, cross_v = _cross_kv(params, enc_out, cfg)
+    if kv_bits == 8:
+        n_groups = head_dim // min(kv_group_size, head_dim)
+        qk = [kv_cache._quantize(cross_k[i], n_groups)
+              for i in range(cfg.decoder_layers)]
+        qv = [kv_cache._quantize(cross_v[i], n_groups)
+              for i in range(cfg.decoder_layers)]
+        cross_k = (jnp.stack([q for q, _ in qk]),
+                   jnp.stack([s for _, s in qk]))
+        cross_v = (jnp.stack([q for q, _ in qv]),
+                   jnp.stack([s for _, s in qv]))
     if kv_bits == 8:
         cache = kv_cache.init_quant_cache(
             cfg.decoder_layers, b, n_heads, head_dim, max_total,

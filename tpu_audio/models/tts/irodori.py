@@ -52,7 +52,6 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.models.tts.echo_tts import (
-    _apply_rotary,
     _echo_mlp,
     _echo_rms,
     _encoder_block,

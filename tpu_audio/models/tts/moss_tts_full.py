@@ -32,7 +32,6 @@ waveform by the bundled ``tpu_audio.codecs.moss_tokenizer``
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
