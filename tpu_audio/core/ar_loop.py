@@ -61,6 +61,22 @@ def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
             rng, sub = jax.random.split(rng)
             if sampling.temperature == 0.0:
                 next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            elif (sampling.top_k and sampling.top_k > 0
+                    and sampling.min_p == 0.0):
+                # fused top-k -> nucleus -> sample in the k-candidate
+                # space: ONE O(V) top_k per token instead of two (the
+                # top-p nucleus is a subset of the top-k set, so the
+                # distribution is identical)
+                vals, idx = jax.lax.top_k(logits, sampling.top_k)
+                if sampling.top_p < 1.0:
+                    probs = jax.nn.softmax(vals, axis=-1)
+                    exceeded = (jnp.cumsum(probs, -1) - probs) \
+                        > sampling.top_p
+                    vals = jnp.where(exceeded, -jnp.inf, vals)
+                choice = jax.random.categorical(
+                    sub, vals / sampling.temperature, axis=-1)
+                next_tok = jnp.take_along_axis(
+                    idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
             else:
                 from tpu_audio.core.sampling import (
                     _mask_min_p,
