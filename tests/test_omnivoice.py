@@ -156,3 +156,43 @@ def test_prompt_format(model):
     assert "<|lang_start|>" in toks and "<|text_end|>" in toks
     ids2 = model.build_prompt("w1", has_ref=False)
     assert model.tokenizer.id_to_token(ids2[0]) == "<|lang_start|>"
+
+
+def test_hubert_semantic_matches_transformers():
+    """The HiggsAudio semantic trunk (mean over all hidden states) matches
+    torch HubertModel bit-for-bit within float tolerance — validates the
+    voice-clone encode path math."""
+    import torch
+    from transformers import HubertConfig, HubertModel
+
+    from tpu_audio.codecs import higgs_audio as ha
+    from tpu_audio.core import loading
+
+    hf_cfg = HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[8, 8], conv_kernel=[4, 2],
+        conv_stride=[2, 2], conv_bias=False, feat_extract_norm="group",
+        do_stable_layer_norm=False, num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2, feat_proj_dropout=0.0,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf = HubertModel(hf_cfg).eval()
+    wav = torch.randn(1, 800) * 0.1
+    with torch.no_grad():
+        out = hf(wav, output_hidden_states=True)
+    ref = torch.stack(out.hidden_states).mean(0).numpy()
+
+    weights = {f"semantic_model.{k}": v.numpy()
+               for k, v in hf.state_dict().items()}
+    params = loading.unflatten(ha.sanitize(weights))
+    cfg = ha.HiggsAudioConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(8, 8), conv_kernel=(4, 2),
+        conv_stride=(2, 2), num_conv_pos_embeddings=8,
+        num_conv_pos_embedding_groups=2)
+    got = np.asarray(ha.hubert_mean_hidden(
+        params["semantic_model"], wav.numpy(), cfg.hubert_config()))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
