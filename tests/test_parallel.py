@@ -75,3 +75,53 @@ def test_inference_sharded_forward_matches_replicated():
     with mesh:
         got = np.asarray(W.encoder_forward(sharded, mel, cfg))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_batch_server_matches_local():
+    """BatchServer shards the batch over the data axis and matches the
+    unsharded forward, including ragged batch padding."""
+    import jax.numpy as jnp
+
+    from tpu_audio.parallel.serve import BatchServer
+
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 8 * 4,
+                                           dtype=np.float32).reshape(8, 4))}
+
+    def fn(p, x):  # [B, 8] -> [B, 4]
+        return jnp.tanh(x @ p["w"])
+
+    server = BatchServer(fn, params)
+    assert server.n_data == 8
+    rng = np.random.default_rng(0)
+    for b in (8, 16, 5):  # even, multiple, ragged
+        x = rng.standard_normal((b, 8)).astype(np.float32)
+        got = np.asarray(server(x))
+        want = np.asarray(fn(params, jnp.asarray(x)))
+        assert got.shape == (b, 4)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_batch_server_whisper_encoder():
+    """Whisper encoder features sharded over 8 virtual devices match the
+    single-device encoder."""
+    import jax.numpy as jnp
+
+    from tpu_audio.models.stt import whisper as W
+    from tpu_audio.parallel.serve import BatchServer
+
+    cfg = W.WhisperConfig(num_mel_bins=80, d_model=32, encoder_layers=2,
+                          encoder_attention_heads=2, encoder_ffn_dim=64,
+                          decoder_layers=2, decoder_attention_heads=2,
+                          decoder_ffn_dim=64, vocab_size=64,
+                          max_target_positions=48)
+    params = W.init_params(cfg, seed=0, dtype=jnp.float32)
+
+    def encode(p, feats):
+        return W.encoder_forward(p, feats, cfg=cfg)
+
+    server = BatchServer(encode, params)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((8, 3000, 80)).astype(np.float32)
+    got = np.asarray(server(feats))
+    want = np.asarray(encode(params, jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
