@@ -186,3 +186,23 @@ def test_resolve_model_type_fallbacks():
     assert resolve_model_type({"architectures": ["LlamaForCausalLM"]}) == "llamaforcausallm"
     assert resolve_model_type({"model_version": "v2"}) == "v2"
     assert resolve_model_type({}) is None
+
+
+def test_dequantize_tree_expands_leaves():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_audio.core import quant
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((32, 128)).astype(np.float32)
+    packed, scales, biases = quant.quantize(w, 64, 4)
+    tree = {"layer": {"weight": quant.QuantizedTensor(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(biases),
+        64, 4), "bias": jnp.zeros(32)}}
+    dense = quant.dequantize_tree(tree, jnp.float32)
+    assert dense["layer"]["weight"].shape == (32, 128)
+    assert not isinstance(dense["layer"]["weight"], quant.QuantizedTensor)
+    # 4-bit grouped affine reconstruction error stays small
+    err = np.abs(np.asarray(dense["layer"]["weight"]) - w).max()
+    assert err < np.abs(w).max() * 0.15

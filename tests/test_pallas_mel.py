@@ -49,3 +49,25 @@ def test_fused_log_mel_odd_shapes(monkeypatch):
     want = np.log10(np.maximum((re**2 + im**2) @ fb, 1e-10))
     assert got.shape == (t, m)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_quantized_matvec_matches_dequant():
+    """Fused int4/int8 GEMV kernel (interpret mode) matches the XLA
+    dequantize-then-matmul path."""
+    import jax.numpy as jnp
+
+    from tpu_audio.core import quant
+    from tpu_audio.ops.pallas_qmm import quantized_matvec
+
+    rng = np.random.default_rng(0)
+    for bits, o, i, b in [(4, 96, 128, 1), (8, 64, 256, 3), (4, 300, 192, 2)]:
+        w = rng.standard_normal((o, i)).astype(np.float32)
+        packed, scales, biases = quant.quantize(w, group_size=64, bits=bits)
+        x = rng.standard_normal((b, i)).astype(np.float32)
+        want = np.asarray(quant.quantized_matmul(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales),
+            jnp.asarray(biases), 64, bits))
+        got = np.asarray(quantized_matvec(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales),
+            jnp.asarray(biases), 64, bits, tile_o=128, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)

@@ -25,6 +25,7 @@ import numpy as np
 
 __all__ = [
     "dequantize",
+    "dequantize_tree",
     "quantize",
     "quantized_matmul",
     "is_quantized",
@@ -88,6 +89,26 @@ def tag_quantized(params: dict, group_size: int = 64, bits: int = 4) -> dict:
     return walk(params)
 
 
+def dequantize_tree(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Expand every :class:`QuantizedTensor` leaf to a dense weight.
+
+    The speed-optimal way to run quantized checkpoints on TPU today:
+    per-step on-the-fly dequant reads fewer HBM bytes but XLA
+    materializes the dense weight anyway (and the Pallas GEMV is
+    launch-overhead-bound at decode shapes — see ops/pallas_qmm.py), so
+    paying the expansion ONCE at load wins decode latency at the cost of
+    full-precision memory footprint."""
+
+    def walk(node):
+        if isinstance(node, QuantizedTensor):
+            return node.dequantize(dtype)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def is_quantized(p: dict) -> bool:
     if isinstance(p.get("weight"), QuantizedTensor):
         return True
@@ -126,6 +147,19 @@ def dequantize(
     return w.reshape(out_features, in_features)
 
 
+def _use_pallas_qmm() -> bool:
+    import os
+
+    if os.environ.get("TPU_AUDIO_PALLAS") != "1":
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def quantized_matmul(
     x: jnp.ndarray,
     w_packed: jnp.ndarray,
@@ -134,7 +168,20 @@ def quantized_matmul(
     group_size: int = 64,
     bits: int = 4,
 ) -> jnp.ndarray:
-    """``x @ W.T`` with on-the-fly dequantization (W stays packed in HBM)."""
+    """``x @ W.T`` with on-the-fly dequantization (W stays packed in HBM).
+
+    Decode-shaped calls (<=16 rows) route to the fused Pallas GEMV when
+    ``TPU_AUDIO_PALLAS=1`` (ops/pallas_qmm.py) — the XLA path
+    materializes the dequantized weight, which costs more than the
+    packed reads save."""
+    lead = x.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    if rows <= 16 and _use_pallas_qmm():
+        from tpu_audio.ops.pallas_qmm import quantized_matvec
+
+        y = quantized_matvec(x.reshape(rows, x.shape[-1]), w_packed,
+                             scales, biases, group_size, bits)
+        return y.reshape(*lead, w_packed.shape[0])
     w = dequantize(w_packed, scales, biases, group_size, bits, dtype=x.dtype)
     return x @ w.T
 
