@@ -8,9 +8,10 @@ the complex spectrum into VMEM, squares on the VPU, rides the MXU for the
 filterbank matmul, and writes only the final log-mel tile. The global-max
 clamp + (x+4)/4 normalization stay in XLA (they need a cross-tile max).
 
-Opt-in via ``TPU_AUDIO_PALLAS=1`` (the axon remote-compile service in this
-environment stalls on Mosaic kernels; correctness is verified in interpret
-mode and the XLA path is the default).
+Opt-in via ``TPU_AUDIO_PALLAS=1``. Verified on-device (v5e, max err
+6e-4 vs XLA at 30 s/128-mel whisper shapes) at performance parity —
+XLA already fuses this chain well, so the XLA path stays the default;
+the kernel is the template for frontends XLA fuses poorly.
 """
 
 from __future__ import annotations
