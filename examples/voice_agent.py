@@ -35,9 +35,15 @@ def default_respond(transcript: str) -> str:
 
 def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
               smart_turn=None, respond=default_respond, player_sink=None,
-              verbose=True):
+              verbose=True, incomplete_timeout_s=4.0):
     """One listen->transcribe->reply->speak turn per VAD segment.
-    Returns a list of (transcript, reply, reply_audio)."""
+    Returns a list of (transcript, reply, reply_audio).
+
+    When SmartTurn judges a segment incomplete, it is buffered and merged
+    with the following segment; if more than ``incomplete_timeout_s`` of
+    audio passes without a completed turn, the buffered utterance is
+    forced through anyway (the reference SimpleChat's incomplete-utterance
+    timeout, SemanticVAD.swift:380-498)."""
     import numpy as np
 
     from tpu_audio.core.audio_stream import AudioPlayer, PCMStreamConverter
@@ -59,14 +65,25 @@ def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
 
     player = AudioPlayer(tts_model.sample_rate, sink=player_sink)
     turns = []
+    pending = None  # buffered incomplete utterance
+    pending_since = 0.0
     for seg_audio, offset in segments:
+        if pending is not None:
+            seg_audio = np.concatenate([pending, seg_audio])
         if smart_turn is not None:
             ep = smart_turn.predict_endpoint(seg_audio)
             if verbose:
                 print(f"[agent] endpoint p={ep.probability:.2f}",
                       file=sys.stderr)
-            if not ep.prediction:
-                continue  # user still mid-utterance
+            timed_out = pending is not None and (
+                offset / 16000 - pending_since) > incomplete_timeout_s
+            if not ep.prediction and not timed_out:
+                # user still mid-utterance: buffer and wait for more
+                if pending is None:
+                    pending_since = offset / 16000
+                pending = seg_audio
+                continue
+        pending = None
         t0 = time.perf_counter()
         result = stt_model.generate(seg_audio)
         transcript = result.text if hasattr(result, "text") else str(result)

@@ -88,3 +88,48 @@ def test_custom_responder(models):
         audio, 16000, vad, stt, tts, verbose=False,
         respond=lambda t: "w1 w2")
     assert all(reply == "w1 w2" for _, reply, _ in turns)
+
+
+def test_incomplete_utterance_buffering(models, tmp_path_factory,
+                                        monkeypatch):
+    """SmartTurn-gated turns: incomplete segments merge into the next one
+    (SimpleChat incomplete-utterance handling)."""
+    import voice_agent
+    from fixtures import make_smart_turn_fixture
+
+    from tpu_audio.models.vad import segmenter
+    from tpu_audio.models.vad.smart_turn import SmartTurn
+
+    vad, stt, tts = models
+    st = SmartTurn.from_pretrained(str(make_smart_turn_fixture(
+        tmp_path_factory.mktemp("st"))))
+    # the fixture VAD has random weights; pin two deterministic segments
+    monkeypatch.setattr(
+        segmenter, "segment_speech",
+        lambda audio, sr, vad_model, **kw: [(audio[4000:12000], 4000),
+                                            (audio[36000:44000], 36000)])
+
+    calls = []
+    real = st.predict_endpoint
+
+    def spy(audio, **kw):
+        out = real(audio, **kw)
+        # force "incomplete" on the first call, complete afterwards
+        out = type(out)(prediction=len(calls) >= 1,
+                        probability=out.probability)
+        calls.append(len(audio))
+        return out
+
+    st.predict_endpoint = spy
+    rng = np.random.default_rng(3)
+    # bursts > merge_gap_s (1 s) apart so the VAD yields two segments
+    audio = np.zeros(64000, np.float32)
+    audio[4000:12000] = rng.standard_normal(8000).astype(np.float32) * 0.5
+    audio[36000:44000] = rng.standard_normal(8000).astype(np.float32) * 0.5
+    turns = voice_agent.run_agent(audio, 16000, vad, stt, tts,
+                                  smart_turn=st, verbose=False,
+                                  respond=lambda t: "ok")
+    assert len(calls) >= 2
+    # the second endpoint call saw the merged (buffered + new) audio
+    assert calls[1] > calls[0]
+    assert len(turns) == 1
