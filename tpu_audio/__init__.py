@@ -7,3 +7,31 @@ LID and G2P, with `from_pretrained` HF loading, `generate` /
 """
 
 __version__ = "0.1.0"
+
+
+def load_tts(repo_or_path: str, **kw):
+    """Load any TTS model by dir/repo (model_type-dispatched)."""
+    from tpu_audio.models.tts import load_model
+
+    return load_model(repo_or_path, **kw)
+
+
+def load_stt(repo_or_path: str, **kw):
+    """Load any STT model by dir/repo (model_type-dispatched)."""
+    from tpu_audio.models.stt import load_model
+
+    return load_model(repo_or_path, **kw)
+
+
+def load_sts(repo_or_path: str, **kw):
+    """Load any speech-to-speech model (enhance/separate/chat)."""
+    from tpu_audio.models.sts import load_model
+
+    return load_model(repo_or_path, **kw)
+
+
+def load_codec(repo_or_path: str, **kw):
+    """Load any audio codec by dir/repo."""
+    from tpu_audio.codecs import load_codec as _load
+
+    return _load(repo_or_path, **kw)
