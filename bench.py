@@ -18,10 +18,24 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the large-v3 graphs take minutes to
+    compile; cached re-runs (driver round benches) skip that entirely."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
@@ -206,6 +220,7 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
 
 
 def main():
+    _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
     kv_bits = 8 if "kv8" in sys.argv[2:] else None
     if mode == "tts":

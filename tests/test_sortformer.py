@@ -9,6 +9,7 @@ from tpu_audio.models.vad.sortformer import (
     DiarizationSegment,
     Sortformer,
     preds_to_segments,
+    segments_to_rttm,
 )
 
 from fixtures import make_sortformer_fixture
@@ -91,3 +92,14 @@ def test_preds_to_segments_logic():
     # min duration filters
     segs_f = preds_to_segments(preds, 0.1, min_duration=0.35)
     assert all(s.end - s.start >= 0.35 for s in segs_f)
+
+
+def test_segments_to_rttm():
+    segs = [DiarizationSegment(0.2, 0.5, 0),
+            DiarizationSegment(0.4, 1.0, 2)]
+    rttm = segments_to_rttm(segs, uri="meeting")
+    lines = rttm.splitlines()
+    assert lines[0] == ("SPEAKER meeting 1 0.200 0.300 <NA> <NA> "
+                        "speaker_0 <NA> <NA>")
+    assert lines[1].split()[7] == "speaker_2"
+    assert len(lines) == 2

@@ -166,3 +166,41 @@ def test_session_provisional_to_confirmed(model):
     stats = [e for e in final if e.kind == EventKind.STATS][0].stats
     assert stats["decode_passes"] == 2
     assert stats["real_time_factor"] > 0
+
+
+def test_split_audio_into_chunks_energy_cuts():
+    from tpu_audio.models.stt.qwen3_asr import split_audio_into_chunks
+
+    sr = 1000
+    rng = np.random.default_rng(0)
+    # 10 s of loud noise with a silent valley at 3.5-3.7 s; max chunk 4 s
+    wav = (rng.standard_normal(10 * sr) * 0.5).astype(np.float32)
+    wav[3500:3700] = 0.0
+    chunks = split_audio_into_chunks(wav, sr, chunk_duration=4.0,
+                                     search_expand_sec=1.0)
+    # cut lands inside the silent valley, not at the nominal 4.0 s mark
+    first, off0 = chunks[0]
+    assert off0 == 0.0
+    assert 3400 <= len(first) <= 3800
+    # offsets tile the waveform exactly
+    total = sum(len(c) for c, _ in chunks)
+    assert total == len(wav)
+    for (c, off), (_, off_next) in zip(chunks, chunks[1:]):
+        assert off_next == pytest.approx(off + len(c) / sr)
+
+
+def test_split_audio_into_chunks_short_and_pad():
+    from tpu_audio.models.stt.qwen3_asr import split_audio_into_chunks
+
+    sr = 1000
+    # shorter than min_chunk_duration -> zero-padded up to it
+    chunks = split_audio_into_chunks(np.ones(300, np.float32), sr,
+                                     chunk_duration=4.0,
+                                     min_chunk_duration=1.0)
+    assert len(chunks) == 1
+    assert len(chunks[0][0]) == sr
+    assert chunks[0][0][300:].max() == 0.0
+    # stereo is mixed down
+    st = np.ones((500, 2), np.float32)
+    (c, off), = split_audio_into_chunks(st, sr, chunk_duration=4.0)
+    assert c.ndim == 1

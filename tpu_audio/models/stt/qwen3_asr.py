@@ -31,9 +31,68 @@ from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegme
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models import llama
 
-__all__ = ["Qwen3ASR", "Qwen3ASRConfig"]
+__all__ = ["Qwen3ASR", "Qwen3ASRConfig", "split_audio_into_chunks"]
 
 SAMPLE_RATE = 16000
+
+
+def split_audio_into_chunks(
+    audio: np.ndarray,
+    sample_rate: int,
+    chunk_duration: float = 1200.0,
+    min_chunk_duration: float = 1.0,
+    search_expand_sec: float = 5.0,
+    min_window_ms: float = 100.0,
+) -> list[tuple[np.ndarray, float]]:
+    """Split long audio at low-energy points into <= chunk_duration pieces.
+
+    Energy-based chunker matching the reference's ``splitAudioIntoChunks``
+    (Qwen3ASR.swift:156-268): around each nominal cut point a +/-
+    ``search_expand_sec`` window is scanned with a ``min_window_ms`` sliding
+    energy window and the cut lands at the quietest point, so chunks break
+    at pauses rather than mid-word. Chunks shorter than
+    ``min_chunk_duration`` are zero-padded up to it. Returns
+    ``[(chunk, offset_seconds), ...]``.
+    """
+    wav = np.asarray(audio, np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1)
+    total = len(wav)
+    total_sec = total / sample_rate
+    min_samples = int(min_chunk_duration * sample_rate)
+
+    def padded(chunk: np.ndarray) -> np.ndarray:
+        if len(chunk) < min_samples:
+            chunk = np.pad(chunk, (0, min_samples - len(chunk)))
+        return chunk
+
+    if total_sec <= chunk_duration:
+        return [(padded(wav), 0.0)]
+
+    chunks: list[tuple[np.ndarray, float]] = []
+    max_chunk = int(chunk_duration * sample_rate)
+    search = int(search_expand_sec * sample_rate)
+    win = int(min_window_ms * sample_rate / 1000.0)
+    start = 0
+    while start < total:
+        end = min(start + max_chunk, total)
+        if end >= total:
+            chunks.append((padded(wav[start:]), start / sample_rate))
+            break
+        lo = max(start, end - search)
+        hi = min(total, end + search)
+        if hi - lo > win:
+            region = wav[lo:hi]
+            # sliding mean energy via cumulative sum (O(n))
+            csum = np.concatenate([[0.0], np.cumsum(region.astype(np.float64) ** 2)])
+            energy = (csum[win:] - csum[:-win]) / win
+            cut = lo + int(np.argmin(energy)) + win // 2
+        else:
+            cut = end
+        cut = max(cut, start + sample_rate)
+        chunks.append((padded(wav[start:min(cut, total)]), start / sample_rate))
+        start = cut
+    return chunks
 
 
 @dataclass
@@ -286,12 +345,13 @@ class Qwen3ASR:
         if audio.ndim > 1:
             audio = audio.mean(axis=-1)
         chunk_s = params.chunk_duration or 1200.0
-        chunk = int(chunk_s * SAMPLE_RATE)
         texts, segments = [], []
         total_prompt = total_gen = 0
         language = None
-        for s in range(0, max(len(audio), 1), chunk):
-            piece = audio[s : s + chunk]
+        if len(audio) == 0:
+            audio = np.zeros(1, np.float32)
+        for piece, offset in split_audio_into_chunks(
+                audio, SAMPLE_RATE, chunk_duration=chunk_s):
             text, lang, n_prompt, n_gen = self._generate_chunk(piece, params)
             total_prompt += n_prompt
             total_gen += n_gen
@@ -300,8 +360,8 @@ class Qwen3ASR:
             if text:
                 texts.append(text)
                 segments.append(STTSegment(
-                    text=text, start=s / SAMPLE_RATE,
-                    end=(s + len(piece)) / SAMPLE_RATE))
+                    text=text, start=offset,
+                    end=offset + len(piece) / SAMPLE_RATE))
         elapsed = time.perf_counter() - t0
         return STTOutput(
             text=" ".join(texts), segments=segments, language=language,

@@ -354,8 +354,16 @@ def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
             },
         }
     }
-    params = jax.tree.map(jnp.asarray, params)
-    return loading.cast_floats(params, dtype)
+    # cast on HOST first: shipping fp32 over the device link doubles the
+    # transfer bytes and peaks at 3x the bf16 footprint on device
+    np_dtype = np.dtype(dtype)
+
+    def _to_device(x):
+        if np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np_dtype)
+        return jnp.asarray(x)
+
+    return jax.tree.map(_to_device, params)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,8 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 
-__all__ = ["Sortformer", "SortformerConfig", "DiarizationSegment"]
+__all__ = ["Sortformer", "SortformerConfig", "DiarizationSegment",
+           "segments_to_rttm"]
 
 LOG_GUARD = 2.0**-24
 
@@ -125,6 +126,18 @@ class DiarizationSegment:
     start: float
     end: float
     speaker: int
+
+
+def segments_to_rttm(segments: list["DiarizationSegment"],
+                     uri: str = "audio") -> str:
+    """Format diarization segments as RTTM text (VADOutput.swift:42-51):
+    one ``SPEAKER <uri> 1 <start> <dur> <NA> <NA> speaker_<n> <NA> <NA>``
+    line per segment."""
+    return "\n".join(
+        f"SPEAKER {uri} 1 {seg.start:.3f} {seg.end - seg.start:.3f} "
+        f"<NA> <NA> speaker_{seg.speaker} <NA> <NA>"
+        for seg in segments
+    )
 
 
 # ---------------------------------------------------------------------------
