@@ -30,11 +30,13 @@ def test_shard_params_applies_tp_rules():
     mesh = make_mesh(8, axes=("data", "model"))
     cfg = _tiny_cfg()
     params = shard_params(W.init_params(cfg, dtype=jnp.float32), mesh)
-    fc1 = params["model"]["encoder"]["layers"]["0"]["fc1"]["weight"]
+    # stacked layer layout: [L, O, I] — the rule right-aligns, the layer
+    # axis replicates
+    fc1 = params["model"]["encoder"]["layers"]["fc1"]["weight"]
     spec = fc1.sharding.spec
-    assert spec[0] == "model"  # column parallel
-    fc2 = params["model"]["encoder"]["layers"]["0"]["fc2"]["weight"]
-    assert fc2.sharding.spec[1] == "model"  # row parallel
+    assert spec[-2] == "model"  # column parallel
+    fc2 = params["model"]["encoder"]["layers"]["fc2"]["weight"]
+    assert fc2.sharding.spec[-1] == "model"  # row parallel
 
 
 def test_sharded_train_step_runs_and_matches_single_device():

@@ -31,6 +31,7 @@ __all__ = [
     "load_params",
     "verify_params",
     "cast_floats",
+    "stack_layer_params",
 ]
 
 
@@ -116,6 +117,30 @@ def cast_floats(tree, dtype):
         return x
 
     return jax.tree.map(cast, tree)
+
+
+def stack_layer_params(tree, container: str = "layers"):
+    """Convert ``{"layers": {"0": sub, "1": sub, ...}}`` containers anywhere
+    in a param tree into one stacked pytree whose leaves gain a leading layer
+    dim — the layout consumed by ``lax.scan``-over-layers forwards. Scanning
+    the stacked block compiles the layer body ONCE instead of unrolling it
+    N times into the HLO (a 32-layer whisper-large compile drops from
+    minutes to tens of seconds) with identical numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if (k == container and isinstance(v, dict) and v
+                    and all(s.isdigit() for s in v)):
+                per = [stack_layer_params(v[str(i)], container)
+                       for i in range(len(v))]
+                out[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+            else:
+                out[k] = stack_layer_params(v, container)
+        return out
+    return tree
 
 
 def verify_params(params: dict, expected_prefixes: tuple[str, ...] = ()) -> None:

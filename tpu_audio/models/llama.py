@@ -17,7 +17,7 @@ import numpy as np
 
 from tpu_audio.core import kv_cache, nn
 
-__all__ = ["LlamaConfig", "forward", "init_random_params"]
+__all__ = ["LlamaConfig", "forward", "init_random_params", "maybe_stack"]
 
 
 @dataclass
@@ -53,6 +53,36 @@ class LlamaConfig:
         keys = set(cls.__dataclass_fields__)
         kw = {k: v for k, v in d.items() if k in keys}
         return cls(**kw)
+
+
+def _is_per_layer_dict(layers) -> bool:
+    return isinstance(layers, dict) and "0" in layers
+
+
+def maybe_stack(params: dict) -> dict:
+    """Stack the decoder's ``layers`` container for the lax.scan forward
+    path (see ``loading.stack_layer_params``) when all layers share one
+    structure; heterogeneous layers (e.g. per-layer quantization configs)
+    are left as dicts and take the unrolled path."""
+    p = params["model"] if "model" in params else params
+    layers = p.get("layers")
+    if not _is_per_layer_dict(layers):
+        return params
+    structs = {
+        jax.tree.structure(layers[str(i)])
+        for i in range(len(layers))
+    }
+    shapes = {
+        tuple(x.shape for x in jax.tree.leaves(layers[str(i)]))
+        for i in range(len(layers))
+    }
+    if len(structs) > 1 or len(shapes) > 1:
+        return params
+    p["layers"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[layers[str(i)] for i in range(len(layers))],
+    )
+    return params
 
 
 def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
@@ -96,9 +126,13 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
     cos, sin = _rope_tables(cfg, positions)
 
     mask = kv_cache.attention_mask(cache, t) if cache is not None else None
+    offset0 = cache.offset if cache is not None else None
+    quant_self = isinstance(cache, kv_cache.QuantKVCache)
+    stacked = not _is_per_layer_dict(p["layers"])
 
-    for i in range(cfg.num_hidden_layers):
-        lp = p["layers"][str(i)]
+    def attn_mlp(x, lp, kv_update):
+        """One decoder layer; ``kv_update(k, v)`` returns the full-capacity
+        K/V views for attention (and stashes the cache write)."""
         h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
         ap = lp["self_attn"]
         q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
@@ -112,8 +146,8 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         v = v.transpose(0, 2, 1, 3)
         q = nn.apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
         k = nn.apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
-        if cache is not None:
-            cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+        if kv_update is not None:
+            k_full, v_full = kv_update(k, v)
             o = nn.sdpa(q, k_full, v_full, mask=mask,
                         scale=cfg.attention_multiplier)
         else:
@@ -129,6 +163,76 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
             mp["down_proj"],
             nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h),
         ) * cfg.residual_multiplier
+        return x
+
+    if stacked:
+        # scan over the stacked layer axis: one compiled layer body
+        # regardless of depth; cache buffers ([L, ...]) ride as xs/ys
+        if cache is None:
+            cache_xs = None
+        elif quant_self:
+            cache_xs = (cache.k_q, cache.k_scale, cache.v_q, cache.v_scale)
+        else:
+            cache_xs = (cache.k, cache.v)
+
+        def layer(x, xs):
+            lp, cache_l = xs
+            written = []
+
+            def kv_update(k, v):
+                start = (0, 0, offset0, 0)
+                if quant_self:
+                    k_q, k_s, v_q, v_s = cache_l
+                    g = k_s.shape[-1]
+                    kq_new, ks_new = kv_cache._quantize(k, g)
+                    vq_new, vs_new = kv_cache._quantize(v, g)
+                    k_q = jax.lax.dynamic_update_slice(k_q, kq_new, start)
+                    k_s = jax.lax.dynamic_update_slice(
+                        k_s, ks_new.astype(k_s.dtype), start)
+                    v_q = jax.lax.dynamic_update_slice(v_q, vq_new, start)
+                    v_s = jax.lax.dynamic_update_slice(
+                        v_s, vs_new.astype(v_s.dtype), start)
+                    written.append((k_q, k_s, v_q, v_s))
+                    return (kv_cache._dequantize(k_q, k_s, x.dtype),
+                            kv_cache._dequantize(v_q, v_s, x.dtype))
+                k_cache, v_cache = cache_l
+                k_full = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), start)
+                v_full = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), start)
+                written.append((k_full, v_full))
+                return k_full, v_full
+
+            x = attn_mlp(x, lp, kv_update if cache_l is not None else None)
+            return x, (written[0] if written else None)
+
+        xs = (p["layers"], cache_xs)
+        # partial unroll: amortizes per-iteration scan sequencing overhead
+        # (measurable at decode shapes) while keeping the HLO ~L/unroll
+        # bodies instead of L
+        unroll = min(4, cfg.num_hidden_layers)
+        if cfg.num_hidden_layers % unroll:
+            unroll = 1
+        x, cache_ys = jax.lax.scan(layer, x, xs, unroll=unroll)
+        if cache is not None:
+            if quant_self:
+                cache = cache._replace(k_q=cache_ys[0], k_scale=cache_ys[1],
+                                       v_q=cache_ys[2], v_scale=cache_ys[3])
+            else:
+                cache = cache._replace(k=cache_ys[0], v=cache_ys[1])
+    else:
+        # per-layer dict path: kept for heterogeneous checkpoints
+        # (e.g. per-layer quantization configs, LlamaTTS.swift:959-969)
+        for i in range(cfg.num_hidden_layers):
+            lp = p["layers"][str(i)]
+            if cache is not None:
+                def kv_update(k, v, _i=i):
+                    nonlocal cache
+                    cache, k_full, v_full = kv_cache.update_cache(cache, _i, k, v)
+                    return k_full, v_full
+            else:
+                kv_update = None
+            x = attn_mlp(x, lp, kv_update)
 
     x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
     if cache is not None:
@@ -173,27 +277,27 @@ def init_random_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.bfloat16) -> d
     def rand(*shape):
         return rng.standard_normal(shape, dtype=np.float32) * 0.02
 
-    layers = {}
-    for i in range(cfg.num_hidden_layers):
-        attn = {
-            "q_proj": {"weight": rand(cfg.num_attention_heads * hd, d)},
-            "k_proj": {"weight": rand(cfg.num_key_value_heads * hd, d)},
-            "v_proj": {"weight": rand(cfg.num_key_value_heads * hd, d)},
-            "o_proj": {"weight": rand(d, cfg.num_attention_heads * hd)},
-        }
-        if cfg.qk_norm:
-            attn["q_norm"] = {"weight": np.ones((hd,), np.float32)}
-            attn["k_norm"] = {"weight": np.ones((hd,), np.float32)}
-        layers[str(i)] = {
-            "input_layernorm": {"weight": np.ones((d,), np.float32)},
-            "self_attn": attn,
-            "post_attention_layernorm": {"weight": np.ones((d,), np.float32)},
-            "mlp": {
-                "gate_proj": {"weight": rand(ffn, d)},
-                "up_proj": {"weight": rand(ffn, d)},
-                "down_proj": {"weight": rand(d, ffn)},
-            },
-        }
+    # stacked scan-over-layers layout: every layer leaf leads with [L]
+    n = cfg.num_hidden_layers
+    attn = {
+        "q_proj": {"weight": rand(n, cfg.num_attention_heads * hd, d)},
+        "k_proj": {"weight": rand(n, cfg.num_key_value_heads * hd, d)},
+        "v_proj": {"weight": rand(n, cfg.num_key_value_heads * hd, d)},
+        "o_proj": {"weight": rand(n, d, cfg.num_attention_heads * hd)},
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = {"weight": np.ones((n, hd), np.float32)}
+        attn["k_norm"] = {"weight": np.ones((n, hd), np.float32)}
+    layers = {
+        "input_layernorm": {"weight": np.ones((n, d), np.float32)},
+        "self_attn": attn,
+        "post_attention_layernorm": {"weight": np.ones((n, d), np.float32)},
+        "mlp": {
+            "gate_proj": {"weight": rand(n, ffn, d)},
+            "up_proj": {"weight": rand(n, ffn, d)},
+            "down_proj": {"weight": rand(n, d, ffn)},
+        },
+    }
     params = {
         "model": {
             "embed_tokens": {"weight": rand(v, d)},

@@ -191,6 +191,8 @@ class GLMASR:
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         config = GLMASRConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        if "language_model" in params:
+            params["language_model"] = llama.maybe_stack(params["language_model"])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

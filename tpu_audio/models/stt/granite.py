@@ -318,6 +318,8 @@ class GraniteSpeech:
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         config = GraniteConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        if "language_model" in params:
+            params["language_model"] = llama.maybe_stack(params["language_model"])
         if config.quantization:
             from tpu_audio.core import quant
 

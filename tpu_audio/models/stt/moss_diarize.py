@@ -197,6 +197,11 @@ class MossTranscribeDiarize:
             config.enable_time_marker = pd.get(
                 "enable_time_marker", config.enable_time_marker)
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        if "whisper" in params:  # scan-over-layers layout (see whisper.py)
+            params["whisper"] = loading.stack_layer_params(params["whisper"])
+        if "language_model" in params:
+            params["language_model"] = llama.maybe_stack(
+                params["language_model"])
         if config.text.tie_word_embeddings:
             params.get("language_model", {}).pop("lm_head", None)
         if config.quantization:

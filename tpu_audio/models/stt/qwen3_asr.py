@@ -246,6 +246,7 @@ class Qwen3ASR:
             return out
 
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        params = llama.maybe_stack(params)  # text LM under params["model"]
         if config.quantization:
             from tpu_audio.core import quant
 

@@ -181,40 +181,52 @@ def _attention(p, x, kv_x=None, mask=None, n_heads=8):
 
 def encoder_forward(params, mel, cfg: WhisperConfig):
     """mel [B, T=3000, n_mels] -> hidden [B, 1500, D]
-    (reference WhisperLayers.swift:110 encoder)."""
+    (reference WhisperLayers.swift:110 encoder).
+
+    Layer params are STACKED ([L, ...] leaves, see
+    ``loading.stack_layer_params``) and the layer body is ``lax.scan``ed —
+    one compiled body regardless of depth."""
     p = params["model"]["encoder"]
     x = nn.gelu(nn.conv1d(p["conv1"], mel, stride=1, padding=1))
     x = nn.gelu(nn.conv1d(p["conv2"], x, stride=2, padding=1))
     x = x + p["embed_positions"]["weight"][: x.shape[1]].astype(x.dtype)
-    for i in range(cfg.encoder_layers):
-        lp = p["layers"][str(i)]
+    n_heads = cfg.encoder_attention_heads
+
+    def layer(x, lp):
         h = nn.layer_norm(lp["self_attn_layer_norm"], x)
-        x = x + _attention(lp["self_attn"], h, n_heads=cfg.encoder_attention_heads)
+        x = x + _attention(lp["self_attn"], h, n_heads=n_heads)
         h = nn.layer_norm(lp["final_layer_norm"], x)
         x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, p["layers"])
     return nn.layer_norm(p["layer_norm"], x)
 
 
 def _cross_kv(params, enc_out, cfg: WhisperConfig):
-    """Precompute per-layer cross-attention K/V: [L, B, H, S_src, Dh] each."""
-    p = params["model"]["decoder"]
+    """Precompute per-layer cross-attention K/V: [L, B, H, S_src, Dh] each
+    (vmapped over the stacked layer axis)."""
+    ap_stack = params["model"]["decoder"]["layers"]["encoder_attn"]
     n_heads = cfg.decoder_attention_heads
     b, s, d = enc_out.shape
     hd = d // n_heads
-    ks, vs = [], []
-    for i in range(cfg.decoder_layers):
-        ap = p["layers"][str(i)]["encoder_attn"]
+
+    def kv(ap):
         k = nn.linear(ap["k_proj"], enc_out).reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
         v = nn.linear(ap["v_proj"], enc_out).reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
-        ks.append(k)
-        vs.append(v)
-    return jnp.stack(ks), jnp.stack(vs)
+        return k, v
+
+    return jax.vmap(kv)(ap_stack)
 
 
 def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
                  cfg: WhisperConfig):
     """One decode step: tokens [B, T] at positions pos..pos+T.
-    Returns (logits [B, T, V], new cache)."""
+    Returns (logits [B, T, V], new cache).
+
+    The layer body is ``lax.scan``ed over the stacked layer axis; the KV
+    cache's layer-stacked buffers ride the scan as xs/ys so each layer
+    writes its own slice."""
     p = params["model"]["decoder"]
     n_heads = cfg.decoder_attention_heads
     b, t = tokens.shape
@@ -226,14 +238,41 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
     d = x.shape[-1]
     hd = d // n_heads
     mask = kv_cache.attention_mask(cache, t)
-    for i in range(cfg.decoder_layers):
-        lp = p["layers"][str(i)]
+    offset = cache.offset
+    quant_self = isinstance(cache, kv_cache.QuantKVCache)
+    quant_cross = isinstance(cross_k, tuple)
+
+    if quant_self:
+        cache_xs = (cache.k_q, cache.k_scale, cache.v_q, cache.v_scale)
+    else:
+        cache_xs = (cache.k, cache.v)
+    cross_xs = (cross_k + cross_v) if quant_cross else (cross_k, cross_v)
+
+    def layer(x, xs):
+        lp, cross_l, cache_l = xs
         h = nn.layer_norm(lp["self_attn_layer_norm"], x)
         ap = lp["self_attn"]
         q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         k = nn.linear(ap["k_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         v = nn.linear(ap["v_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
+        start = (0, 0, offset, 0)
+        if quant_self:
+            k_q, k_s, v_q, v_s = cache_l
+            g = k_s.shape[-1]
+            kq_new, ks_new = kv_cache._quantize(k, g)
+            vq_new, vs_new = kv_cache._quantize(v, g)
+            k_q = jax.lax.dynamic_update_slice(k_q, kq_new, start)
+            k_s = jax.lax.dynamic_update_slice(k_s, ks_new.astype(k_s.dtype), start)
+            v_q = jax.lax.dynamic_update_slice(v_q, vq_new, start)
+            v_s = jax.lax.dynamic_update_slice(v_s, vs_new.astype(v_s.dtype), start)
+            cache_l = (k_q, k_s, v_q, v_s)
+            k_full = kv_cache._dequantize(k_q, k_s, x.dtype)
+            v_full = kv_cache._dequantize(v_q, v_s, x.dtype)
+        else:
+            k_cache, v_cache = cache_l
+            k_full = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), start)
+            v_full = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), start)
+            cache_l = (k_full, v_full)
         o = nn.sdpa(q, k_full, v_full, mask=mask)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.linear(ap["out_proj"], o)
@@ -241,17 +280,25 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
         cp = lp["encoder_attn"]
         q = nn.linear(cp["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        if isinstance(cross_k, tuple):  # int8-quantized cross KV (kv_bits=8)
-            ck = kv_cache._dequantize(cross_k[0][i], cross_k[1][i], x.dtype)
-            cv = kv_cache._dequantize(cross_v[0][i], cross_v[1][i], x.dtype)
+        if quant_cross:  # int8-quantized cross KV (kv_bits=8)
+            ck = kv_cache._dequantize(cross_l[0], cross_l[1], x.dtype)
+            cv = kv_cache._dequantize(cross_l[2], cross_l[3], x.dtype)
         else:
-            ck, cv = cross_k[i], cross_v[i]
+            ck, cv = cross_l
         o = nn.sdpa(q, ck, cv)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.linear(cp["out_proj"], o)
 
         h = nn.layer_norm(lp["final_layer_norm"], x)
         x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+        return x, cache_l
+
+    x, cache_ys = jax.lax.scan(layer, x, (p["layers"], cross_xs, cache_xs))
+    if quant_self:
+        cache = cache._replace(k_q=cache_ys[0], k_scale=cache_ys[1],
+                               v_q=cache_ys[2], v_scale=cache_ys[3])
+    else:
+        cache = cache._replace(k=cache_ys[0], v=cache_ys[1])
     x = nn.layer_norm(p["layer_norm"], x)
     logits = nn.embedding_as_linear(p["embed_tokens"], x)
     cache = cache._replace(offset=cache.offset + t)
@@ -266,12 +313,12 @@ def decoder_forward(params, tokens, enc_out, cfg: WhisperConfig):
     b, t = tokens.shape
     x = nn.embedding(p["embed_tokens"], tokens)
     x = x + p["embed_positions"]["weight"][:t].astype(x.dtype)
-    for i in range(cfg.decoder_layers):
-        lp = p["layers"][str(i)]
+    d = x.shape[-1]
+    hd = d // n_heads
+
+    def layer(x, lp):
         h = nn.layer_norm(lp["self_attn_layer_norm"], x)
         ap = lp["self_attn"]
-        d = x.shape[-1]
-        hd = d // n_heads
         q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         k = nn.linear(ap["k_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         v = nn.linear(ap["v_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
@@ -282,6 +329,9 @@ def decoder_forward(params, tokens, enc_out, cfg: WhisperConfig):
         x = x + _attention(lp["encoder_attn"], h, kv_x=enc_out, n_heads=n_heads)
         h = nn.layer_norm(lp["final_layer_norm"], x)
         x = x + nn.linear(lp["fc2"], nn.gelu(nn.linear(lp["fc1"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, p["layers"])
     x = nn.layer_norm(p["layer_norm"], x)
     return nn.embedding_as_linear(p["embed_tokens"], x)
 
@@ -302,41 +352,37 @@ def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
     def zeros(*shape):
         return np.zeros(shape, np.float32)
 
-    enc_layers = {}
-    dec_layers = {}
-    for i in range(cfg.encoder_layers):
-        enc_layers[str(i)] = {
-            "self_attn": {
-                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "k_proj": {"weight": rand(d, d)},
-                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
-            },
-            "self_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
-            "fc1": {"weight": rand(cfg.encoder_ffn_dim, d), "bias": zeros(cfg.encoder_ffn_dim)},
-            "fc2": {"weight": rand(d, cfg.encoder_ffn_dim), "bias": zeros(d)},
-            "final_layer_norm": {"weight": ones(d), "bias": zeros(d)},
+    # stacked layout: every layer leaf carries a leading [L] dim
+    el, dl = cfg.encoder_layers, cfg.decoder_layers
+    effn = cfg.encoder_ffn_dim
+
+    def attn(n):
+        return {
+            "q_proj": {"weight": rand(n, d, d), "bias": zeros(n, d)},
+            "k_proj": {"weight": rand(n, d, d)},
+            "v_proj": {"weight": rand(n, d, d), "bias": zeros(n, d)},
+            "out_proj": {"weight": rand(n, d, d), "bias": zeros(n, d)},
         }
-    for i in range(cfg.decoder_layers):
-        dec_layers[str(i)] = {
-            "self_attn": {
-                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "k_proj": {"weight": rand(d, d)},
-                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
-            },
-            "self_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
-            "encoder_attn": {
-                "q_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "k_proj": {"weight": rand(d, d)},
-                "v_proj": {"weight": rand(d, d), "bias": zeros(d)},
-                "out_proj": {"weight": rand(d, d), "bias": zeros(d)},
-            },
-            "encoder_attn_layer_norm": {"weight": ones(d), "bias": zeros(d)},
-            "fc1": {"weight": rand(ffn, d), "bias": zeros(ffn)},
-            "fc2": {"weight": rand(d, ffn), "bias": zeros(d)},
-            "final_layer_norm": {"weight": ones(d), "bias": zeros(d)},
-        }
+
+    def ln(n):
+        return {"weight": ones(n, d), "bias": zeros(n, d)}
+
+    enc_layers = {
+        "self_attn": attn(el),
+        "self_attn_layer_norm": ln(el),
+        "fc1": {"weight": rand(el, effn, d), "bias": zeros(el, effn)},
+        "fc2": {"weight": rand(el, d, effn), "bias": zeros(el, d)},
+        "final_layer_norm": ln(el),
+    }
+    dec_layers = {
+        "self_attn": attn(dl),
+        "self_attn_layer_norm": ln(dl),
+        "encoder_attn": attn(dl),
+        "encoder_attn_layer_norm": ln(dl),
+        "fc1": {"weight": rand(dl, ffn, d), "bias": zeros(dl, ffn)},
+        "fc2": {"weight": rand(dl, d, ffn), "bias": zeros(dl, d)},
+        "final_layer_norm": ln(dl),
+    }
     params = {
         "model": {
             "encoder": {
@@ -502,6 +548,7 @@ class Whisper:
         params = loading.load_params(
             model_dir, sanitize=sanitize, dtype=dtype, expected_prefixes=("model",)
         )
+        params = loading.stack_layer_params(params)
         tokenizer = None
         if (Path(model_dir) / "tokenizer.json").exists():
             tokenizer = WhisperTokenizer.from_dir(model_dir, config.vocab_size)
@@ -682,14 +729,10 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
     cross_k, cross_v = _cross_kv(params, enc_out, cfg)
     if kv_bits == 8:
         n_groups = head_dim // min(kv_group_size, head_dim)
-        qk = [kv_cache._quantize(cross_k[i], n_groups)
-              for i in range(cfg.decoder_layers)]
-        qv = [kv_cache._quantize(cross_v[i], n_groups)
-              for i in range(cfg.decoder_layers)]
-        cross_k = (jnp.stack([q for q, _ in qk]),
-                   jnp.stack([s for _, s in qk]))
-        cross_v = (jnp.stack([q for q, _ in qv]),
-                   jnp.stack([s for _, s in qv]))
+        quantize = jax.vmap(functools.partial(kv_cache._quantize,
+                                              n_groups=n_groups))
+        cross_k = quantize(cross_k)
+        cross_v = quantize(cross_v)
     if kv_bits == 8:
         cache = kv_cache.init_quant_cache(
             cfg.decoder_layers, b, n_heads, head_dim, max_total,

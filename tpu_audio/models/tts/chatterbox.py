@@ -457,6 +457,8 @@ class Chatterbox:
             sanitize=functools.partial(sanitize,
                                        is_regular=not config.is_turbo),
             dtype=dtype, exclude_files=("conds.safetensors",))
+        if not config.is_turbo and "tfmr" in params.get("t3", {}):
+            params["t3"]["tfmr"] = llama.maybe_stack(params["t3"]["tfmr"])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

@@ -126,6 +126,9 @@ class MarvisTTS:
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         config = CSMConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        for sub in ("backbone", "decoder"):
+            if sub in params:
+                params[sub] = llama.maybe_stack(params[sub])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

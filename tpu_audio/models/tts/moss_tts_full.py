@@ -452,6 +452,13 @@ class MossTTS:
             model_dir,
             sanitize=None if config.is_local_transformer else sanitize_delay,
             dtype=dtype)
+        lm_key = ("model", "language_model") if config.is_local_transformer \
+            else ("language_model",)
+        sub = params
+        for k in lm_key[:-1]:
+            sub = sub.get(k, {})
+        if lm_key[-1] in sub:
+            sub[lm_key[-1]] = llama.maybe_stack(sub[lm_key[-1]])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

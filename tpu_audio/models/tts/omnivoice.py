@@ -218,6 +218,8 @@ class OmniVoice:
             model_dir,
             sanitize=lambda w: sanitize(w, config.num_audio_codebook),
             dtype=dtype)
+        if "llm" in params:
+            params["llm"] = llama.maybe_stack(params["llm"])
         # infer codebook count from split checkpoint keys
         # (OmniVoice.swift:1022-1037)
         embs = params.get("audio_embeddings", {})

@@ -50,6 +50,7 @@ class VyvoTTS(LlamaTTS):
             model_dir, sanitize=lambda w: llama.sanitize(w, config),
             dtype=dtype, expected_prefixes=("model",),
         )
+        params = llama.maybe_stack(params)
         if config.quantization:
             from tpu_audio.core import quant
 

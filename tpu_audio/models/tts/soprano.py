@@ -133,7 +133,8 @@ class Soprano:
 
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         config = SopranoConfig.from_dict(hub.load_config(model_dir))
-        params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
+        params = llama.maybe_stack(
+            loading.load_params(model_dir, sanitize=sanitize, dtype=dtype))
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

@@ -56,7 +56,9 @@ class ShardingRules:
         for pattern, spec in self.rules:
             if re.search(pattern, path):
                 if len(spec) <= ndim:
-                    return spec
+                    # right-align so leading dims replicate — a stacked
+                    # layer axis [L, O, I] keeps O/I sharding from a 2D rule
+                    return P(*((None,) * (ndim - len(spec)) + tuple(spec)))
         return P()
 
 
