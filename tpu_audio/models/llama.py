@@ -207,13 +207,11 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
             return x, (written[0] if written else None)
 
         xs = (p["layers"], cache_xs)
-        # partial unroll: amortizes per-iteration scan sequencing overhead
-        # (measurable at decode shapes) while keeping the HLO ~L/unroll
-        # bodies instead of L
-        unroll = min(4, cfg.num_hidden_layers)
-        if cfg.num_hidden_layers % unroll:
-            unroll = 1
-        x, cache_ys = jax.lax.scan(layer, x, xs, unroll=unroll)
+        # NOTE: measured on v5e — unroll>1 here REGRESSES decode 2.4x
+        # (unroll=4: 32 tok/s vs 79 tok/s on an Orpheus-3B-shaped decode);
+        # the bigger body defeats XLA's in-place scan buffer reuse. Keep
+        # the plain scan.
+        x, cache_ys = jax.lax.scan(layer, x, xs)
         if cache is not None:
             if quant_self:
                 cache = cache._replace(k_q=cache_ys[0], k_scale=cache_ys[1],
