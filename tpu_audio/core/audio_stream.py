@@ -26,6 +26,8 @@ import math
 
 import numpy as np
 
+from tpu_audio import native as _native
+
 __all__ = ["PCMStreamConverter", "AudioPlayer"]
 
 
@@ -109,9 +111,13 @@ class PCMStreamConverter:
             m += 1
         if not ms:
             return np.zeros(0, np.float32)
-        starts = np.asarray(ms) * self._orig_r - self._buf_offset
-        frames = buf[starts[:, None] + np.arange(k_taps)[None]]
-        out = (frames @ self._kernel.T).reshape(-1)
+        start0 = ms[0] * self._orig_r - self._buf_offset
+        out = _native.polyphase(buf, start0, self._orig_r, self._kernel,
+                                len(ms))
+        if out is None:  # no native lib: NumPy gather + GEMM
+            starts = np.asarray(ms) * self._orig_r - self._buf_offset
+            frames = buf[starts[:, None] + np.arange(k_taps)[None]]
+            out = (frames @ self._kernel.T).reshape(-1)
         self._m = m
         if final:
             out = out[:max(0, total_out - self._emitted)]
