@@ -118,13 +118,22 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
 
 def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
                    lm_dims: dict | None = None,
-                   snac_dims: dict | None = None) -> dict:
+                   snac_dims: dict | None = None,
+                   quantize_bits: int | None = None) -> dict:
     """Streaming TTS time-to-first-audio: Orpheus-3B-shaped llama decode
-    + real-size SNAC 24k decode of the first 4 frames."""
+    + real-size SNAC 24k decode of the first 4 frames.
+
+    ``quantize_bits=4/8`` runs the LM with MLX grouped-affine quantized
+    weights through the fused Pallas GEMV (the deployment config the
+    reference itself benchmarks — mlx-community Orpheus checkpoints ship
+    4-bit; BASELINE config 5 is 8-bit Qwen3-TTS streaming)."""
     import tempfile
 
     import jax
     import jax.numpy as jnp
+
+    if quantize_bits:
+        os.environ["TPU_AUDIO_PALLAS"] = "1"
 
     from tpu_audio.codecs.snac import SNAC
     from tpu_audio.core.ar_loop import make_decode_chunk
@@ -138,6 +147,12 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
         intermediate_size=8192, max_position_embeddings=4096,
     )))
     params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if quantize_bits:
+        from tpu_audio.core import quant
+
+        params = quant.quantize_tree(params, group_size=64,
+                                     bits=quantize_bits)
+        params = llama.fuse_projections(params)
 
     # real-size SNAC 24 kHz decoder (random weights via the fixture writer)
     sys.path.insert(0, "tests")
@@ -206,7 +221,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     ttfb = min(times)
     rtx = audio_s / ttfb  # >1 = first chunk arrives faster than realtime
     return {
-        "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok",
+        "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok"
+                  + (f"_q{quantize_bits}" if quantize_bits else ""),
         "value": round(ttfb * 1000, 1),
         "unit": "ms",
         "vs_baseline": round(rtx, 3),
@@ -223,8 +239,10 @@ def main():
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
     kv_bits = 8 if "kv8" in sys.argv[2:] else None
+    qbits = (4 if "q4" in sys.argv[2:] else
+             8 if "q8" in sys.argv[2:] else None)
     if mode == "tts":
-        result = bench_tts_ttfb()
+        result = bench_tts_ttfb(quantize_bits=qbits)
     else:
         result = bench_whisper_rtf(mode, kv_bits=kv_bits)
     print(json.dumps(result))

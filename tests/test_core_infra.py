@@ -199,7 +199,7 @@ def test_dequantize_tree_expands_leaves():
     packed, scales, biases = quant.quantize(w, 64, 4)
     tree = {"layer": {"weight": quant.QuantizedTensor(
         jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(biases),
-        64, 4), "bias": jnp.zeros(32)}}
+        group_size=64, bits=4), "bias": jnp.zeros(32)}}
     dense = quant.dequantize_tree(tree, jnp.float32)
     assert dense["layer"]["weight"].shape == (32, 128)
     assert not isinstance(dense["layer"]["weight"], quant.QuantizedTensor)

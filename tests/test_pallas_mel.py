@@ -71,3 +71,82 @@ def test_pallas_quantized_matvec_matches_dequant():
             jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales),
             jnp.asarray(biases), 64, bits, tile_o=128, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_pallas_quantized_matvec_word_scales():
+    """Precomputed bf16 word-scale planes (scales_w) match the default
+    per-call f32 expansion within bf16 scale rounding."""
+    import jax.numpy as jnp
+
+    from tpu_audio.core import quant
+    from tpu_audio.ops.pallas_qmm import expand_word_scales, quantized_matvec
+
+    rng = np.random.default_rng(1)
+    for bits in (4, 8):
+        o, i, b = 128, 256, 2
+        w = rng.standard_normal((o, i)).astype(np.float32)
+        packed, scales, biases = quant.quantize(w, group_size=64, bits=bits)
+        x = rng.standard_normal((b, i)).astype(np.float32)
+        sw = expand_word_scales(jnp.asarray(scales), 64, bits)
+        # exact reference for what the kernel computes: dequant with the
+        # *bf16-rounded* scales
+        scales_bf = np.asarray(
+            jnp.asarray(scales).astype(jnp.bfloat16).astype(jnp.float32))
+        dense_bf = np.asarray(quant.dequantize(
+            jnp.asarray(packed), jnp.asarray(scales_bf), jnp.asarray(biases),
+            64, bits, dtype=jnp.float32))
+        want = x @ dense_bf.T
+        got = np.asarray(quantized_matvec(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales),
+            jnp.asarray(biases), 64, bits, tile_o=128, interpret=True,
+            scales_w=sw))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+        # and the bf16-scale rounding stays well below the int-quantization
+        # noise floor vs the full-precision weight
+        dense = np.asarray(quant.dequantize(
+            jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(biases),
+            64, bits, dtype=jnp.float32))
+        np.testing.assert_allclose(got, x @ dense.T, rtol=0.5, atol=0.5)
+
+
+def test_quantize_tree_and_fused_projections_parity():
+    """quantize_tree tags stacked llama layers; fuse_projections (dense
+    and quantized) preserves forward outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.core import quant
+    from tpu_audio.models import llama
+
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=512, max_position_embeddings=128)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(6)[None, :] % 512, jnp.int32)
+    cache = llama.make_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = llama.forward(params, tokens, cache, cfg)
+
+    # dense fusion parity (exact)
+    fused = llama.fuse_projections(jax.tree.map(lambda x: x, params))
+    p = fused["model"]
+    assert "qkv_proj" in p["layers"]["self_attn"]
+    assert "gate_up_proj" in p["layers"]["mlp"]
+    cache = llama.make_cache(cfg, 1, 16, jnp.float32)
+    got, _ = llama.forward(fused, tokens, cache, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # quantized (8-bit keeps the parity check tight) + fusion still runs
+    qparams = quant.quantize_tree(
+        {"model": dict(params["model"])}, group_size=64, bits=8)
+    qt = qparams["model"]["layers"]["self_attn"]["q_proj"]["weight"]
+    assert isinstance(qt, quant.QuantizedTensor)
+    assert qt.scales_w is not None and qt.scales_w.dtype == jnp.bfloat16
+    qfused = llama.fuse_projections(qparams)
+    # quantized embeddings dequantize to bf16 — run the whole pass bf16
+    cache = llama.make_cache(cfg, 1, 16, jnp.bfloat16)
+    qgot, _ = llama.forward(qfused, tokens, cache, cfg)
+    # int8 grouped-affine + bf16 compute error bound on logits
+    err = np.abs(np.asarray(qgot, np.float32) - np.asarray(ref)).max()
+    assert err < 0.5, err

@@ -40,7 +40,7 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     (as :class:`quant.QuantizedTensor` nodes tagged at load time)."""
     w = p["weight"]
     if isinstance(w, quant.QuantizedTensor):
-        y = x @ w.dequantize(x.dtype).T
+        y = quant.quantized_matmul_qt(x, w).astype(x.dtype)
     else:
         y = x @ w.T.astype(x.dtype) if w.dtype != x.dtype else x @ w.T
     if "bias" in p:
@@ -48,11 +48,18 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
-    """Token embedding lookup; dequantizes packed tables on the fly."""
+def embedding(p: dict, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Token embedding lookup; packed tables gather the *rows* first and
+    dequantize only those (dequantizing the whole 100k+-row table per
+    decode step would re-materialize it in HBM every token)."""
     w = p["weight"]
     if isinstance(w, quant.QuantizedTensor):
-        w = w.dequantize()
+        flat = ids.reshape(-1)
+        rows = quant.QuantizedTensor(
+            w.weight[flat], w.scales[flat], w.biases[flat],
+            group_size=w.group_size, bits=w.bits)
+        d = rows.dequantize(dtype)
+        return d.reshape(*ids.shape, d.shape[-1])
     return w[ids]
 
 
@@ -60,7 +67,7 @@ def embedding_as_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding output head: ``x @ E.T``."""
     w = p["weight"]
     if isinstance(w, quant.QuantizedTensor):
-        return x @ w.dequantize(x.dtype).T
+        return quant.quantized_matmul_qt(x, w).astype(x.dtype)
     return x @ w.T.astype(x.dtype)
 
 

@@ -27,7 +27,9 @@ __all__ = [
     "dequantize",
     "dequantize_tree",
     "quantize",
+    "quantize_tree",
     "quantized_matmul",
+    "quantized_matmul_qt",
     "is_quantized",
     "QuantizedTensor",
     "tag_quantized",
@@ -41,21 +43,36 @@ class QuantizedTensor:
     """Packed quantized weight with *static* group_size/bits metadata, so the
     config never leaks into jit traces as a tracer."""
 
-    __slots__ = ("weight", "scales", "biases", "group_size", "bits")
+    __slots__ = ("weight", "scales", "biases", "scales_w", "group_size",
+                 "bits")
 
-    def __init__(self, weight, scales, biases, group_size: int = 64, bits: int = 4):
+    def __init__(self, weight, scales, biases, scales_w=None,
+                 group_size: int = 64, bits: int = 4):
         self.weight = weight
         self.scales = scales
         self.biases = biases
+        # optional precomputed bf16 per-word scale planes ([..., O, words]);
+        # lets the Pallas GEMV skip the per-call scale expansion in decode
+        # loops (ops/pallas_qmm.py)
+        self.scales_w = scales_w
         self.group_size = int(group_size)
         self.bits = int(bits)
 
     def tree_flatten(self):
-        return (self.weight, self.scales, self.biases), (self.group_size, self.bits)
+        return ((self.weight, self.scales, self.biases, self.scales_w),
+                (self.group_size, self.bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def with_word_scales(self) -> "QuantizedTensor":
+        """Copy with ``scales_w`` precomputed (bf16) for decode loops."""
+        from tpu_audio.ops.pallas_qmm import expand_word_scales
+
+        sw = expand_word_scales(self.scales, self.group_size, self.bits)
+        return QuantizedTensor(self.weight, self.scales, self.biases, sw,
+                               self.group_size, self.bits)
 
     def dequantize(self, dtype=jnp.float32):
         return dequantize(self.weight, self.scales, self.biases,
@@ -78,7 +95,7 @@ def tag_quantized(params: dict, group_size: int = 64, bits: int = 4) -> dict:
             new = {
                 "weight": QuantizedTensor(
                     node["weight"], node["scales"], node["biases"],
-                    group_size, bits,
+                    group_size=group_size, bits=bits,
                 )
             }
             if "bias" in node:
@@ -167,23 +184,80 @@ def quantized_matmul(
     biases: jnp.ndarray,
     group_size: int = 64,
     bits: int = 4,
+    scales_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``x @ W.T`` with on-the-fly dequantization (W stays packed in HBM).
 
-    Decode-shaped calls (<=16 rows) route to the fused Pallas GEMV when
+    Decode-shaped calls (<=64 rows) route to the fused Pallas GEMV when
     ``TPU_AUDIO_PALLAS=1`` (ops/pallas_qmm.py) — the XLA path
     materializes the dequantized weight, which costs more than the
-    packed reads save."""
+    packed reads save. Pass ``scales_w`` (precomputed bf16 word-scale
+    planes, see ``QuantizedTensor.with_word_scales``) to keep the
+    kernel's scale reads at 0.25 B/weight inside decode loops."""
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    if rows <= 16 and _use_pallas_qmm():
+    if rows <= 64 and _use_pallas_qmm():
         from tpu_audio.ops.pallas_qmm import quantized_matvec
 
         y = quantized_matvec(x.reshape(rows, x.shape[-1]), w_packed,
-                             scales, biases, group_size, bits)
+                             scales, biases, group_size, bits,
+                             scales_w=scales_w)
         return y.reshape(*lead, w_packed.shape[0])
     w = dequantize(w_packed, scales, biases, group_size, bits, dtype=x.dtype)
     return x @ w.T
+
+
+def quantized_matmul_qt(x: jnp.ndarray, qt: "QuantizedTensor") -> jnp.ndarray:
+    """`quantized_matmul` over a :class:`QuantizedTensor` leaf."""
+    return quantized_matmul(x, qt.weight, qt.scales, qt.biases,
+                            qt.group_size, qt.bits, scales_w=qt.scales_w)
+
+
+def quantize_tree(params, group_size: int = 64, bits: int = 4,
+                  min_in_features: int = 256, word_scales: bool = True):
+    """Quantize every eligible 2-D/stacked-3-D float weight leaf of a param
+    tree to MLX grouped-affine :class:`QuantizedTensor` nodes (host-side;
+    one-time load cost).
+
+    The TPU analog of the reference's post-load ``quantize(model:filter:)``
+    (WhisperModel.swift:499-511, LlamaTTS.swift:959-969) for checkpoints
+    that ship full-precision: norms, biases and small/ragged weights stay
+    dense; stacked scan-over-layers leaves ([L, O, I]) quantize per layer.
+    ``word_scales`` precomputes the bf16 scale planes for the Pallas GEMV.
+    """
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (k == "weight" and not isinstance(v, QuantizedTensor)
+                        and "norm" not in name.lower()
+                        and not name.lower().startswith("ln")
+                        and hasattr(v, "dtype")
+                        and jnp.issubdtype(v.dtype, jnp.floating)
+                        and v.ndim in (2, 3)
+                        and v.shape[-1] % group_size == 0
+                        and v.shape[-1] >= min_in_features):
+                    host = np.asarray(v, np.float32)
+                    shape = host.shape
+                    packed, scales, biases = quantize(
+                        host.reshape(-1, shape[-1]), group_size, bits)
+                    per_word = 32 // bits
+                    packed = packed.reshape(*shape[:-1], shape[-1] // per_word)
+                    scales = scales.reshape(*shape[:-1], shape[-1] // group_size)
+                    biases = biases.reshape(*shape[:-1], shape[-1] // group_size)
+                    qt = QuantizedTensor(
+                        jnp.asarray(packed), jnp.asarray(scales),
+                        jnp.asarray(biases), group_size=group_size, bits=bits)
+                    if word_scales:
+                        qt = qt.with_word_scales()
+                    out[k] = qt
+                else:
+                    out[k] = walk(v, k)
+            return out
+        return node
+
+    return walk(params)
 
 
 def quantize(

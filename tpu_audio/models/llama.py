@@ -17,7 +17,8 @@ import numpy as np
 
 from tpu_audio.core import kv_cache, nn
 
-__all__ = ["LlamaConfig", "forward", "init_random_params", "maybe_stack"]
+__all__ = ["LlamaConfig", "forward", "init_random_params", "maybe_stack",
+           "fuse_projections"]
 
 
 @dataclass
@@ -85,6 +86,68 @@ def maybe_stack(params: dict) -> dict:
     return params
 
 
+def _concat_weights(parts, axis):
+    """Concatenate linear weights along the output axis; supports dense
+    arrays and (packed, scales, biases, scales_w all share the O axis)
+    :class:`quant.QuantizedTensor` leaves."""
+    from tpu_audio.core import quant
+
+    if isinstance(parts[0], quant.QuantizedTensor):
+        sw = None
+        if all(p.scales_w is not None for p in parts):
+            sw = jnp.concatenate([p.scales_w for p in parts], axis=axis)
+        return quant.QuantizedTensor(
+            jnp.concatenate([p.weight for p in parts], axis=axis),
+            jnp.concatenate([p.scales for p in parts], axis=axis),
+            jnp.concatenate([p.biases for p in parts], axis=axis),
+            sw, group_size=parts[0].group_size, bits=parts[0].bits)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def fuse_projections(params: dict) -> dict:
+    """Fuse q/k/v -> ``qkv_proj`` and gate/up -> ``gate_up_proj`` (concat
+    along the output-features axis; the input axis — and therefore the
+    quantization group structure — is untouched).
+
+    One GEMV per fused weight instead of three/two: fewer kernel
+    dispatches in the decode hot loop, and bigger dots for the MXU. The
+    forward pass detects the fused layout per layer; biases are fused
+    too when present.
+    """
+    p = params["model"] if "model" in params else params
+    layers = p.get("layers")
+
+    def fuse_layer(lp, axis):
+        ap, mp = lp["self_attn"], lp["mlp"]
+        if "q_proj" in ap:
+            fused = {"weight": _concat_weights(
+                [ap["q_proj"]["weight"], ap["k_proj"]["weight"],
+                 ap["v_proj"]["weight"]], axis)}
+            if "bias" in ap["q_proj"]:
+                fused["bias"] = jnp.concatenate(
+                    [ap["q_proj"]["bias"], ap["k_proj"]["bias"],
+                     ap["v_proj"]["bias"]], axis=-1)
+            ap = {k: v for k, v in ap.items()
+                  if k not in ("q_proj", "k_proj", "v_proj")}
+            ap["qkv_proj"] = fused
+        if "gate_proj" in mp:
+            fused = {"weight": _concat_weights(
+                [mp["gate_proj"]["weight"], mp["up_proj"]["weight"]], axis)}
+            mp = {k: v for k, v in mp.items()
+                  if k not in ("gate_proj", "up_proj")}
+            mp["gate_up_proj"] = fused
+        out = dict(lp)
+        out["self_attn"] = ap
+        out["mlp"] = mp
+        return out
+
+    if _is_per_layer_dict(layers):
+        p["layers"] = {k: fuse_layer(v, 0) for k, v in layers.items()}
+    else:
+        p["layers"] = fuse_layer(layers, 1)  # stacked [L, O, I]
+    return params
+
+
 def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
     scaling = None
     rs = cfg.rope_scaling
@@ -135,9 +198,16 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         K/V views for attention (and stashes the cache write)."""
         h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
         ap = lp["self_attn"]
-        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
-        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
-        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
+        if "qkv_proj" in ap:
+            qkv = nn.linear(ap["qkv_proj"], h)
+            nq, nk = n_heads * hd, n_kv * hd
+            q = qkv[..., :nq].reshape(b, t, n_heads, hd)
+            k = qkv[..., nq:nq + nk].reshape(b, t, n_kv, hd)
+            v = qkv[..., nq + nk:].reshape(b, t, n_kv, hd)
+        else:
+            q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
+            k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
+            v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
         if cfg.qk_norm:
             q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps)
             k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps)
@@ -159,10 +229,14 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
 
         h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         mp = lp["mlp"]
-        x = x + nn.linear(
-            mp["down_proj"],
-            nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h),
-        ) * cfg.residual_multiplier
+        if "gate_up_proj" in mp:
+            gu = nn.linear(mp["gate_up_proj"], h)
+            ffn = gu.shape[-1] // 2
+            act = nn.silu(gu[..., :ffn]) * gu[..., ffn:]
+        else:
+            act = nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(
+                mp["up_proj"], h)
+        x = x + nn.linear(mp["down_proj"], act) * cfg.residual_multiplier
         return x
 
     if stacked:

@@ -15,12 +15,22 @@ accumulates ``per_word`` MXU dots against a plane-transposed input
 (prepared outside — a free XLA reshape of a tiny [B, I] array).
 
 The grouped affine is split: the scale rides inside the kernel as a
-pre-expanded f32 [O, words] array (computed outside; loop-invariant,
-so XLA hoists it out of decode loops), and the bias term — which only
-needs per-group input sums — is added outside as a tiny
-``x_group_sums @ biases.T`` matmul. Per output element the kernel reads
-0.5 B (packed) + 0.5 B (f32 scales) vs 2 B for a bf16 weight: 2x less
-HBM with exact affine math.
+pre-expanded [O, words] array, and the bias term — which only needs
+per-group input sums — is added outside as a tiny
+``x_group_sums @ biases.T`` matmul.
+
+The scale expansion has two modes:
+- default: expanded to f32 inside this function per call. Fine for
+  one-shot calls, but inside a scan-over-layers decode body the
+  expansion re-materializes [O, words] f32 every step — 1 extra
+  byte/weight of HBM traffic (write+read), eating most of the packed
+  savings.
+- ``scales_w``: the caller passes the expansion precomputed ONCE at
+  load time as **bf16** [O, words] (`expand_word_scales`). Per output
+  element the kernel then reads 0.5 B (packed) + 0.25 B (bf16 scales)
+  vs 2 B for a bf16 weight: 2.7x less HBM. bf16 scales round the
+  affine scale to 8 mantissa bits — the same precision MLX's own fp16
+  scale tensors carry, and far below the int4 quantization error.
 
 Layout (MLX ``quantize()``, see core/quant.py): for W [O, I] —
 ``packed`` uint32 [O, I*bits/32] (32/bits consecutive input elements
@@ -45,7 +55,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantized_matvec"]
+__all__ = ["quantized_matvec", "expand_word_scales"]
+
+
+def expand_word_scales(scales: jnp.ndarray, group_size: int, bits: int,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Precompute the per-word scale planes ([..., O, groups] ->
+    [..., O, words]) once at load time; pass to :func:`quantized_matvec`
+    as ``scales_w`` so decode loops never re-expand."""
+    wpg = group_size // (32 // bits)
+    return jnp.repeat(scales.astype(dtype), wpg, axis=-1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,7 +77,7 @@ def _make_kernel(bits: int):
 
     def kernel(x_ref, packed_ref, scales_ref, out_ref):
         packed = packed_ref[:]  # [T_O, words] uint32
-        scales_w = scales_ref[:]  # [T_O, words] f32
+        scales_w = scales_ref[:].astype(jnp.float32)  # [T_O, words]
         acc = None
         for n in range(per_word):
             q = (packed >> (bits * n)) & mask
@@ -78,12 +97,14 @@ def _make_kernel(bits: int):
 def quantized_matvec(x: jnp.ndarray, w_packed: jnp.ndarray,
                      scales: jnp.ndarray, biases: jnp.ndarray,
                      group_size: int = 64, bits: int = 4,
-                     tile_o: int = 512, interpret: bool = False
-                     ) -> jnp.ndarray:
+                     tile_o: int = 512, interpret: bool = False,
+                     scales_w: jnp.ndarray | None = None) -> jnp.ndarray:
     """``x [B, I] @ W.T -> [B, O]`` with W in MLX packed layout.
 
     Designed for decode-shaped GEMVs (small B); B is padded to the fp32
-    sublane multiple and O to ``tile_o`` internally.
+    sublane multiple and O to ``tile_o`` internally. Pass ``scales_w``
+    (``expand_word_scales(scales)``, precomputed at load) to skip the
+    per-call f32 scale expansion — essential inside decode loops.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -106,13 +127,14 @@ def quantized_matvec(x: jnp.ndarray, w_packed: jnp.ndarray,
     # bias term outside the kernel: sum(x over each group) @ biases.T
     xg = xf.reshape(b_pad, n_groups, group_size).sum(-1)
 
-    # per-word scale expansion (loop-invariant => hoisted by XLA out of
-    # decode loops); f32 keeps the affine exact
-    scales_w = jnp.repeat(scales.astype(jnp.float32), wpg, axis=1)
+    if scales_w is None:
+        # per-call f32 scale expansion (one-shot calls only — inside a
+        # decode scan this re-materializes every step; pass scales_w)
+        scales_w = jnp.repeat(scales.astype(jnp.float32), wpg, axis=1)
     biases_f = biases.astype(jnp.float32)
     if o_pad > o:
         w_packed = jnp.zeros((o_pad, words), jnp.uint32).at[:o].set(w_packed)
-        scales_w = jnp.zeros((o_pad, words), jnp.float32).at[:o].set(
+        scales_w = jnp.zeros((o_pad, words), scales_w.dtype).at[:o].set(
             scales_w)
         biases_f = jnp.zeros((o_pad, n_groups), jnp.float32).at[:o].set(
             biases_f)
@@ -134,7 +156,8 @@ def quantized_matvec(x: jnp.ndarray, w_packed: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b_pad, o_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * i * o_pad + 2 * i * o_pad,
-            bytes_accessed=(4 * o_pad * words + 4 * o_pad * words
+            bytes_accessed=(4 * o_pad * words
+                            + scales_w.dtype.itemsize * o_pad * words
                             + 4 * b_pad * i + 4 * b_pad * o_pad),
             transcendentals=0,
         ),
