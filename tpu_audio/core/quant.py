@@ -79,10 +79,17 @@ class QuantizedTensor:
                           self.group_size, self.bits, dtype)
 
 
-def tag_quantized(params: dict, group_size: int = 64, bits: int = 4) -> dict:
+def tag_quantized(params: dict, group_size: int = 64, bits: int = 4,
+                  word_scales: bool | None = None) -> dict:
     """Walk a loaded param tree, folding ``{weight(uint32), scales, biases}``
     triples into :class:`QuantizedTensor` nodes under the ``weight`` key
-    (any sibling linear ``bias`` is preserved)."""
+    (any sibling linear ``bias`` is preserved).
+
+    ``word_scales=None`` (auto) precomputes the bf16 per-word scale planes
+    exactly when the Pallas quantized GEMV is active — the decode fast
+    path — and skips the extra memory otherwise."""
+    if word_scales is None:
+        word_scales = _use_pallas_qmm()
 
     def walk(node):
         if not isinstance(node, dict):
@@ -92,12 +99,13 @@ def tag_quantized(params: dict, group_size: int = 64, bits: int = 4) -> dict:
             and hasattr(node["weight"], "dtype")
             and node["weight"].dtype == jnp.uint32
         ):
-            new = {
-                "weight": QuantizedTensor(
-                    node["weight"], node["scales"], node["biases"],
-                    group_size=group_size, bits=bits,
-                )
-            }
+            qt = QuantizedTensor(
+                node["weight"], node["scales"], node["biases"],
+                group_size=group_size, bits=bits,
+            )
+            if word_scales:
+                qt = qt.with_word_scales()
+            new = {"weight": qt}
             if "bias" in node:
                 new["bias"] = node["bias"]
             return new

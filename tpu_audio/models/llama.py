@@ -89,10 +89,18 @@ def maybe_stack(params: dict) -> dict:
 def _concat_weights(parts, axis):
     """Concatenate linear weights along the output axis; supports dense
     arrays and (packed, scales, biases, scales_w all share the O axis)
-    :class:`quant.QuantizedTensor` leaves."""
+    :class:`quant.QuantizedTensor` leaves. Returns None when the parts
+    are not homogeneous (mixed dense/quantized or differing quant params
+    — e.g. per-layer quantization configs, LlamaTTS.swift:959-969)."""
     from tpu_audio.core import quant
 
+    kinds = {isinstance(p, quant.QuantizedTensor) for p in parts}
+    if len(kinds) > 1:
+        return None
     if isinstance(parts[0], quant.QuantizedTensor):
+        if ({p.group_size for p in parts} != {parts[0].group_size}
+                or {p.bits for p in parts} != {parts[0].bits}):
+            return None
         sw = None
         if all(p.scales_w is not None for p in parts):
             sw = jnp.concatenate([p.scales_w for p in parts], axis=axis)
@@ -119,23 +127,27 @@ def fuse_projections(params: dict) -> dict:
 
     def fuse_layer(lp, axis):
         ap, mp = lp["self_attn"], lp["mlp"]
-        if "q_proj" in ap:
-            fused = {"weight": _concat_weights(
+        has_bias = "bias" in ap.get("q_proj", {})
+        if "q_proj" in ap and has_bias == ("bias" in ap["k_proj"]):
+            w = _concat_weights(
                 [ap["q_proj"]["weight"], ap["k_proj"]["weight"],
-                 ap["v_proj"]["weight"]], axis)}
-            if "bias" in ap["q_proj"]:
-                fused["bias"] = jnp.concatenate(
-                    [ap["q_proj"]["bias"], ap["k_proj"]["bias"],
-                     ap["v_proj"]["bias"]], axis=-1)
-            ap = {k: v for k, v in ap.items()
-                  if k not in ("q_proj", "k_proj", "v_proj")}
-            ap["qkv_proj"] = fused
+                 ap["v_proj"]["weight"]], axis)
+            if w is not None:
+                fused = {"weight": w}
+                if has_bias:
+                    fused["bias"] = jnp.concatenate(
+                        [ap["q_proj"]["bias"], ap["k_proj"]["bias"],
+                         ap["v_proj"]["bias"]], axis=-1)
+                ap = {k: v for k, v in ap.items()
+                      if k not in ("q_proj", "k_proj", "v_proj")}
+                ap["qkv_proj"] = fused
         if "gate_proj" in mp:
-            fused = {"weight": _concat_weights(
-                [mp["gate_proj"]["weight"], mp["up_proj"]["weight"]], axis)}
-            mp = {k: v for k, v in mp.items()
-                  if k not in ("gate_proj", "up_proj")}
-            mp["gate_up_proj"] = fused
+            w = _concat_weights(
+                [mp["gate_proj"]["weight"], mp["up_proj"]["weight"]], axis)
+            if w is not None:
+                mp = {k: v for k, v in mp.items()
+                      if k not in ("gate_proj", "up_proj")}
+                mp["gate_up_proj"] = {"weight": w}
         out = dict(lp)
         out["self_attn"] = ap
         out["mlp"] = mp

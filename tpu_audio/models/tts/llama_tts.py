@@ -129,7 +129,11 @@ class LlamaTTS:
     @classmethod
     def from_pretrained(cls, repo_or_path: str, codec=None,
                         snac_repo: str | None = None,
-                        dtype=jnp.bfloat16) -> "LlamaTTS":
+                        dtype=jnp.bfloat16,
+                        quantize_bits: int | None = None) -> "LlamaTTS":
+        """``quantize_bits=4/8`` post-load-quantizes a full-precision
+        checkpoint (reference ``quantize(model:filter:)`` semantics); no-op
+        when the checkpoint already ships a ``quantization`` config."""
         model_dir = hub.resolve_or_download_model(repo_or_path)
         cfg_dict = hub.load_config(model_dir)
         config = LlamaTTSConfig.from_dict(cfg_dict)
@@ -145,6 +149,12 @@ class LlamaTTS:
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        elif quantize_bits:
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, bits=quantize_bits)
+        # fused qkv/gate_up GEMVs: fewer dispatches in the decode hot loop
+        params = llama.fuse_projections(params)
         tokenizer = None
         from pathlib import Path
 

@@ -40,7 +40,8 @@ class VyvoTTS(LlamaTTS):
     @classmethod
     def from_pretrained(cls, repo_or_path: str, codec=None,
                         snac_repo: str | None = None,
-                        dtype=jnp.bfloat16) -> "VyvoTTS":
+                        dtype=jnp.bfloat16,
+                        quantize_bits: int | None = None) -> "VyvoTTS":
         model_dir = hub.resolve_or_download_model(repo_or_path)
         cfg_dict = hub.load_config(model_dir)
         config = LlamaTTSConfig.from_dict(cfg_dict)
@@ -57,6 +58,11 @@ class VyvoTTS(LlamaTTS):
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        elif quantize_bits:
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, bits=quantize_bits)
+        params = llama.fuse_projections(params)
         tokenizer = None
         from pathlib import Path
 
