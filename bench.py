@@ -235,6 +235,109 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     }
 
 
+def bench_vad_diarization(audio_seconds: float = 30.0, repeats: int = 3,
+                          sortformer_dims: dict | None = None) -> dict:
+    """BASELINE config 2: Silero VAD + Sortformer 4-spk streaming
+    diarization over the same audio. Real Sortformer-4spk dims (18-layer
+    FastConformer d=512 + 18-layer transformer d=192), random weights."""
+    import tempfile
+
+    sys.path.insert(0, "tests")
+    from pathlib import Path
+
+    from fixtures import make_silero_fixture, make_sortformer_fixture
+
+    from tpu_audio.models.vad.silero import SileroVAD
+    from tpu_audio.models.vad.sortformer import Sortformer
+
+    sil_dir = Path(tempfile.mkdtemp(prefix="bench_sil_"))
+    make_silero_fixture(sil_dir)
+    srt_dir = Path(tempfile.mkdtemp(prefix="bench_srt_"))
+    make_sortformer_fixture(srt_dir, **(sortformer_dims or dict(
+        H=512, TF=192, CH=256, MELS=128, HEADS=8, fc_layers=18,
+        tf_layers=18, fc_ffn=2048, tf_ffn=768, tf_heads=8)))
+    vad = SileroVAD.from_pretrained(str(sil_dir))
+    diar = Sortformer.from_pretrained(str(srt_dir))
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(16000 * audio_seconds))
+             .astype(np.float32) * 0.1)
+
+    def run_once():
+        probs = vad.predict_proba(audio)
+        segs = diar.generate_stream(audio, chunk_duration=5.0)
+        return probs, segs
+
+    run_once()  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtf = wall / audio_seconds
+    return {
+        "metric": f"silero+sortformer4spk_stream_rtf_{int(audio_seconds)}s",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(1.0 / rtf, 3),  # baseline: real time
+        "detail": {
+            "wall_s": round(wall, 4),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
+def bench_parakeet_batch(batch: int = 8, audio_seconds: float = 30.0,
+                         repeats: int = 3,
+                         dims: dict | None = None) -> dict:
+    """BASELINE config 3: Parakeet-TDT batched decode. Real TDT-0.6B dims
+    (24-layer FastConformer d=1024), random weights, hybrid batch decode."""
+    import tempfile
+
+    sys.path.insert(0, "tests")
+    from pathlib import Path
+
+    from fixtures import make_parakeet_fixture
+
+    from tpu_audio.models.stt.parakeet import Parakeet
+
+    d = Path(tempfile.mkdtemp(prefix="bench_parakeet_"))
+    make_parakeet_fixture(d, **(dims or dict(
+        vocab=1024, d_model=1024, n_layers=24, n_heads=8, features=128,
+        variant="tdt", pred_hidden=640, joint_hidden=640, conv_ch=256)))
+    model = Parakeet.from_pretrained(str(d))
+
+    rng = np.random.default_rng(0)
+    audios = [
+        (rng.standard_normal(int(16000 * audio_seconds)).astype(np.float32)
+         * 0.1)
+        for _ in range(batch)
+    ]
+
+    def run_once():
+        return model.generate_batch(audios)
+
+    run_once()  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtfx = batch * audio_seconds / wall
+    return {
+        "metric": f"parakeet_tdt0.6b_batch{batch}_rtfx_{int(audio_seconds)}s",
+        "value": round(rtfx, 1),
+        "unit": "rtfx",
+        "vs_baseline": round(rtfx, 1),  # baseline: real time per stream
+        "detail": {
+            "wall_s": round(wall, 4),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def main():
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
@@ -243,6 +346,10 @@ def main():
              8 if "q8" in sys.argv[2:] else None)
     if mode == "tts":
         result = bench_tts_ttfb(quantize_bits=qbits)
+    elif mode == "vad":
+        result = bench_vad_diarization()
+    elif mode == "parakeet":
+        result = bench_parakeet_batch()
     else:
         result = bench_whisper_rtf(mode, kv_bits=kv_bits)
     print(json.dumps(result))

@@ -314,9 +314,12 @@ def make_silero_fixture(path: Path) -> Path:
 
 def make_parakeet_fixture(path: Path, vocab: int = 16, d_model: int = 32,
                           n_layers: int = 2, n_heads: int = 4,
-                          features: int = 16, variant: str = "tdt") -> Path:
+                          features: int = 16, variant: str = "tdt",
+                          pred_hidden: int = 16, joint_hidden: int = 16,
+                          conv_ch: int = 8) -> Path:
     """Tiny Parakeet-TDT checkpoint in the MLX-community layout: pre_encode
-    conv list indices, MLX conv/LSTM layouts, joint_net.2 naming."""
+    conv list indices, MLX conv/LSTM layouts, joint_net.2 naming. Pass
+    real dims (d_model=1024, n_layers=24, ...) for benchmark-scale models."""
     from safetensors.numpy import save_file
 
     path = Path(path)
@@ -324,7 +327,6 @@ def make_parakeet_fixture(path: Path, vocab: int = 16, d_model: int = 32,
     durations = [0, 1, 2, 3, 4] if variant == "tdt" else []
     vocab_list = [("▁" if i % 3 == 0 else "") + chr(ord("a") + i % 26)
                   for i in range(vocab)]
-    pred_hidden, joint_hidden, conv_ch = 16, 16, 8
     cfg = {
         "model_type": "parakeet",
         "target": "nemo.collections.asr.models.EncDecRNNTBPEModel",
@@ -581,24 +583,30 @@ def make_qwen3_tts_fixture(path: Path) -> Path:
     return path
 
 
-def make_sortformer_fixture(path: Path) -> Path:
-    """Tiny Sortformer checkpoint (torch-canonical layouts)."""
+def make_sortformer_fixture(path: Path, H: int = 16, TF: int = 8,
+                            CH: int = 8, MELS: int = 16, HEADS: int = 2,
+                            fc_layers: int = 2, tf_layers: int = 2,
+                            fc_ffn: int = 32, tf_ffn: int = 16,
+                            tf_heads: int = 2) -> Path:
+    """Tiny Sortformer checkpoint (torch-canonical layouts). Pass real
+    dims (H=512, fc_layers=18, TF=192, tf_layers=18, MELS=128, CH=256)
+    for benchmark-scale models."""
     from safetensors.numpy import save_file
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    H, TF, CH, MELS, HEADS = 16, 8, 8, 16, 2
     cfg = {
         "model_type": "sortformer",
         "fc_encoder_config": {
-            "hidden_size": H, "num_hidden_layers": 2,
-            "num_attention_heads": HEADS, "intermediate_size": 32,
+            "hidden_size": H, "num_hidden_layers": fc_layers,
+            "num_attention_heads": HEADS, "intermediate_size": fc_ffn,
             "num_mel_bins": MELS, "conv_kernel_size": 9,
             "subsampling_factor": 8, "subsampling_conv_channels": CH,
         },
         "tf_encoder_config": {
-            "d_model": TF, "encoder_layers": 2, "encoder_attention_heads": 2,
-            "encoder_ffn_dim": 16, "max_source_positions": 500,
+            "d_model": TF, "encoder_layers": tf_layers,
+            "encoder_attention_heads": tf_heads,
+            "encoder_ffn_dim": tf_ffn, "max_source_positions": 500,
         },
         "modules_config": {
             "num_speakers": 4, "fc_d_model": H, "tf_d_model": TF,
@@ -632,15 +640,15 @@ def make_sortformer_fixture(path: Path) -> Path:
     for _ in range(3):
         f_out = (f_out - 1) // 2 + 1
     lin(f"{sub}.linear", H, CH * f_out)
-    for i in range(2):
+    for i in range(fc_layers):
         base = f"fc_encoder.layers.{i}"
         for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
                     "norm_feed_forward2", "norm_out"):
             w[f"{base}.{nrm}.weight"] = np.ones((H,), np.float32)
             w[f"{base}.{nrm}.bias"] = np.zeros((H,), np.float32)
         for ff in ("feed_forward1", "feed_forward2"):
-            lin(f"{base}.{ff}.linear1", 32, H)
-            lin(f"{base}.{ff}.linear2", H, 32)
+            lin(f"{base}.{ff}.linear1", fc_ffn, H)
+            lin(f"{base}.{ff}.linear2", H, fc_ffn)
         for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
             lin(f"{base}.self_attn.{proj}", H, H)
         lin(f"{base}.self_attn.relative_k_proj", H, H, bias=False)
@@ -658,7 +666,7 @@ def make_sortformer_fixture(path: Path) -> Path:
         w[f"{base}.conv.norm.running_mean"] = np.zeros((H,), np.float32)
         w[f"{base}.conv.norm.running_var"] = np.ones((H,), np.float32)
     w["tf_encoder.embed_positions.weight"] = modulo_values((500, TF), 17, 0.2)
-    for i in range(2):
+    for i in range(tf_layers):
         base = f"tf_encoder.layers.{i}"
         lin(f"{base}.self_attn.q_proj", TF, TF)
         lin(f"{base}.self_attn.k_proj", TF, TF, bias=False)
@@ -666,8 +674,8 @@ def make_sortformer_fixture(path: Path) -> Path:
         lin(f"{base}.self_attn.out_proj", TF, TF)
         w[f"{base}.self_attn_layer_norm.weight"] = np.ones((TF,), np.float32)
         w[f"{base}.self_attn_layer_norm.bias"] = np.zeros((TF,), np.float32)
-        lin(f"{base}.fc1", 16, TF)
-        lin(f"{base}.fc2", TF, 16)
+        lin(f"{base}.fc1", tf_ffn, TF)
+        lin(f"{base}.fc2", TF, tf_ffn)
         w[f"{base}.final_layer_norm.weight"] = np.ones((TF,), np.float32)
         w[f"{base}.final_layer_norm.bias"] = np.zeros((TF,), np.float32)
     lin("sortformer_modules.encoder_proj", TF, H)

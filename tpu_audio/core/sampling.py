@@ -58,12 +58,26 @@ def _mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 TOP_P_PREFILTER = 2048
 
 
+def _prefilter_top(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k head of the logits, sorted descending. On TPU uses the
+    hardware-optimized ``approx_max_k`` (recall ~= 0.95 *per element of
+    the true top-k*): for a nucleus prefilter the handful of possibly
+    swapped-out tail candidates carry negligible probability mass, and
+    the kernel is several times faster than exact top_k at 100k+ vocab."""
+    if k == logits.shape[-1]:
+        return jnp.sort(logits, axis=-1)[..., ::-1]
+    if jax.default_backend() in ("tpu", "axon"):
+        vals, _ = jax.lax.approx_max_k(logits, k)
+        return vals
+    return jax.lax.top_k(logits, k)[0]
+
+
 def _mask_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """Nucleus filtering. Keeps the smallest set of tokens whose cumulative
     probability exceeds ``top_p`` (always keeps the argmax)."""
     vocab = logits.shape[-1]
     k = min(TOP_P_PREFILTER, vocab)
-    top_vals, _ = jax.lax.top_k(logits, k)  # sorted descending
+    top_vals = _prefilter_top(logits, k)  # sorted descending
     probs = jax.nn.softmax(top_vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # mask tokens whose *preceding* cumulative mass already exceeds top_p
