@@ -146,7 +146,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
         num_attention_heads=24, num_key_value_heads=8,
         intermediate_size=8192, max_position_embeddings=4096,
     )))
-    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                                      on_device=True)
     if quantize_bits:
         from tpu_audio.core import quant
 

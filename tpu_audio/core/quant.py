@@ -143,15 +143,14 @@ def is_quantized(p: dict) -> bool:
     )
 
 
-def _unpack(w_packed, bits: int, out_features: int, in_features: int):
-    """uint32 [out, in*b/32] -> unsigned int values [out, in] (LSB-first)."""
+def _unpack(w_packed, bits: int):
+    """uint32 [..., out, in*b/32] -> unsigned values [..., out, in]
+    (LSB-first within each word)."""
     per_word = 32 // bits
     shifts = jnp.arange(per_word, dtype=jnp.uint32) * bits
-    # [out, words, per_word]
-    vals = (w_packed[..., None] >> shifts[None, None, :]) & jnp.uint32(
-        (1 << bits) - 1
-    )
-    return vals.reshape(out_features, in_features)
+    # [..., out, words, per_word]
+    vals = (w_packed[..., None] >> shifts) & jnp.uint32((1 << bits) - 1)
+    return vals.reshape(*w_packed.shape[:-1], w_packed.shape[-1] * per_word)
 
 
 def dequantize(
@@ -162,14 +161,15 @@ def dequantize(
     bits: int = 4,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Packed uint32 + scales/biases -> dense [out, in] weight."""
-    out_features = w_packed.shape[0]
-    in_features = w_packed.shape[1] * (32 // bits)
-    q = _unpack(w_packed, bits, out_features, in_features).astype(dtype)
+    """Packed uint32 + scales/biases -> dense [..., out, in] weight
+    (leading dims pass through, e.g. stacked scan-over-layers [L, O, I])."""
+    *lead, out_features, words = w_packed.shape
+    in_features = words * (32 // bits)
+    q = _unpack(w_packed, bits).astype(dtype)
     n_groups = in_features // group_size
-    q = q.reshape(out_features, n_groups, group_size)
+    q = q.reshape(*lead, out_features, n_groups, group_size)
     w = q * scales[..., None].astype(dtype) + biases[..., None].astype(dtype)
-    return w.reshape(out_features, in_features)
+    return w.reshape(*lead, out_features, in_features)
 
 
 def _use_pallas_qmm() -> bool:
@@ -221,6 +221,34 @@ def quantized_matmul_qt(x: jnp.ndarray, qt: "QuantizedTensor") -> jnp.ndarray:
                             qt.group_size, qt.bits, scales_w=qt.scales_w)
 
 
+def quantize_jax(w, group_size: int = 64, bits: int = 4):
+    """On-device MLX-compatible quantizer (same affine scheme as
+    :func:`quantize`): for device-resident weights this avoids pulling
+    them to host and re-uploading packed tensors — on tunneled TPU
+    backends host<->device transfers of GB-scale trees take minutes.
+
+    Accepts [O, I] or stacked [L, O, I]; returns (packed, scales, biases)
+    jnp arrays with the same leading dims.
+    """
+    w = w.astype(jnp.float32)
+    *lead, o, i = w.shape
+    assert i % group_size == 0
+    n_levels = (1 << bits) - 1
+    per_word = 32 // bits
+    g = w.reshape(*lead, o, i // group_size, group_size)
+    w_min = g.min(-1)
+    w_max = g.max(-1)
+    scales = (w_max - w_min) / n_levels
+    scales = jnp.where(scales == 0, 1e-8, scales)
+    q = jnp.clip(jnp.round((g - w_min[..., None]) / scales[..., None]),
+                 0, n_levels).astype(jnp.uint32)
+    q = q.reshape(*lead, o, i // per_word, per_word)
+    shifts = (jnp.arange(per_word, dtype=jnp.uint32) * bits)
+    # nibble planes occupy disjoint bits, so sum == bitwise-or
+    packed = (q << shifts).sum(axis=-1, dtype=jnp.uint32)
+    return packed, scales, w_min
+
+
 def quantize_tree(params, group_size: int = 64, bits: int = 4,
                   min_in_features: int = 256, word_scales: bool = True):
     """Quantize every eligible 2-D/stacked-3-D float weight leaf of a param
@@ -246,17 +274,33 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
                         and v.ndim in (2, 3)
                         and v.shape[-1] % group_size == 0
                         and v.shape[-1] >= min_in_features):
-                    host = np.asarray(v, np.float32)
-                    shape = host.shape
-                    packed, scales, biases = quantize(
-                        host.reshape(-1, shape[-1]), group_size, bits)
-                    per_word = 32 // bits
-                    packed = packed.reshape(*shape[:-1], shape[-1] // per_word)
-                    scales = scales.reshape(*shape[:-1], shape[-1] // group_size)
-                    biases = biases.reshape(*shape[:-1], shape[-1] // group_size)
+                    if isinstance(v, jnp.ndarray):
+                        # device path; stacked [L, O, I] per-layer to keep
+                        # the f32 workspace bounded
+                        if v.ndim == 3:
+                            parts = [quantize_jax(v[l], group_size, bits)
+                                     for l in range(v.shape[0])]
+                            packed = jnp.stack([p[0] for p in parts])
+                            scales = jnp.stack([p[1] for p in parts])
+                            biases = jnp.stack([p[2] for p in parts])
+                        else:
+                            packed, scales, biases = quantize_jax(
+                                v, group_size, bits)
+                    else:
+                        host = np.asarray(v, np.float32)
+                        shape = host.shape
+                        packed, scales, biases = quantize(
+                            host.reshape(-1, shape[-1]), group_size, bits)
+                        per_word = 32 // bits
+                        packed = jnp.asarray(packed.reshape(
+                            *shape[:-1], shape[-1] // per_word))
+                        scales = jnp.asarray(scales.reshape(
+                            *shape[:-1], shape[-1] // group_size))
+                        biases = jnp.asarray(biases.reshape(
+                            *shape[:-1], shape[-1] // group_size))
                     qt = QuantizedTensor(
-                        jnp.asarray(packed), jnp.asarray(scales),
-                        jnp.asarray(biases), group_size=group_size, bits=bits)
+                        packed, scales, biases,
+                        group_size=group_size, bits=bits)
                     if word_scales:
                         qt = qt.with_word_scales()
                     out[k] = qt

@@ -352,14 +352,27 @@ def sanitize(weights: dict[str, np.ndarray], cfg: LlamaConfig) -> dict:
     return out
 
 
-def init_random_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
-    """Random params in HF layout, for benchmarks/fixtures."""
-    rng = np.random.default_rng(seed)
+def init_random_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.bfloat16,
+                       on_device: bool = False) -> dict:
+    """Random params in HF layout, for benchmarks/fixtures.
+
+    ``on_device=True`` generates directly with ``jax.random`` — on
+    tunneled TPU backends, host-generating a 3B tree and uploading it
+    takes minutes; on-device generation takes seconds."""
     d, ffn, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     hd = cfg.resolved_head_dim
 
-    def rand(*shape):
-        return rng.standard_normal(shape, dtype=np.float32) * 0.02
+    if on_device:
+        key_holder = [jax.random.PRNGKey(seed)]
+
+        def rand(*shape):
+            key_holder[0], sub = jax.random.split(key_holder[0])
+            return jax.random.normal(sub, shape, dtype) * 0.02
+    else:
+        rng = np.random.default_rng(seed)
+
+        def rand(*shape):
+            return rng.standard_normal(shape, dtype=np.float32) * 0.02
 
     # stacked scan-over-layers layout: every layer leaf leads with [L]
     n = cfg.num_hidden_layers
