@@ -151,8 +151,11 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     if quantize_bits:
         from tpu_audio.core import quant
 
-        params = quant.quantize_tree(params, group_size=64,
-                                     bits=quantize_bits)
+        if quantize_bits == -8:  # w8a8 int8 MXU path
+            params = quant.quantize_tree(params, scheme="w8a8")
+        else:
+            params = quant.quantize_tree(params, group_size=64,
+                                         bits=quantize_bits)
         params = llama.fuse_projections(params)
 
     # real-size SNAC 24 kHz decoder (random weights via the fixture writer)
@@ -223,7 +226,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     rtx = audio_s / ttfb  # >1 = first chunk arrives faster than realtime
     return {
         "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok"
-                  + (f"_q{quantize_bits}" if quantize_bits else ""),
+                  + ("_w8a8" if quantize_bits == -8 else
+                     f"_q{quantize_bits}" if quantize_bits else ""),
         "value": round(ttfb * 1000, 1),
         "unit": "ms",
         "vs_baseline": round(rtx, 3),
@@ -344,7 +348,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
     kv_bits = 8 if "kv8" in sys.argv[2:] else None
     qbits = (4 if "q4" in sys.argv[2:] else
-             8 if "q8" in sys.argv[2:] else None)
+             8 if "q8" in sys.argv[2:] else
+             -8 if "w8" in sys.argv[2:] else None)
     if mode == "tts":
         result = bench_tts_ttfb(quantize_bits=qbits)
     elif mode == "vad":

@@ -150,3 +150,52 @@ def test_quantize_tree_and_fused_projections_parity():
     # int8 grouped-affine + bf16 compute error bound on logits
     err = np.abs(np.asarray(qgot, np.float32) - np.asarray(ref)).max()
     assert err < 0.5, err
+
+
+def test_int8_w8a8_path():
+    """Per-channel int8 (w8a8) leaves: matmul accuracy, embedding gather,
+    fused projections, and forward parity on the llama backbone."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.core import nn, quant
+    from tpu_audio.models import llama
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((48, 256)).astype(np.float32) * 0.1
+    x = rng.standard_normal((5, 256)).astype(np.float32)
+    t = quant.quantize_int8_jax(jnp.asarray(w))
+    got = np.asarray(quant.int8_matmul(jnp.asarray(x), t))
+    want = x @ w.T
+    # w8a8 error: ~1% relative on random dense layers
+    assert np.abs(got - want).max() < np.abs(want).max() * 0.03
+
+    # embedding row gather
+    emb = {"weight": t}
+    ids = jnp.asarray([[0, 5, 47]])
+    rows = np.asarray(nn.embedding(emb, ids))
+    np.testing.assert_allclose(
+        rows[0], np.asarray(t.dequantize(jnp.float32))[[0, 5, 47]],
+        rtol=1e-6)
+
+    # backbone forward with w8a8 tree + fusion
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=512, max_position_embeddings=128)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(6)[None, :] % 512, jnp.int32)
+    cache = llama.make_cache(cfg, 1, 16, jnp.float32)
+    ref, _ = llama.forward(params, tokens, cache, cfg)
+
+    qparams = quant.quantize_tree(
+        {"model": dict(params["model"])}, scheme="w8a8")
+    assert isinstance(
+        qparams["model"]["layers"]["self_attn"]["q_proj"]["weight"],
+        quant.Int8Tensor)
+    qfused = llama.fuse_projections(qparams)
+    assert "qkv_proj" in qfused["model"]["layers"]["self_attn"]
+    cache = llama.make_cache(cfg, 1, 16, jnp.float32)
+    got, _ = llama.forward(qfused, tokens, cache, cfg)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max()
+    assert err < 0.35, err

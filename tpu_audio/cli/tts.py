@@ -39,9 +39,11 @@ def main(argv=None):
     parser.add_argument("--raw-ipa", action="store_true",
                         help="treat the input text as raw IPA phonemes "
                              "(bypasses the model's text processor)")
-    parser.add_argument("--quantize", type=int, choices=(4, 8), default=None,
-                        help="post-load-quantize a full-precision LM to "
-                             "4/8-bit grouped-affine (llama-family TTS)")
+    parser.add_argument("--quantize", choices=("4", "8", "w8a8"),
+                        default=None,
+                        help="post-load-quantize a full-precision LM: 4/8 = "
+                             "MLX grouped-affine, w8a8 = per-channel int8 "
+                             "for the native MXU path (llama-family TTS)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -54,7 +56,8 @@ def main(argv=None):
     if args.codec:
         kwargs["snac_repo"] = args.codec
     if args.quantize:
-        kwargs["quantize_bits"] = args.quantize
+        kwargs["quantize_bits"] = (args.quantize if args.quantize == "w8a8"
+                                   else int(args.quantize))
     model = load_model(args.model, **kwargs)
     if args.raw_ipa and hasattr(model, "text_processor"):
         # PassthroughProcessor equivalent (App.swift:93)

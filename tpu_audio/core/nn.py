@@ -39,7 +39,9 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``x @ W.T + b``; transparently handles MLX-quantized weights
     (as :class:`quant.QuantizedTensor` nodes tagged at load time)."""
     w = p["weight"]
-    if isinstance(w, quant.QuantizedTensor):
+    if isinstance(w, quant.Int8Tensor):
+        y = quant.int8_matmul(x, w)
+    elif isinstance(w, quant.QuantizedTensor):
         y = quant.quantized_matmul_qt(x, w).astype(x.dtype)
     else:
         y = x @ w.T.astype(x.dtype) if w.dtype != x.dtype else x @ w.T
@@ -53,6 +55,11 @@ def embedding(p: dict, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     dequantize only those (dequantizing the whole 100k+-row table per
     decode step would re-materialize it in HBM every token)."""
     w = p["weight"]
+    if isinstance(w, quant.Int8Tensor):
+        flat = ids.reshape(-1)
+        d = (w.weight[flat].astype(dtype)
+             * w.scale[flat][:, None].astype(dtype))
+        return d.reshape(*ids.shape, d.shape[-1])
     if isinstance(w, quant.QuantizedTensor):
         flat = ids.reshape(-1)
         rows = quant.QuantizedTensor(
@@ -66,6 +73,8 @@ def embedding(p: dict, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 def embedding_as_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding output head: ``x @ E.T``."""
     w = p["weight"]
+    if isinstance(w, quant.Int8Tensor):
+        return quant.int8_matmul(x, w)
     if isinstance(w, quant.QuantizedTensor):
         return quant.quantized_matmul_qt(x, w).astype(x.dtype)
     return x @ w.T.astype(x.dtype)

@@ -94,9 +94,20 @@ def _concat_weights(parts, axis):
     — e.g. per-layer quantization configs, LlamaTTS.swift:959-969)."""
     from tpu_audio.core import quant
 
-    kinds = {isinstance(p, quant.QuantizedTensor) for p in parts}
-    if len(kinds) > 1:
+    def kind(p):
+        if isinstance(p, quant.Int8Tensor):
+            return "i8"
+        if isinstance(p, quant.QuantizedTensor):
+            return "mlx"
+        return "dense"
+
+    if len({kind(p) for p in parts}) > 1:
         return None
+    if isinstance(parts[0], quant.Int8Tensor):
+        # weight [..., O, I] concat on O; per-channel scale [..., O] on -1
+        return quant.Int8Tensor(
+            jnp.concatenate([p.weight for p in parts], axis=axis),
+            jnp.concatenate([p.scale for p in parts], axis=-1))
     if isinstance(parts[0], quant.QuantizedTensor):
         if ({p.group_size for p in parts} != {parts[0].group_size}
                 or {p.bits for p in parts} != {parts[0].bits}):

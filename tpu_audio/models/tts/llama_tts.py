@@ -130,10 +130,13 @@ class LlamaTTS:
     def from_pretrained(cls, repo_or_path: str, codec=None,
                         snac_repo: str | None = None,
                         dtype=jnp.bfloat16,
-                        quantize_bits: int | None = None) -> "LlamaTTS":
+                        quantize_bits: int | str | None = None) -> "LlamaTTS":
         """``quantize_bits=4/8`` post-load-quantizes a full-precision
-        checkpoint (reference ``quantize(model:filter:)`` semantics); no-op
-        when the checkpoint already ships a ``quantization`` config."""
+        checkpoint to MLX grouped-affine (reference
+        ``quantize(model:filter:)`` semantics); ``quantize_bits="w8a8"``
+        uses per-channel int8 for the native MXU path — the fastest
+        decode on TPU. No-op when the checkpoint already ships a
+        ``quantization`` config."""
         model_dir = hub.resolve_or_download_model(repo_or_path)
         cfg_dict = hub.load_config(model_dir)
         config = LlamaTTSConfig.from_dict(cfg_dict)
@@ -149,6 +152,10 @@ class LlamaTTS:
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        elif quantize_bits == "w8a8":
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, scheme="w8a8")
         elif quantize_bits:
             from tpu_audio.core import quant
 

@@ -58,6 +58,10 @@ class VyvoTTS(LlamaTTS):
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        elif quantize_bits == "w8a8":
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, scheme="w8a8")
         elif quantize_bits:
             from tpu_audio.core import quant
 
