@@ -39,7 +39,11 @@ def _enable_compile_cache():
 
 
 def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
-                      repeats: int = 3, kv_bits: int | None = None) -> dict:
+                      repeats: int = 3, kv_bits: int | None = None,
+                      w8_decoder: bool = False) -> dict:
+    """``w8_decoder`` quantizes the decoder stack (incl. the tied
+    embedding head) to per-channel int8 for the native MXU path — the
+    224-token decode loop is HBM-bound on decoder weight reads."""
     import jax
     import jax.numpy as jnp
 
@@ -61,8 +65,13 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
         decoder_attention_heads=s["heads"], decoder_ffn_dim=s["ffn"],
         vocab_size=51866, max_target_positions=448,
     )
-    model = W.Whisper(cfg, W.init_params(cfg, seed=0, dtype=jnp.bfloat16),
-                      dtype=jnp.bfloat16)
+    params = W.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if w8_decoder:
+        from tpu_audio.core import quant
+
+        params["model"]["decoder"] = quant.quantize_tree(
+            params["model"]["decoder"], scheme="w8a8")
+    model = W.Whisper(cfg, params, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal(W.CHUNK_LENGTH_SAMPLES).astype(np.float32) * 0.1
@@ -102,7 +111,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     baseline_rtf = 0.05
     return {
         "metric": f"whisper_{size}_rtf_30s_{decode_tokens}tok"
-                  + ("_kv8" if kv_bits == 8 else ""),
+                  + ("_kv8" if kv_bits == 8 else "")
+                  + ("_w8" if w8_decoder else ""),
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
@@ -357,7 +367,8 @@ def main():
     elif mode == "parakeet":
         result = bench_parakeet_batch()
     else:
-        result = bench_whisper_rtf(mode, kv_bits=kv_bits)
+        result = bench_whisper_rtf(mode, kv_bits=kv_bits,
+                                   w8_decoder="w8" in sys.argv[2:])
     print(json.dumps(result))
 
 

@@ -229,3 +229,30 @@ def test_logits_match_transformers(tmp_path):
             decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
         ).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4)
+
+
+def test_w8a8_decoder_logits_close(tiny_model):
+    """Per-channel int8 decoder (native MXU path) stays close to the dense
+    decoder logits and produces the same greedy argmax on the fixture."""
+    import copy
+
+    from tpu_audio.core import quant
+
+    model = tiny_model
+    enc = jnp.zeros((1, 12, model.config.d_model), jnp.float32)
+    rngv = np.random.default_rng(0)
+    enc = jnp.asarray(rngv.standard_normal(enc.shape).astype(np.float32) * 0.3)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    ref = np.asarray(
+        W.decoder_forward(model.params, tokens, enc, model.config),
+        np.float32)
+
+    qparams = {"model": dict(model.params["model"])}
+    qparams["model"]["decoder"] = quant.quantize_tree(
+        model.params["model"]["decoder"], scheme="w8a8", min_in_features=16)
+    got = np.asarray(
+        W.decoder_forward(qparams, tokens, enc, model.config), np.float32)
+    # int8 weight + int8 activation error stays small relative to spread
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.05
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))

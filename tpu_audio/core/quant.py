@@ -341,6 +341,8 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
                 if (k == "weight" and not isinstance(v, QuantizedTensor)
                         and "norm" not in name.lower()
                         and not name.lower().startswith("ln")
+                        and "position" not in name.lower()
+                        and "pos_emb" not in name.lower()
                         and hasattr(v, "dtype")
                         and jnp.issubdtype(v.dtype, jnp.floating)
                         and v.ndim in (2, 3)
