@@ -127,3 +127,54 @@ def test_batch_server_whisper_encoder():
     got = np.asarray(server(feats))
     want = np.asarray(encode(params, jnp.asarray(feats)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tp_llama_decode_matches_replicated():
+    """Tensor-parallel KV-cached llama decode (Megatron specs over the
+    model axis) matches the replicated result — the sharding story for
+    serving 3B+ AR TTS backbones across chips."""
+    from tpu_audio.models import llama
+
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=128, max_position_embeddings=64)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(5)[None, :] % 256, jnp.int32)
+
+    cache = llama.make_cache(cfg, 1, 12, jnp.float32)
+    want, cache_w = llama.forward(params, tokens, cache, cfg)
+    step = jnp.asarray([[7]], jnp.int32)
+    want2, _ = llama.forward(params, step, cache_w, cfg)
+
+    mesh = make_mesh(8, axes=("data", "model"), shape=(2, 4))
+    sharded = shard_params(params, mesh)
+    with mesh:
+        cache = llama.make_cache(cfg, 1, 12, jnp.float32)
+        got, cache_g = llama.forward(sharded, tokens, cache, cfg)
+        got2, _ = llama.forward(sharded, step, cache_g, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-4)
+
+
+def test_tp_llama_decode_fused_projections():
+    """The fused qkv/gate_up layout also runs under the TP specs (GSPMD
+    reshards the uneven GQA split; correctness is what's pinned)."""
+    from tpu_audio.models import llama
+
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=128, max_position_embeddings=64)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    fused = llama.fuse_projections(params)
+    tokens = jnp.asarray(np.arange(5)[None, :] % 256, jnp.int32)
+    cache = llama.make_cache(cfg, 1, 12, jnp.float32)
+    want, _ = llama.forward(fused, tokens, cache, cfg)
+
+    mesh = make_mesh(8, axes=("data", "model"), shape=(2, 4))
+    sharded = shard_params(fused, mesh)
+    with mesh:
+        cache = llama.make_cache(cfg, 1, 12, jnp.float32)
+        got, _ = llama.forward(sharded, tokens, cache, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

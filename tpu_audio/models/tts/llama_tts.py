@@ -130,7 +130,8 @@ class LlamaTTS:
     def from_pretrained(cls, repo_or_path: str, codec=None,
                         snac_repo: str | None = None,
                         dtype=jnp.bfloat16,
-                        quantize_bits: int | str | None = None) -> "LlamaTTS":
+                        quantize_bits: int | str | None = None,
+                        fuse: bool = True) -> "LlamaTTS":
         """``quantize_bits=4/8`` post-load-quantizes a full-precision
         checkpoint to MLX grouped-affine (reference
         ``quantize(model:filter:)`` semantics); ``quantize_bits="w8a8"``
@@ -160,8 +161,11 @@ class LlamaTTS:
             from tpu_audio.core import quant
 
             params = quant.quantize_tree(params, bits=quantize_bits)
-        # fused qkv/gate_up GEMVs: fewer dispatches in the decode hot loop
-        params = llama.fuse_projections(params)
+        # fused qkv/gate_up GEMVs: fewer dispatches in the decode hot
+        # loop. Pass fuse=False for tensor-parallel sharding (Megatron
+        # column-parallel specs want separate q/k/v under GQA).
+        if fuse:
+            params = llama.fuse_projections(params)
         tokenizer = None
         from pathlib import Path
 

@@ -41,7 +41,8 @@ class VyvoTTS(LlamaTTS):
     def from_pretrained(cls, repo_or_path: str, codec=None,
                         snac_repo: str | None = None,
                         dtype=jnp.bfloat16,
-                        quantize_bits: int | None = None) -> "VyvoTTS":
+                        quantize_bits: int | str | None = None,
+                        fuse: bool = True) -> "VyvoTTS":
         model_dir = hub.resolve_or_download_model(repo_or_path)
         cfg_dict = hub.load_config(model_dir)
         config = LlamaTTSConfig.from_dict(cfg_dict)
@@ -66,7 +67,8 @@ class VyvoTTS(LlamaTTS):
             from tpu_audio.core import quant
 
             params = quant.quantize_tree(params, bits=quantize_bits)
-        params = llama.fuse_projections(params)
+        if fuse:
+            params = llama.fuse_projections(params)
         tokenizer = None
         from pathlib import Path
 

@@ -65,8 +65,9 @@ class ShardingRules:
 # Megatron-style rules for transformer blocks: column-parallel QKV/fc1,
 # row-parallel out/fc2, vocab-parallel embedding.
 TRANSFORMER_TP_RULES = ShardingRules([
-    (r"(q_proj|k_proj|v_proj)\.weight$", P("model", None)),
-    (r"(q_proj|k_proj|v_proj)\.bias$", P("model")),
+    (r"(q_proj|k_proj|v_proj|qkv_proj)\.weight$", P("model", None)),
+    (r"(q_proj|k_proj|v_proj|qkv_proj)\.bias$", P("model")),
+    (r"gate_up_proj\.weight$", P("model", None)),
     (r"(out_proj|o_proj)\.weight$", P(None, "model")),
     (r"(fc1|up_proj|gate_proj)\.weight$", P("model", None)),
     (r"(fc1|up_proj|gate_proj)\.bias$", P("model")),
