@@ -90,3 +90,44 @@ def test_enhance_streaming_covers_input(model):
     chunks = list(model.enhance_streaming(audio, chunk_samples=960))
     total = sum(len(c) for c in chunks)
     assert total == len(audio)
+
+
+def test_streamer_matches_offline(model):
+    """Stateful hop-by-hop streamer is sample-identical to offline enhance
+    under adversarial chunk sizes (reference front-end-equivalence pattern,
+    VoxtralRealtimeStreamingFrontEndTests.swift:1-47)."""
+    from tpu_audio.models.sts.deepfilternet import DeepFilterNetStreamer
+
+    rng = np.random.default_rng(0)
+    hop = model.config.hop_size
+    audio = (rng.standard_normal(hop * 23 + 37).astype(np.float32) * 0.3)
+    want = model.enhance(audio)
+
+    streamer = DeepFilterNetStreamer(model)
+    outs = []
+    pos = 0
+    for size in [hop, 173, hop * 7, 1, 999, hop * 30]:
+        if pos >= len(audio):
+            break
+        outs.append(streamer.process_chunk(audio[pos : pos + size]))
+        pos += size
+    if pos < len(audio):
+        outs.append(streamer.process_chunk(audio[pos:]))
+    outs.append(streamer.flush())
+    got = np.concatenate([o for o in outs if len(o)])
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    summary = streamer.profiling_summary()
+    assert "ms/hop" in summary
+
+
+def test_enhance_streaming_generator_matches_offline(model):
+    rng = np.random.default_rng(1)
+    hop = model.config.hop_size
+    audio = (rng.standard_normal(hop * 11).astype(np.float32) * 0.2)
+    want = model.enhance(audio)
+    got = np.concatenate(list(model.enhance_streaming(audio,
+                                                      chunk_samples=hop * 3)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)

@@ -29,8 +29,8 @@ import numpy as np
 
 from tpu_audio.core import hub, loading, nn
 
-__all__ = ["DeepFilterNet", "DeepFilterNetConfig", "vorbis_window",
-           "erb_band_widths"]
+__all__ = ["DeepFilterNet", "DeepFilterNetConfig", "DeepFilterNetStreamer",
+           "vorbis_window", "erb_band_widths"]
 
 
 @dataclass
@@ -243,6 +243,72 @@ def _enc_conv(p, x, prefix, main, pointwise, bn, fstride, lookahead=0):
     return jax.nn.relu(_batch_norm(p, f"{prefix}.{bn}", y))
 
 
+# -- streaming variants: explicit time-tail state instead of left padding --
+
+
+def _conv2d_stream(w, x, tail, fstride, groups: int | None = None):
+    """Time-VALID conv over one new frame ``x [B, 1, F, C]`` with carried
+    tail ``[B, k_t-1, F, C]`` (zeros at stream start == offline's left
+    padding). Returns (y [B, 1, F', C'], new_tail)."""
+    k_t, k_f = w.shape[2], w.shape[3]
+    in_per_group = w.shape[1]
+    g = groups if groups is not None else max(1, x.shape[-1] // in_per_group)
+    if k_t > 1:
+        x_ext = jnp.concatenate([tail, x], axis=1)
+        new_tail = x_ext[:, -(k_t - 1):]
+    else:
+        x_ext, new_tail = x, tail
+    y = jnp.pad(x_ext, ((0, 0), (0, 0), (k_f // 2, k_f // 2), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        y, w.astype(x.dtype), window_strides=(1, fstride),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"), feature_group_count=g)
+    return y, new_tail
+
+
+class _TailStore:
+    """Dict-backed per-conv time tails; creates zero tails lazily so the
+    state pytree only holds convs with k_t > 1."""
+
+    def __init__(self, tails: dict):
+        self.tails = dict(tails)
+
+    def conv(self, p, name, x, fstride, groups=None):
+        w = p[f"{name}.weight"]
+        k_t = w.shape[2]
+        if k_t > 1:
+            tail = self.tails.get(name)
+            if tail is None:
+                tail = jnp.zeros((x.shape[0], k_t - 1, x.shape[2],
+                                  x.shape[3]), x.dtype)
+            y, new_tail = _conv2d_stream(w, x, tail, fstride, groups)
+            self.tails[name] = new_tail
+            return y
+        y, _ = _conv2d_stream(w, x, None, fstride, groups)
+        return y
+
+
+def _squeezed_gru_stream(p, prefix, x, hs, linear_out: bool):
+    """One-frame squeezed GRU with carried per-layer hiddens."""
+    y = jax.nn.relu(_grouped_linear(p[f"{prefix}.linear_in.0.weight"], x))
+    new_hs = []
+    layer = 0
+    while f"{prefix}.gru.weight_ih_l{layer}" in p:
+        gp = {
+            "weight_ih": p[f"{prefix}.gru.weight_ih_l{layer}"],
+            "weight_hh": p[f"{prefix}.gru.weight_hh_l{layer}"],
+            "bias_ih": p[f"{prefix}.gru.bias_ih_l{layer}"],
+            "bias_hh": p[f"{prefix}.gru.bias_hh_l{layer}"],
+        }
+        h0 = hs[layer] if hs is not None else None
+        y, h = nn.gru(gp, y, h0=h0)
+        new_hs.append(h)
+        layer += 1
+    if linear_out and f"{prefix}.linear_out.0.weight" in p:
+        y = jax.nn.relu(_grouped_linear(p[f"{prefix}.linear_out.0.weight"], y))
+    return y, new_hs
+
+
 # ---------------------------------------------------------------------------
 # Model
 # ---------------------------------------------------------------------------
@@ -432,18 +498,320 @@ class DeepFilterNet:
 
     def enhance_streaming(self, audio: np.ndarray,
                           chunk_samples: int | None = None):
-        """Chunked enhancement generator. Each chunk is enhanced with the
-        accumulated context so outputs match offline as context grows (a
-        simplified take on the reference's hop-by-hop streamer; the
-        stateful single-hop path is future work)."""
+        """Chunked enhancement generator over the stateful hop-by-hop
+        streamer (:class:`DeepFilterNetStreamer`) — frame-identical to
+        offline ``enhance``, O(n) total work, constant memory."""
         cfg = self.config
         chunk = chunk_samples or cfg.hop_size * 25
         audio = np.asarray(audio, np.float32)
-        emitted = 0
-        for end in range(chunk, len(audio) + chunk, chunk):
-            ctx = audio[: min(end, len(audio))]
-            out = self.enhance(ctx)
-            yield out[emitted:]
-            emitted = len(out)
-            if end >= len(audio):
-                break
+        streamer = DeepFilterNetStreamer(self)
+        for start in range(0, len(audio), chunk):
+            out = streamer.process_chunk(audio[start : start + chunk])
+            if len(out):
+                yield out
+        tail = streamer.flush()
+        if len(tail):
+            yield tail
+
+
+class DeepFilterNetStreamer:
+    """Stateful hop-by-hop streaming enhancement, frame-identical to
+    offline :meth:`DeepFilterNet.enhance` on the same total input
+    (reference DeepFilterNetStreamer.processChunk,
+    DeepFilterNetStreamer.swift:282, per-stage profiler :386).
+
+    Carried state (a device pytree): EMA feature-norm states, per-conv
+    time tails (== offline's causal left padding), per-layer GRU hiddens,
+    a spec ring buffer for the deep-filter window, gain/coef delay FIFOs,
+    and the overlap-add synthesis tail. Algorithmic delay is
+    ``max(conv_lookahead, df_lookahead)`` hops, matching the offline
+    graph's lookahead shifts.
+    """
+
+    def __init__(self, model: DeepFilterNet):
+        self.model = model
+        cfg = model.config
+        self.cl = cfg.conv_lookahead
+        self.dl = cfg.df_lookahead
+        self.D = max(self.cl, self.dl)
+        self.do = cfg.df_order
+        self.S = max(self.D + 1, self.D - self.dl + self.do)
+        self.Dc = self.D - self.cl + 1
+        self.window = jnp.asarray(vorbis_window(cfg.fft_size))
+        # transposed convs must be time-pointwise for single-frame steps
+        for k in model.params:
+            if ".convt" in k and k.endswith(".0.weight"):
+                assert model.params[k].shape[2] == 1, (
+                    "streaming requires time-pointwise transposed convs")
+        self._step = jax.jit(self._step_impl)
+        self.reset()
+
+    def reset(self):
+        cfg = self.model.config
+        F = cfg.freq_bins
+        # offline closed form: state_t = a^t*init + (1-a)*sum a^(t-i) x_i —
+        # the init term is NOT decayed at t=0, so the recurrence matches
+        # exactly with s_{-1} = init / a
+        a = self.model.norm_alpha
+        self.state = {
+            "norm_erb": jnp.linspace(-60.0, -90.0, cfg.nb_erb) / a,
+            "norm_unit": jnp.linspace(0.001, 0.0001, cfg.nb_df) / a,
+            "spec_buf": jnp.zeros((self.S, F, 2), jnp.float32),
+            "gain_buf": jnp.zeros((self.Dc, F), jnp.float32),
+            "coef_buf": jnp.zeros((self.Dc, cfg.nb_df, self.do, 2),
+                                  jnp.float32),
+            "tails": {},
+            "grus": {},
+            "ola_sig": jnp.zeros((cfg.fft_size,), jnp.float32),
+            "ola_wsq": jnp.zeros((cfg.fft_size,), jnp.float32),
+        }
+        self._s = 0          # device-step index (spec frame counter)
+        self._buf = np.zeros(self.model.config.hop_size, np.float32)  # lead-in
+        self._fed = 0        # real samples fed
+        self._emitted = 0    # enhanced samples returned so far
+        self._skip = cfg.fft_size - cfg.hop_size  # offline crop
+        self._stage_times: dict[str, list[float]] = {
+            "frame_prep": [], "device_steps": [], "collect": []}
+
+    # -- per-frame network (mirrors _forward_impl at T=1) -------------------
+
+    def _net_frame(self, p, feat_erb, feat_df, tails, grus):
+        cfg = self.model.config
+        ts = _TailStore(tails)
+        new_grus = {}
+        x_erb = feat_erb[None, None, :, None].astype(self.model.dtype)
+        x_df = feat_df[None, None].astype(self.model.dtype)
+
+        def enc(prefix, x, main, pointwise, bn, fstride):
+            y = ts.conv(p, f"{prefix}.{main}", x, fstride)
+            if pointwise is not None:
+                y = ts.conv(p, f"{prefix}.{pointwise}", y, 1)
+            return jax.nn.relu(_batch_norm(p, f"{prefix}.{bn}", y))
+
+        e0 = enc("enc.erb_conv0", x_erb, 1, None, 2, 1)
+        e1 = enc("enc.erb_conv1", e0, 0, 1, 2, 2)
+        e2 = enc("enc.erb_conv2", e1, 0, 1, 2, 2)
+        e3 = enc("enc.erb_conv3", e2, 0, 1, 2, 1)
+        c0 = enc("enc.df_conv0", x_df, 1, 2, 3, 1)
+        c1 = enc("enc.df_conv1", c0, 0, 1, 2, 2)
+
+        cemb = jax.nn.relu(_grouped_linear(p["enc.df_fc_emb.0.weight"],
+                                           c1.reshape(1, 1, -1)))
+        emb = e3.reshape(1, 1, -1)
+        emb = (jnp.concatenate([emb, cemb], -1) if cfg.enc_concat
+               else emb + cemb)
+        emb, new_grus["enc.emb_gru"] = _squeezed_gru_stream(
+            p, "enc.emb_gru", emb, grus.get("enc.emb_gru"), True)
+
+        d, new_grus["erb_dec.emb_gru"] = _squeezed_gru_stream(
+            p, "erb_dec.emb_gru", emb, grus.get("erb_dec.emb_gru"), True)
+        f8 = e3.shape[2]
+        d = d.reshape(1, 1, f8, -1)
+
+        def pathway(prefix, e):
+            y = ts.conv(p, f"{prefix}.0", e, 1)
+            return jax.nn.relu(_batch_norm(p, f"{prefix}.1", y))
+
+        def transpose_block(prefix, x, fstride):
+            y = _convt2d(p[f"{prefix}.0.weight"], x, fstride,
+                         groups=cfg.conv_ch)
+            y = ts.conv(p, f"{prefix}.1", y, 1)
+            return _batch_norm(p, f"{prefix}.2", y)
+
+        def regular_block(prefix, x):
+            y = ts.conv(p, f"{prefix}.0", x, 1)
+            y = ts.conv(p, f"{prefix}.1", y, 1)
+            return _batch_norm(p, f"{prefix}.2", y)
+
+        d3 = jax.nn.relu(pathway("erb_dec.conv3p", e3)) + d
+        d3 = jax.nn.relu(regular_block("erb_dec.convt3", d3))
+        d2 = jax.nn.relu(pathway("erb_dec.conv2p", e2)) + d3
+        d2 = jax.nn.relu(transpose_block("erb_dec.convt2", d2, 2))
+        d1 = jax.nn.relu(pathway("erb_dec.conv1p", e1)) + d2
+        d1 = jax.nn.relu(transpose_block("erb_dec.convt1", d1, 2))
+        d0 = jax.nn.relu(pathway("erb_dec.conv0p", e0)) + d1
+        out = ts.conv(p, "erb_dec.conv0_out.0", d0, 1)
+        mask = jax.nn.sigmoid(_batch_norm(p, "erb_dec.conv0_out.1", out))
+        gains = (mask[0, 0, :, 0].reshape(1, cfg.nb_erb)
+                 @ p["mask.erb_inv_fb"].astype(mask.dtype)
+                 ).reshape(cfg.freq_bins)
+
+        c, new_grus["df_dec.df_gru"] = _squeezed_gru_stream(
+            p, "df_dec.df_gru", emb, grus.get("df_dec.df_gru"), False)
+        if "df_dec.df_skip.weight" in p:
+            c = c + _grouped_linear(p["df_dec.df_skip.weight"], emb)
+        c0p = ts.conv(p, "df_dec.df_convp.1", c0, 1)
+        c0p = ts.conv(p, "df_dec.df_convp.2", c0p, 1)
+        c0p = jax.nn.relu(_batch_norm(p, "df_dec.df_convp.3", c0p))
+        df_out = jnp.tanh(_grouped_linear(p["df_dec.df_out.0.weight"], c)
+                          ).reshape(1, 1, cfg.nb_df, self.do * 2)
+        coefs = (df_out + c0p).reshape(cfg.nb_df, self.do, 2)
+        return (gains.astype(jnp.float32), coefs.astype(jnp.float32),
+                ts.tails, new_grus)
+
+    # -- one hop ------------------------------------------------------------
+
+    def _step_impl(self, params, state, frame, s_idx, is_flush):
+        cfg = self.model.config
+        a = self.model.norm_alpha
+
+        spec_c = jnp.fft.rfft(frame * self.window) * self.model.wnorm
+        re, im = spec_c.real.astype(jnp.float32), spec_c.imag.astype(jnp.float32)
+
+        # feature EMA norms (closed-form offline; recurrence here)
+        erb = (re**2 + im**2) @ self.model.erb_fb.astype(jnp.float32)
+        erb_db = 10.0 * jnp.log10(erb + 1e-10)
+        norm_erb = a * state["norm_erb"] + (1 - a) * erb_db
+        feat_erb = (erb_db - norm_erb) / 40.0
+        mag_df = jnp.sqrt(re[: cfg.nb_df] ** 2 + im[: cfg.nb_df] ** 2)
+        norm_unit = a * state["norm_unit"] + (1 - a) * mag_df
+        denom = jnp.sqrt(jnp.maximum(norm_unit, 1e-12))
+        feat_df = jnp.stack([re[: cfg.nb_df] / denom,
+                             im[: cfg.nb_df] / denom], axis=-1)
+        # flush steps run the network on zero features (offline's
+        # trailing lookahead zeros) but keep norm state untouched
+        feat_erb = jnp.where(is_flush, 0.0, feat_erb)
+        feat_df = jnp.where(is_flush, 0.0, feat_df)
+        norm_erb = jnp.where(is_flush, state["norm_erb"], norm_erb)
+        norm_unit = jnp.where(is_flush, state["norm_unit"], norm_unit)
+
+        spec_buf = jnp.roll(state["spec_buf"], -1, axis=0)
+        spec_frame = jnp.stack([re, im], axis=-1)
+        spec_frame = jnp.where(is_flush, 0.0, spec_frame)
+        spec_buf = spec_buf.at[-1].set(spec_frame)
+
+        gains, coefs, tails, grus = self._net_frame(
+            params, feat_erb, feat_df, state["tails"], state["grus"])
+        gain_buf = jnp.roll(state["gain_buf"], -1, axis=0).at[-1].set(gains)
+        coef_buf = jnp.roll(state["coef_buf"], -1, axis=0).at[-1].set(coefs)
+
+        # assemble output frame t = s - D
+        gains_t = gain_buf[0]
+        coefs_t = coef_buf[0]
+        spec_t = spec_buf[self.S - 1 - self.D]
+        masked = spec_t * gains_t[:, None]
+        # deep filter window: spec[t - do + 1 + dl ... t + dl]
+        end = self.S - (self.D - self.dl)
+        win = jax.lax.dynamic_slice_in_dim(spec_buf, end - self.do, self.do)
+        sr, si = win[..., 0], win[..., 1]
+        cr, ci = coefs_t[..., 0].T, coefs_t[..., 1].T  # [do, nb_df]
+        out_r = jnp.sum(sr[:, : cfg.nb_df] * cr - si[:, : cfg.nb_df] * ci, 0)
+        out_i = jnp.sum(sr[:, : cfg.nb_df] * ci + si[:, : cfg.nb_df] * cr, 0)
+        low = jnp.stack([out_r, out_i], axis=-1)
+        enhanced = jnp.concatenate([low, masked[cfg.nb_df:]], axis=0)
+
+        # synthesis: irfft + overlap-add, gated until the first valid frame
+        valid = s_idx >= self.D
+        enh_c = (enhanced[..., 0] + 1j * enhanced[..., 1]) / self.model.wnorm
+        wav = jnp.fft.irfft(enh_c, n=cfg.fft_size) * self.window
+        ola_sig = state["ola_sig"] + jnp.where(valid, wav, 0.0)
+        ola_wsq = state["ola_wsq"] + jnp.where(
+            valid, self.window * self.window, 0.0)
+        out = ola_sig[: cfg.hop_size] / jnp.maximum(
+            ola_wsq[: cfg.hop_size], 1e-11)
+        ola_sig = jnp.roll(ola_sig, -cfg.hop_size).at[-cfg.hop_size:].set(0.0)
+        ola_wsq = jnp.roll(ola_wsq, -cfg.hop_size).at[-cfg.hop_size:].set(0.0)
+
+        new_state = {
+            "norm_erb": norm_erb, "norm_unit": norm_unit,
+            "spec_buf": spec_buf, "gain_buf": gain_buf,
+            "coef_buf": coef_buf, "tails": tails, "grus": grus,
+            "ola_sig": ola_sig, "ola_wsq": ola_wsq,
+        }
+        return new_state, jnp.clip(out, -1.0, 1.0)
+
+    # -- public API ---------------------------------------------------------
+
+    def process_chunk(self, samples: np.ndarray) -> np.ndarray:
+        """Feed any number of samples; returns the enhanced samples that
+        became final (delayed by the algorithmic lookahead)."""
+        import time as _time
+
+        cfg = self.model.config
+        t0 = _time.perf_counter()
+        samples = np.asarray(samples, np.float32)
+        self._fed += len(samples)
+        self._buf = np.concatenate([self._buf, samples])
+        frames = []
+        while len(self._buf) >= cfg.fft_size:
+            frames.append(self._buf[: cfg.fft_size])
+            self._buf = self._buf[cfg.hop_size:]
+        t1 = _time.perf_counter()
+        outs = []
+        for frame in frames:
+            self.state, out = self._step(
+                self.model.params, self.state, jnp.asarray(frame),
+                jnp.int32(self._s), jnp.bool_(False))
+            if self._s >= self.D:
+                outs.append(out)
+            self._s += 1
+        t2 = _time.perf_counter()
+        result = self._collect(outs)
+        t3 = _time.perf_counter()
+        self._stage_times["frame_prep"].append(t1 - t0)
+        self._stage_times["device_steps"].append(t2 - t1)
+        self._stage_times["collect"].append(t3 - t2)
+        return result
+
+    def _collect(self, outs) -> np.ndarray:
+        if not outs:
+            return np.zeros(0, np.float32)
+        chunk = np.concatenate([np.asarray(o) for o in outs])
+        if self._skip > 0:
+            drop = min(self._skip, len(chunk))
+            chunk = chunk[drop:]
+            self._skip -= drop
+        remaining = self._fed - self._emitted
+        chunk = chunk[: max(0, remaining)]
+        self._emitted += len(chunk)
+        return chunk
+
+    def flush(self) -> np.ndarray:
+        """Process the signal tail: pads like offline ``enhance`` and
+        drains the lookahead delay. Returns the remaining samples."""
+        import time as _time
+
+        cfg = self.model.config
+        t0 = _time.perf_counter()
+        # offline pads fft_size zeros at the end
+        self._buf = np.concatenate(
+            [self._buf, np.zeros(cfg.fft_size, np.float32)])
+        frames = []
+        while len(self._buf) >= cfg.fft_size:
+            frames.append(self._buf[: cfg.fft_size])
+            self._buf = self._buf[cfg.hop_size:]
+        outs = []
+        for frame in frames:
+            self.state, out = self._step(
+                self.model.params, self.state, jnp.asarray(frame),
+                jnp.int32(self._s), jnp.bool_(False))
+            if self._s >= self.D:
+                outs.append(out)
+            self._s += 1
+        zero = jnp.zeros((cfg.fft_size,), jnp.float32)
+        for _ in range(self.D):
+            self.state, out = self._step(
+                self.model.params, self.state, zero,
+                jnp.int32(self._s), jnp.bool_(True))
+            if self._s >= self.D:
+                outs.append(out)
+            self._s += 1
+        result = self._collect(outs)
+        self._stage_times["device_steps"].append(_time.perf_counter() - t0)
+        return result
+
+    def profiling_summary(self) -> str:
+        """Per-stage wall-clock summary (reference profilingSummary,
+        DeepFilterNetStreamer.swift:386)."""
+        cfg = self.model.config
+        hop_ms = 1000.0 * cfg.hop_size / cfg.sample_rate
+        lines = [f"DeepFilterNet streaming profile "
+                 f"({self._s} hops, budget {hop_ms:.1f} ms/hop):"]
+        for stage, ts in self._stage_times.items():
+            if not ts:
+                continue
+            tot = sum(ts)
+            per_hop = 1000.0 * tot / max(1, self._s)
+            lines.append(f"  {stage:>12}: total {tot*1e3:8.1f} ms, "
+                         f"{per_hop:6.2f} ms/hop")
+        return "\n".join(lines)
