@@ -67,7 +67,8 @@ def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
                 # space: ONE O(V) top_k per token instead of two (the
                 # top-p nucleus is a subset of the top-k set, so the
                 # distribution is identical)
-                vals, idx = jax.lax.top_k(logits, sampling.top_k)
+                vals, idx = jax.lax.top_k(
+                    logits, min(sampling.top_k, logits.shape[-1]))
                 if sampling.top_p < 1.0:
                     probs = jax.nn.softmax(vals, axis=-1)
                     exceeded = (jnp.cumsum(probs, -1) - probs) \

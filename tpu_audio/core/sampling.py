@@ -46,6 +46,7 @@ def apply_repetition_penalty(logits: jnp.ndarray, token_history: jnp.ndarray,
 
 
 def _mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    k = min(k, logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 

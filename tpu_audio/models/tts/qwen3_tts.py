@@ -42,6 +42,7 @@ from tpu_audio.codecs.qwen3_codec import (
     Qwen3CodecDecoderConfig,
 )
 from tpu_audio.core import hub, kv_cache, loading, nn
+from tpu_audio.models import llama
 from tpu_audio.core.generation import (
     AudioGenerateParameters,
     AudioGeneration,
@@ -143,83 +144,58 @@ class Qwen3TTSConfig:
 # ---------------------------------------------------------------------------
 
 
+def _talker_llama_cfg(cfg: TalkerConfig) -> "llama.LlamaConfig":
+    return llama.LlamaConfig(
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        intermediate_size=cfg.intermediate_size,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        qk_norm=True,
+        attention_bias=cfg.attention_bias,
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+
+
 def talker_forward(params, embeds, cache, cfg: TalkerConfig):
     """embeds [B, T, D] -> (logits [B, T, V_codec], hidden [B, T, D], cache).
 
     Pure-TTS MRoPE: all three position streams share the text position, so
     the interleaved combine (Qwen3TTSTalker.swift:57-82) is the identity and
-    standard rotary tables apply.
+    standard rotary tables apply. The transformer body is the shared
+    scan-over-layers Llama backbone (qk_norm = Qwen3 attention).
     """
-    p = params["model"]
-    b, t, _ = embeds.shape
-    n_heads, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    offset = cache.offset
-    positions = offset + jnp.arange(t)
-    cos, sin = nn.rope(positions, hd, cfg.rope_theta)
-    mask = kv_cache.attention_mask(cache, t)
-
-    x = embeds
-    for i in range(cfg.num_hidden_layers):
-        lp = p["layers"][str(i)]
-        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        ap = lp["self_attn"]
-        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
-        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
-        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
-        q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
-        k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        q = nn.apply_rope(q, cos, sin)
-        k = nn.apply_rope(k, cos, sin)
-        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
-        o = nn.sdpa(q, k_full, v_full, mask=mask)
-        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
-        x = x + nn.linear(ap["o_proj"], o)
-        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        mp = lp["mlp"]
-        x = x + nn.linear(mp["down_proj"],
-                          nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h))
-    hidden = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
+    hidden, cache = llama.forward(
+        params, None, cache, _talker_llama_cfg(cfg),
+        inputs_embeds=embeds, return_hidden=True)
     logits = nn.linear(params["codec_head"], hidden)
-    cache = cache._replace(offset=cache.offset + t)
     return logits, hidden, cache
 
 
 def code_predictor_forward(params, embeds, cache, group_idx: int,
                            cfg: CodePredictorConfig):
-    """One code-predictor pass; ``group_idx`` selects the lm_head."""
-    p = params["model"]
-    b, t, _ = embeds.shape
-    n_heads, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    """One code-predictor pass; ``group_idx`` selects the lm_head. Shares
+    the scan-over-layers Llama backbone (qk_norm = Qwen3 attention)."""
     x = embeds
     if "small_to_mtp_projection" in params:
         x = nn.linear(params["small_to_mtp_projection"], x)
-    positions = cache.offset + jnp.arange(t)
-    cos, sin = nn.rope(positions, hd, cfg.rope_theta)
-    mask = kv_cache.attention_mask(cache, t)
-    for i in range(cfg.num_hidden_layers):
-        lp = p["layers"][str(i)]
-        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        ap = lp["self_attn"]
-        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
-        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
-        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
-        q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
-        k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps).transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        q = nn.apply_rope(q, cos, sin)
-        k = nn.apply_rope(k, cos, sin)
-        cache, k_full, v_full = kv_cache.update_cache(cache, i, k, v)
-        o = nn.sdpa(q, k_full, v_full, mask=mask)
-        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
-        x = x + nn.linear(ap["o_proj"], o)
-        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        mp = lp["mlp"]
-        x = x + nn.linear(mp["down_proj"],
-                          nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(mp["up_proj"], h))
-    x = nn.rms_norm(p["norm"], x, cfg.rms_norm_eps)
-    logits = nn.linear(params["lm_head"][str(group_idx)], x)
-    cache = cache._replace(offset=cache.offset + t)
+    lcfg = llama.LlamaConfig(
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        intermediate_size=cfg.intermediate_size,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        qk_norm=True,
+    )
+    hidden, cache = llama.forward(params, None, cache, lcfg,
+                                  inputs_embeds=x, return_hidden=True)
+    logits = nn.linear(params["lm_head"][str(group_idx)], hidden)
     return logits, cache
 
 
@@ -278,7 +254,8 @@ class Qwen3TTS:
     # -- loading --------------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, repo_or_path: str, dtype=jnp.bfloat16) -> "Qwen3TTS":
+    def from_pretrained(cls, repo_or_path: str, dtype=jnp.bfloat16,
+                        quantize_bits: int | str | None = None) -> "Qwen3TTS":
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         cfg_dict = hub.load_config(model_dir)
         config = Qwen3TTSConfig.from_dict(cfg_dict)
@@ -288,12 +265,30 @@ class Qwen3TTS:
         params = loading.unflatten(talker_flat)
         params = jax.tree.map(jnp.asarray, params)
         params = loading.cast_floats(params, dtype)
+        # stacked scan-over-layers layout for the talker and the
+        # code predictor (compile one layer body, not L copies)
+        params = llama.maybe_stack(params)
+        if "code_predictor" in params:
+            params["code_predictor"] = llama.maybe_stack(
+                params["code_predictor"])
         if config.quantization:
             from tpu_audio.core import quant
 
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        elif quantize_bits == "w8a8":
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, scheme="w8a8")
+        elif quantize_bits:
+            from tpu_audio.core import quant
+
+            params = quant.quantize_tree(params, bits=quantize_bits)
+        params = llama.fuse_projections(params)
+        if "code_predictor" in params:
+            params["code_predictor"] = llama.fuse_projections(
+                params["code_predictor"])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer
