@@ -353,6 +353,76 @@ def bench_parakeet_batch(batch: int = 8, audio_seconds: float = 30.0,
     }
 
 
+def bench_deepfilternet(audio_seconds: float = 10.0, repeats: int = 3,
+                        dims: dict | None = None) -> dict:
+    """Reference-published numbers (BASELINE.md): offline enhance of 10 s
+    @ 48 kHz in ~0.23 s (~43x real time) and streaming ~4.8 ms/hop on
+    Apple M-series. Real DFN3-scale dims (conv_ch 64, 32 ERB bands,
+    96 DF bins, 5-tap deep filter), random weights."""
+    import tempfile
+
+    sys.path.insert(0, "tests")
+    from pathlib import Path
+
+    from fixtures import make_deepfilternet_fixture
+
+    from tpu_audio.models.sts.deepfilternet import (
+        DeepFilterNet,
+        DeepFilterNetStreamer,
+    )
+
+    d = Path(tempfile.mkdtemp(prefix="bench_dfn_"))
+    make_deepfilternet_fixture(d, **(dims or dict(
+        C=64, E=32, DF=96, H=512, fft=960, hop=480, df_order=5,
+        lookahead=2)))
+    model = DeepFilterNet.from_pretrained(str(d))
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(48000 * audio_seconds))
+             .astype(np.float32) * 0.1)
+
+    # offline
+    model.enhance(audio)  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        model.enhance(audio)
+        times.append(time.perf_counter() - t0)
+    offline_s = min(times)
+
+    # streaming: hop-budget check at block granularity
+    hop_s = model.config.hop_size / model.config.sample_rate
+    streamer = DeepFilterNetStreamer(model)
+    chunk = model.config.hop_size * streamer.scan_block
+    # warmup/compile both the scan block and the single-hop path
+    streamer.process_chunk(audio[: chunk + model.config.fft_size])
+    streamer = DeepFilterNetStreamer(model)
+    t0 = time.perf_counter()
+    n = 0
+    for start in range(0, len(audio), chunk):
+        streamer.process_chunk(audio[start : start + chunk])
+        n += 1
+    streamer.flush()
+    stream_s = time.perf_counter() - t0
+    hops = len(audio) // model.config.hop_size
+    ms_per_hop = 1000.0 * stream_s / max(1, hops)
+
+    rt = audio_seconds / offline_s
+    return {
+        "metric": f"deepfilternet3_enhance_{int(audio_seconds)}s48k",
+        "value": round(offline_s, 4),
+        "unit": "s",
+        "vs_baseline": round(rt / 43.0, 3),  # reference: ~43x real time
+        "detail": {
+            "offline_realtime_x": round(rt, 1),
+            "stream_ms_per_hop": round(ms_per_hop, 2),
+            "hop_budget_ms": round(1000.0 * hop_s, 1),
+            "reference_ms_per_hop": 4.8,
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def main():
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
@@ -366,6 +436,8 @@ def main():
         result = bench_vad_diarization()
     elif mode == "parakeet":
         result = bench_parakeet_batch()
+    elif mode == "dfn":
+        result = bench_deepfilternet()
     else:
         result = bench_whisper_rtf(mode, kv_bits=kv_bits,
                                    w8_decoder="w8" in sys.argv[2:])

@@ -1482,17 +1482,22 @@ def make_csm_fixture(path: Path) -> Path:
     return path
 
 
-def make_deepfilternet_fixture(path: Path) -> Path:
-    """Tiny DeepFilterNet3 checkpoint (flat torch keys)."""
+def make_deepfilternet_fixture(path: Path, C: int = 8, E: int = 8,
+                               DF: int = 12, H: int = 16,
+                               fft: int = 96, hop: int = 48,
+                               df_order: int = 3, lookahead: int = 1) -> Path:
+    """Tiny DeepFilterNet3 checkpoint (flat torch keys). Pass real DFN3
+    dims (C=64, E=32, DF=96, H=256, fft=960, hop=480, df_order=5,
+    lookahead=2) for benchmark-scale models."""
     from safetensors.numpy import save_file
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    C, E, DF, H = 8, 8, 12, 16  # conv_ch, nb_erb, nb_df, hidden
     cfg = {
-        "sampleRate": 48000, "fftSize": 96, "hopSize": 48,
-        "nbErb": E, "nbDf": DF, "dfOrder": 3, "dfLookahead": 1,
-        "convLookahead": 1, "convCh": C, "embHiddenDim": H,
+        "sampleRate": 48000, "fftSize": fft, "hopSize": hop,
+        "nbErb": E, "nbDf": DF, "dfOrder": df_order,
+        "dfLookahead": lookahead,
+        "convLookahead": lookahead, "convCh": C, "embHiddenDim": H,
         "dfHiddenDim": H, "modelVersion": "DeepFilterNet3",
         "model_type": "deepfilternet3",
     }
@@ -1529,7 +1534,7 @@ def make_deepfilternet_fixture(path: Path) -> Path:
     t("enc.df_conv1.0.weight", C, 1, 1, 3)
     t("enc.df_conv1.1.weight", C, C, 1, 1)
     bn("enc.df_conv1.2", C)
-    t("enc.df_fc_emb.0.weight", 4, C * 6 // 4, H // 4)
+    t("enc.df_fc_emb.0.weight", 4, C * (DF // 2) // 4, H // 4)
     t("enc.emb_gru.linear_in.0.weight", 4, (C * 2) // 4, H // 4)
     gru("enc.emb_gru.gru", H, H)
     t("enc.emb_gru.linear_out.0.weight", 4, H // 4, H // 4)
@@ -1556,10 +1561,10 @@ def make_deepfilternet_fixture(path: Path) -> Path:
     gru("df_dec.df_gru.gru", H, H)
     t("df_dec.df_skip.weight", 4, H // 4, H // 4)
     t("df_dec.df_convp.1.weight", C, 1, 1, 3)
-    t("df_dec.df_convp.2.weight", 6, C, 1, 1)
-    bn("df_dec.df_convp.3", 6)
-    t("df_dec.df_out.0.weight", 4, H // 4, DF * 6 // 4)
-    t("mask.erb_inv_fb", E, 49, scale=0.5)
+    t("df_dec.df_convp.2.weight", df_order * 2, C, 1, 1)
+    bn("df_dec.df_convp.3", df_order * 2)
+    t("df_dec.df_out.0.weight", 4, H // 4, DF * df_order * 2 // 4)
+    t("mask.erb_inv_fb", E, fft // 2 + 1, scale=0.5)
     w["mask.erb_inv_fb"] = np.abs(w["mask.erb_inv_fb"])
     save_file(w, str(path / "model.safetensors"))
     return path

@@ -544,6 +544,8 @@ class DeepFilterNetStreamer:
                 assert model.params[k].shape[2] == 1, (
                     "streaming requires time-pointwise transposed convs")
         self._step = jax.jit(self._step_impl)
+        self._scan_steps = jax.jit(self._scan_impl)
+        self.scan_block = 16  # frames per device dispatch in block mode
         self.reset()
 
     def reset(self):
@@ -565,6 +567,20 @@ class DeepFilterNetStreamer:
             "ola_sig": jnp.zeros((cfg.fft_size,), jnp.float32),
             "ola_wsq": jnp.zeros((cfg.fft_size,), jnp.float32),
         }
+        # eagerly materialize the conv-tail / GRU-hidden subtrees so the
+        # state structure is stable (a lax.scan carry must not change
+        # structure between iterations)
+        shapes = jax.eval_shape(
+            self._step_impl, self.model.params, self.state,
+            jax.ShapeDtypeStruct((cfg.fft_size,), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.bool_))[0]
+        self.state = jax.tree.map(
+            lambda s, *_: jnp.zeros(s.shape, s.dtype), shapes)
+        # non-zero initial norm states
+        a = self.model.norm_alpha
+        self.state["norm_erb"] = jnp.linspace(-60.0, -90.0, cfg.nb_erb) / a
+        self.state["norm_unit"] = jnp.linspace(0.001, 0.0001, cfg.nb_df) / a
         self._s = 0          # device-step index (spec frame counter)
         self._buf = np.zeros(self.model.config.hop_size, np.float32)  # lead-in
         self._fed = 0        # real samples fed
@@ -720,6 +736,46 @@ class DeepFilterNetStreamer:
         }
         return new_state, jnp.clip(out, -1.0, 1.0)
 
+    def _scan_impl(self, params, state, frames, s0, flush_mask):
+        """Block of hops in ONE device dispatch (lax.scan over frames) —
+        amortizes dispatch latency for chunked/offline-rate streaming."""
+
+        def body(carry, xs):
+            state, s = carry
+            frame, is_flush = xs
+            state, out = self._step_impl(params, state, frame, s, is_flush)
+            return (state, s + 1), out
+
+        (state, _), outs = jax.lax.scan(body, (state, s0),
+                                        (frames, flush_mask))
+        return state, outs
+
+    def _run_frames(self, frames: list, is_flush: list) -> list:
+        """Advance the stream over frames; scan-blocks of ``scan_block``
+        hops per dispatch, singles for the remainder."""
+        outs = []
+        i = 0
+        B = self.scan_block
+        while len(frames) - i >= B:
+            block = jnp.asarray(np.stack(frames[i : i + B]))
+            mask = jnp.asarray(np.asarray(is_flush[i : i + B], np.bool_))
+            self.state, block_out = self._scan_steps(
+                self.model.params, self.state, block,
+                jnp.int32(self._s), mask)
+            for j in range(B):
+                if self._s >= self.D:
+                    outs.append(block_out[j])
+                self._s += 1
+            i += B
+        for frame, fl in zip(frames[i:], is_flush[i:]):
+            self.state, out = self._step(
+                self.model.params, self.state, jnp.asarray(frame),
+                jnp.int32(self._s), jnp.bool_(fl))
+            if self._s >= self.D:
+                outs.append(out)
+            self._s += 1
+        return outs
+
     # -- public API ---------------------------------------------------------
 
     def process_chunk(self, samples: np.ndarray) -> np.ndarray:
@@ -737,14 +793,7 @@ class DeepFilterNetStreamer:
             frames.append(self._buf[: cfg.fft_size])
             self._buf = self._buf[cfg.hop_size:]
         t1 = _time.perf_counter()
-        outs = []
-        for frame in frames:
-            self.state, out = self._step(
-                self.model.params, self.state, jnp.asarray(frame),
-                jnp.int32(self._s), jnp.bool_(False))
-            if self._s >= self.D:
-                outs.append(out)
-            self._s += 1
+        outs = self._run_frames(frames, [False] * len(frames))
         t2 = _time.perf_counter()
         result = self._collect(outs)
         t3 = _time.perf_counter()
@@ -780,22 +829,11 @@ class DeepFilterNetStreamer:
         while len(self._buf) >= cfg.fft_size:
             frames.append(self._buf[: cfg.fft_size])
             self._buf = self._buf[cfg.hop_size:]
-        outs = []
-        for frame in frames:
-            self.state, out = self._step(
-                self.model.params, self.state, jnp.asarray(frame),
-                jnp.int32(self._s), jnp.bool_(False))
-            if self._s >= self.D:
-                outs.append(out)
-            self._s += 1
-        zero = jnp.zeros((cfg.fft_size,), jnp.float32)
-        for _ in range(self.D):
-            self.state, out = self._step(
-                self.model.params, self.state, zero,
-                jnp.int32(self._s), jnp.bool_(True))
-            if self._s >= self.D:
-                outs.append(out)
-            self._s += 1
+        flags = [False] * len(frames)
+        zero = np.zeros(cfg.fft_size, np.float32)
+        frames += [zero] * self.D
+        flags += [True] * self.D
+        outs = self._run_frames(frames, flags)
         result = self._collect(outs)
         self._stage_times["device_steps"].append(_time.perf_counter() - t0)
         return result
