@@ -192,7 +192,8 @@ class GLMASR:
         config = GLMASRConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         if "language_model" in params:
-            params["language_model"] = llama.maybe_stack(params["language_model"])
+            params["language_model"] = llama.fuse_projections(
+                llama.maybe_stack(params["language_model"]))
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

@@ -319,7 +319,8 @@ class GraniteSpeech:
         config = GraniteConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         if "language_model" in params:
-            params["language_model"] = llama.maybe_stack(params["language_model"])
+            params["language_model"] = llama.fuse_projections(
+                llama.maybe_stack(params["language_model"]))
         if config.quantization:
             from tpu_audio.core import quant
 

@@ -247,6 +247,7 @@ class Qwen3ASR:
 
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         params = llama.maybe_stack(params)  # text LM under params["model"]
+        params = llama.fuse_projections(params)  # fused qkv/gate_up decode
         if config.quantization:
             from tpu_audio.core import quant
 
