@@ -1535,7 +1535,7 @@ def make_deepfilternet_fixture(path: Path, C: int = 8, E: int = 8,
     t("enc.df_conv1.1.weight", C, C, 1, 1)
     bn("enc.df_conv1.2", C)
     t("enc.df_fc_emb.0.weight", 4, C * (DF // 2) // 4, H // 4)
-    t("enc.emb_gru.linear_in.0.weight", 4, (C * 2) // 4, H // 4)
+    t("enc.emb_gru.linear_in.0.weight", 4, (C * (E // 4)) // 4, H // 4)
     gru("enc.emb_gru.gru", H, H)
     t("enc.emb_gru.linear_out.0.weight", 4, H // 4, H // 4)
     t("enc.lsnr_fc.0.weight", 1, H)
