@@ -174,3 +174,21 @@ def test_mel_spectrogram_generic():
     # normalization invariant: max value is (max_log + 4)/4, floor >= max-8
     log = m * 4.0 - 4.0
     assert log.max() - log.min() <= 8.0 + 1e-5
+
+
+def test_irfft_matmul_basis_matches_fft():
+    """The matmul inverse-rDFT (TPU fallback — the axon backend lacks the
+    irfft primitive) matches jnp.fft.irfft."""
+    import jax.numpy as jnp
+
+    from tpu_audio.core import dsp
+
+    rng = np.random.default_rng(0)
+    for n in (960, 400, 96, 31):
+        f = n // 2 + 1
+        spec = (rng.standard_normal((5, f)) + 1j * rng.standard_normal((5, f))
+                ).astype(np.complex64)
+        want = np.fft.irfft(spec, n=n, axis=-1).astype(np.float32)
+        c, s = dsp._irdft_basis(n)
+        got = spec.real.astype(np.float32) @ c + spec.imag.astype(np.float32) @ s
+        np.testing.assert_allclose(got, want, atol=2e-5)

@@ -697,7 +697,9 @@ def _hift_istft(mag, phase, n_fft: int, hop: int):
     """mag/phase [B, frames, n_fft/2+1] -> waveform [B, T]."""
     mag = jnp.minimum(mag, 1e2)
     spec = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, frames, n_fft]
+    from tpu_audio.core.dsp import irfft
+
+    frames = irfft(spec, n=n_fft, axis=-1)  # [B, frames, n_fft]
     window = jnp.asarray(dsp.hanning_window(n_fft, periodic=True))
     frames = frames * window[None, None]
     b, n_frames, _ = frames.shape

@@ -70,7 +70,8 @@ def istft_window_norm(spec: jnp.ndarray, window, n_fft: int, hop: int):
     """ISTFT with window-SUM normalization and center trim
     (mlx_audio dsp.istft parity; SopranoDecoder.performISTFT)."""
     window = jnp.asarray(window, jnp.float32)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None]
+    from tpu_audio.core.dsp import irfft
+    frames = irfft(spec, n=n_fft, axis=-1) * window[None]
     n_frames = frames.shape[0]
     out_len = n_fft + hop * (n_frames - 1)
     idx = (np.arange(n_frames)[:, None] * hop

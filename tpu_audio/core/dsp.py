@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "hanning_window",
     "hamming_window",
+    "irfft",
     "mel_filters",
     "power_to_db",
     "stft",
@@ -28,6 +29,49 @@ __all__ = [
     "mel_spectrogram",
     "log_mel_spectrogram",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Inverse real FFT
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _irdft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag inverse-rDFT bases [F, n]: x = Re(X) @ C + Im(X) @ S.
+
+    With hermitian weights (DC and Nyquist x1, interior bins x2)."""
+    n_freq = n_fft // 2 + 1
+    k = np.arange(n_freq)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, t) / n_fft
+    w = np.full(n_freq, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    c = (np.cos(ang) * w[:, None] / n_fft).astype(np.float32)
+    s = (-np.sin(ang) * w[:, None] / n_fft).astype(np.float32)
+    return c, s
+
+
+def irfft(spec: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
+    """``jnp.fft.irfft`` with a matmul inverse-rDFT on TPU backends.
+
+    The tunneled axon TPU backend raises UNIMPLEMENTED for the irfft
+    primitive (rfft works); the dense [F, n] basis matmul runs on the
+    MXU instead — for synthesis workloads (ISTFT heads, vocoders,
+    overlap-add) the frames axis batches it into one big GEMM.
+    """
+    if jax.default_backend() not in ("tpu", "axon"):
+        return jnp.fft.irfft(spec, n=n, axis=axis)
+    if axis != -1:
+        spec = jnp.moveaxis(spec, axis, -1)
+    c, s = _irdft_basis(n)
+    out = (spec.real.astype(jnp.float32) @ jnp.asarray(c)
+           + spec.imag.astype(jnp.float32) @ jnp.asarray(s))
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +273,7 @@ def istft(
     semantics; needed by the ISTFT-head vocoders — reference
     Soprano/SopranoDecoder.swift:87-168, Vocos ISTFTHead)."""
     window = jnp.asarray(window, jnp.float32)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [n_frames, n_fft]
+    frames = irfft(spec, n=n_fft, axis=-1)  # [n_frames, n_fft]
     frames = frames * window[None, :]
     n_frames = frames.shape[0]
     out_len = n_fft + hop_length * (n_frames - 1)

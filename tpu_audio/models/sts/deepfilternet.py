@@ -719,7 +719,9 @@ class DeepFilterNetStreamer:
         # synthesis: irfft + overlap-add, gated until the first valid frame
         valid = s_idx >= self.D
         enh_c = (enhanced[..., 0] + 1j * enhanced[..., 1]) / self.model.wnorm
-        wav = jnp.fft.irfft(enh_c, n=cfg.fft_size) * self.window
+        from tpu_audio.core import dsp as _dsp
+
+        wav = _dsp.irfft(enh_c, n=cfg.fft_size) * self.window
         ola_sig = state["ola_sig"] + jnp.where(valid, wav, 0.0)
         ola_wsq = state["ola_wsq"] + jnp.where(
             valid, self.window * self.window, 0.0)

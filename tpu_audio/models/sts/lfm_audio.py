@@ -524,7 +524,8 @@ def detokenizer_forward(p, codes, cfg: DetokenizerConfig):
     mag = jnp.exp(x[..., :n_bins])
     phase = x[..., n_bins:]
     spec = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
-    frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1)
+    from tpu_audio.core.dsp import irfft as _irfft
+    frames = _irfft(spec, n=cfg.n_fft, axis=-1)
     window = p.get("istft_window")
     if window is None:
         n = cfg.n_fft
