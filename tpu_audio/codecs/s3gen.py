@@ -696,7 +696,7 @@ def _hift_stft(x, n_fft: int, hop: int):
 def _hift_istft(mag, phase, n_fft: int, hop: int):
     """mag/phase [B, frames, n_fft/2+1] -> waveform [B, T]."""
     mag = jnp.minimum(mag, 1e2)
-    spec = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
     from tpu_audio.core.dsp import irfft
 
     frames = irfft(spec, n=n_fft, axis=-1)  # [B, frames, n_fft]

@@ -89,7 +89,9 @@ def istft_head(p, x, n_fft: int, hop: int):
     half = (n_fft + 2) // 2
     mag = jnp.clip(jnp.exp(h[..., :half]), None, 1e2)
     phase = h[..., half:]
-    spec = (mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)).astype(jnp.complex64)
+    # lax.complex, not `re + 1j*im`: a python complex scalar device_puts
+    # a complex constant, which the axon TPU backend cannot transfer
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
     window = dsp.hanning_window(n_fft, periodic=False)
     outs = [istft_window_norm(spec[b], window, n_fft, hop)
             for b in range(spec.shape[0])]

@@ -488,7 +488,8 @@ class DeepFilterNet:
         enhanced = self._forward(self.params, spec_ri.astype(self.dtype),
                                  feat_erb.astype(self.dtype),
                                  feat_df.astype(self.dtype))
-        enh = (enhanced[..., 0] + 1j * enhanced[..., 1]).astype(jnp.complex64)
+        # lax.complex: python 1j scalars can't device_put on axon
+        enh = jax.lax.complex(enhanced[..., 0], enhanced[..., 1])
         enh = enh / self.wnorm
         out = _istft(enh, window, cfg.fft_size, cfg.hop_size,
                      length=orig_len + cfg.hop_size + cfg.fft_size)
@@ -718,7 +719,8 @@ class DeepFilterNetStreamer:
 
         # synthesis: irfft + overlap-add, gated until the first valid frame
         valid = s_idx >= self.D
-        enh_c = (enhanced[..., 0] + 1j * enhanced[..., 1]) / self.model.wnorm
+        enh_c = jax.lax.complex(enhanced[..., 0],
+                                enhanced[..., 1]) / self.model.wnorm
         from tpu_audio.core import dsp as _dsp
 
         wav = _dsp.irfft(enh_c, n=cfg.fft_size) * self.window

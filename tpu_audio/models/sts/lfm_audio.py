@@ -523,7 +523,7 @@ def detokenizer_forward(p, codes, cfg: DetokenizerConfig):
     n_bins = cfg.n_fft // 2 + 1
     mag = jnp.exp(x[..., :n_bins])
     phase = x[..., n_bins:]
-    spec = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
     from tpu_audio.core.dsp import irfft as _irfft
     frames = _irfft(spec, n=cfg.n_fft, axis=-1)
     window = p.get("istft_window")

@@ -367,9 +367,11 @@ def generator_forward(p, x, s, f0, cfg: ISTFTNetConfig, sample_rate: int, rng,
     phase = jnp.sin(h[..., n_fft // 2 + 1:])
     if phase_unwrap:
         phase = _unwrap(phase[0].T[None])[0].T  # unwrap along frames
-        spec = mag[0] * jnp.exp(1j * phase)
+        spec = jax.lax.complex(mag[0] * jnp.cos(phase),
+                               mag[0] * jnp.sin(phase))
     else:
-        spec = mag[0] * jnp.exp(1j * phase[0])
+        spec = jax.lax.complex(mag[0] * jnp.cos(phase[0]),
+                               mag[0] * jnp.sin(phase[0]))
     wav = dsp.istft(spec, win, n_fft, hop)
     return wav[None]
 
