@@ -280,7 +280,7 @@ def bench_vad_diarization(audio_seconds: float = 30.0, repeats: int = 3,
 
     def run_once():
         probs = vad.predict_proba(audio)
-        segs = diar.generate_stream(audio, chunk_duration=5.0)
+        segs = list(diar.generate_stream(audio, chunk_duration=5.0))
         return probs, segs
 
     run_once()  # warmup/compile
@@ -394,9 +394,12 @@ def bench_deepfilternet(audio_seconds: float = 10.0, repeats: int = 3,
     hop_s = model.config.hop_size / model.config.sample_rate
     streamer = DeepFilterNetStreamer(model)
     chunk = model.config.hop_size * streamer.scan_block
-    # warmup/compile both the scan block and the single-hop path
+    # warmup/compile both the scan block and the single-hop path, then
+    # reset state (the jitted closures are per-instance — a fresh
+    # instance would recompile inside the timed loop)
     streamer.process_chunk(audio[: chunk + model.config.fft_size])
-    streamer = DeepFilterNetStreamer(model)
+    streamer.flush()
+    streamer.reset()
     t0 = time.perf_counter()
     n = 0
     for start in range(0, len(audio), chunk):

@@ -139,7 +139,8 @@ def test_quantize_tree_and_fused_projections_parity():
 
     # quantized (8-bit keeps the parity check tight) + fusion still runs
     qparams = quant.quantize_tree(
-        {"model": dict(params["model"])}, group_size=64, bits=8)
+        {"model": dict(params["model"])}, group_size=64, bits=8,
+        word_scales=True)
     qt = qparams["model"]["layers"]["self_attn"]["q_proj"]["weight"]
     assert isinstance(qt, quant.QuantizedTensor)
     assert qt.scales_w is not None and qt.scales_w.dtype == jnp.bfloat16
@@ -199,3 +200,63 @@ def test_int8_w8a8_path():
     got, _ = llama.forward(qfused, tokens, cache, cfg)
     err = np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max()
     assert err < 0.35, err
+
+
+def test_fuse_projections_preserves_biases_and_skips_raw_quant():
+    """Regression (review findings): MLP/attention biases must fuse, and
+    raw un-tagged MLX-quantized triples must be left alone."""
+    import jax.numpy as jnp
+
+    from tpu_audio.models import llama
+
+    rng = np.random.default_rng(0)
+    d, ffn = 16, 32
+
+    def lin(o, i, bias=True):
+        p = {"weight": jnp.asarray(rng.standard_normal((o, i)), jnp.float32)}
+        if bias:
+            p["bias"] = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+        return p
+
+    layers = {
+        "self_attn": {"q_proj": lin(d, d), "k_proj": lin(d, d),
+                      "v_proj": lin(d, d), "o_proj": lin(d, d)},
+        "mlp": {"gate_proj": lin(ffn, d), "up_proj": lin(ffn, d),
+                "down_proj": lin(d, ffn)},
+    }
+    params = {"model": {"layers": dict(layers)}}
+    fused = llama.fuse_projections(params)
+    ap = fused["model"]["layers"]["self_attn"]
+    mp = fused["model"]["layers"]["mlp"]
+    assert "qkv_proj" in ap and "bias" in ap["qkv_proj"]
+    np.testing.assert_array_equal(
+        np.asarray(ap["qkv_proj"]["bias"]),
+        np.concatenate([np.asarray(layers["self_attn"][n]["bias"])
+                        for n in ("q_proj", "k_proj", "v_proj")]))
+    assert "gate_up_proj" in mp and "bias" in mp["gate_up_proj"]
+
+    # mixed bias presence -> no fusion
+    layers2 = {
+        "self_attn": {"q_proj": lin(d, d), "k_proj": lin(d, d, bias=False),
+                      "v_proj": lin(d, d), "o_proj": lin(d, d)},
+        "mlp": {"gate_proj": lin(ffn, d, bias=False), "up_proj": lin(ffn, d),
+                "down_proj": lin(d, ffn)},
+    }
+    fused2 = llama.fuse_projections({"model": {"layers": layers2}})
+    assert "qkv_proj" not in fused2["model"]["layers"]["self_attn"]
+    assert "gate_up_proj" not in fused2["model"]["layers"]["mlp"]
+
+    # raw un-tagged quantized triples -> no fusion (scales would be lost)
+    def rawq(o, i):
+        return {"weight": jnp.zeros((o, i // 8), jnp.uint32),
+                "scales": jnp.ones((o, i // 64)),
+                "biases": jnp.zeros((o, i // 64))}
+    layers3 = {
+        "self_attn": {"q_proj": rawq(64, 64), "k_proj": rawq(64, 64),
+                      "v_proj": rawq(64, 64), "o_proj": rawq(64, 64)},
+        "mlp": {"gate_proj": rawq(128, 64), "up_proj": rawq(128, 64),
+                "down_proj": rawq(64, 128)},
+    }
+    fused3 = llama.fuse_projections({"model": {"layers": layers3}})
+    ap3 = fused3["model"]["layers"]["self_attn"]
+    assert "qkv_proj" not in ap3 and "scales" in ap3["q_proj"]

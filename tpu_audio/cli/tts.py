@@ -58,7 +58,15 @@ def main(argv=None):
     if args.quantize:
         kwargs["quantize_bits"] = (args.quantize if args.quantize == "w8a8"
                                    else int(args.quantize))
-    model = load_model(args.model, **kwargs)
+    try:
+        model = load_model(args.model, **kwargs)
+    except TypeError as e:
+        if "quantize_bits" in str(e):
+            raise SystemExit(
+                "--quantize is supported by the llama-family TTS models "
+                "(Orpheus/llama_tts, VyvoTTS/qwen3, Qwen3TTS); this model "
+                "does not take it") from e
+        raise
     if args.raw_ipa and hasattr(model, "text_processor"):
         # PassthroughProcessor equivalent (App.swift:93)
         model.text_processor = None

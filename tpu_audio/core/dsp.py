@@ -55,20 +55,23 @@ def _irdft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def irfft(spec: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
-    """``jnp.fft.irfft`` with a matmul inverse-rDFT on TPU backends.
-
-    The tunneled axon TPU backend raises UNIMPLEMENTED for the irfft
-    primitive (rfft works); the dense [F, n] basis matmul runs on the
-    MXU instead — for synthesis workloads (ISTFT heads, vocoders,
-    overlap-add) the frames axis batches it into one big GEMM.
+    """``jnp.fft.irfft``, with a matmul inverse-rDFT on the tunneled
+    axon TPU backend (whose runtime lacks the irfft primitive; rfft
+    works). Everywhere the primitive exists it is used — exact and
+    faster. The fallback GEMM runs at Precision.HIGHEST so it stays
+    float32-exact (~1e-6) instead of bf16-operand default (~5e-4 — an
+    audible -52 dB noise floor on synthesized waveforms).
     """
-    if jax.default_backend() not in ("tpu", "axon"):
+    if jax.default_backend() != "axon":
         return jnp.fft.irfft(spec, n=n, axis=axis)
     if axis != -1:
         spec = jnp.moveaxis(spec, axis, -1)
     c, s = _irdft_basis(n)
-    out = (spec.real.astype(jnp.float32) @ jnp.asarray(c)
-           + spec.imag.astype(jnp.float32) @ jnp.asarray(s))
+    hi = jax.lax.Precision.HIGHEST
+    out = (jnp.matmul(spec.real.astype(jnp.float32), jnp.asarray(c),
+                      precision=hi)
+           + jnp.matmul(spec.imag.astype(jnp.float32), jnp.asarray(s),
+                        precision=hi))
     if axis != -1:
         out = jnp.moveaxis(out, -1, axis)
     return out

@@ -317,7 +317,8 @@ def quantize_jax(w, group_size: int = 64, bits: int = 4):
 
 
 def quantize_tree(params, group_size: int = 64, bits: int = 4,
-                  min_in_features: int = 256, word_scales: bool = True,
+                  min_in_features: int = 256,
+                  word_scales: bool | None = None,
                   scheme: str = "mlx"):
     """Quantize every eligible 2-D/stacked-3-D float weight leaf of a param
     tree (one-time load cost).
@@ -332,7 +333,12 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
     planes for the Pallas GEMV). ``scheme="w8a8"``: per-channel
     :class:`Int8Tensor` for the native int8 MXU path — the fastest
     decode on TPU (``bits`` is ignored).
+
+    ``word_scales=None`` (auto) precomputes bf16 per-word scale planes
+    exactly when the Pallas GEMV is active, like ``tag_quantized``.
     """
+    if word_scales is None:
+        word_scales = _use_pallas_qmm()
 
     def walk(node, name=""):
         if isinstance(node, dict):

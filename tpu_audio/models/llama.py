@@ -136,32 +136,37 @@ def fuse_projections(params: dict) -> dict:
     p = params["model"] if "model" in params else params
     layers = p.get("layers")
 
+    def fuse_group(container, names, fused_name, axis):
+        """Fuse ``names`` linears into ``fused_name`` when homogeneous
+        (all-or-none biases; same weight kind); else leave untouched."""
+        if not all(n in container for n in names):
+            return container
+        if any("scales" in container[n] for n in names):
+            # raw (un-tagged) MLX-quantized triples: fusing the packed
+            # uint32 weight would silently drop scales/biases — callers
+            # must quant.tag_quantized first
+            return container
+        with_bias = ["bias" in container[n] for n in names]
+        if any(with_bias) and not all(with_bias):
+            return container
+        w = _concat_weights([container[n]["weight"] for n in names], axis)
+        if w is None:
+            return container
+        fused = {"weight": w}
+        if all(with_bias):
+            fused["bias"] = jnp.concatenate(
+                [container[n]["bias"] for n in names], axis=-1)
+        out = {k: v for k, v in container.items() if k not in names}
+        out[fused_name] = fused
+        return out
+
     def fuse_layer(lp, axis):
-        ap, mp = lp["self_attn"], lp["mlp"]
-        has_bias = "bias" in ap.get("q_proj", {})
-        if "q_proj" in ap and has_bias == ("bias" in ap["k_proj"]):
-            w = _concat_weights(
-                [ap["q_proj"]["weight"], ap["k_proj"]["weight"],
-                 ap["v_proj"]["weight"]], axis)
-            if w is not None:
-                fused = {"weight": w}
-                if has_bias:
-                    fused["bias"] = jnp.concatenate(
-                        [ap["q_proj"]["bias"], ap["k_proj"]["bias"],
-                         ap["v_proj"]["bias"]], axis=-1)
-                ap = {k: v for k, v in ap.items()
-                      if k not in ("q_proj", "k_proj", "v_proj")}
-                ap["qkv_proj"] = fused
-        if "gate_proj" in mp:
-            w = _concat_weights(
-                [mp["gate_proj"]["weight"], mp["up_proj"]["weight"]], axis)
-            if w is not None:
-                mp = {k: v for k, v in mp.items()
-                      if k not in ("gate_proj", "up_proj")}
-                mp["gate_up_proj"] = {"weight": w}
         out = dict(lp)
-        out["self_attn"] = ap
-        out["mlp"] = mp
+        out["self_attn"] = fuse_group(
+            lp["self_attn"], ("q_proj", "k_proj", "v_proj"), "qkv_proj",
+            axis)
+        out["mlp"] = fuse_group(
+            lp["mlp"], ("gate_proj", "up_proj"), "gate_up_proj", axis)
         return out
 
     if _is_per_layer_dict(layers):

@@ -319,14 +319,19 @@ class GraniteSpeech:
         config = GraniteConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         if "language_model" in params:
-            params["language_model"] = llama.fuse_projections(
-                llama.maybe_stack(params["language_model"]))
+            params["language_model"] = llama.maybe_stack(
+                params["language_model"])
         if config.quantization:
             from tpu_audio.core import quant
 
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        if "language_model" in params:
+            # fuse AFTER quant tagging: fusing raw packed uint32 triples
+            # would drop their scales/biases
+            params["language_model"] = llama.fuse_projections(
+                params["language_model"])
         tokenizer = None
         eos = 0
         if (model_dir / "tokenizer.json").exists():

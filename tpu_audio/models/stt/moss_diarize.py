@@ -200,8 +200,8 @@ class MossTranscribeDiarize:
         if "whisper" in params:  # scan-over-layers layout (see whisper.py)
             params["whisper"] = loading.stack_layer_params(params["whisper"])
         if "language_model" in params:
-            params["language_model"] = llama.fuse_projections(
-                llama.maybe_stack(params["language_model"]))
+            params["language_model"] = llama.maybe_stack(
+                params["language_model"])
         if config.text.tie_word_embeddings:
             params.get("language_model", {}).pop("lm_head", None)
         if config.quantization:
@@ -210,6 +210,11 @@ class MossTranscribeDiarize:
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        if "language_model" in params:
+            # fuse AFTER quant tagging: fusing raw packed uint32 triples
+            # would drop their scales/biases
+            params["language_model"] = llama.fuse_projections(
+                params["language_model"])
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer

@@ -247,13 +247,15 @@ class Qwen3ASR:
 
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         params = llama.maybe_stack(params)  # text LM under params["model"]
-        params = llama.fuse_projections(params)  # fused qkv/gate_up decode
         if config.quantization:
             from tpu_audio.core import quant
 
             q = config.quantization
             params = quant.tag_quantized(params, q.get("group_size", 64),
                                          q.get("bits", 4))
+        # fuse AFTER quant tagging: fusing raw packed uint32 triples would
+        # drop their scales/biases
+        params = llama.fuse_projections(params)
         tokenizer = None
         if (model_dir / "tokenizer.json").exists():
             from tokenizers import Tokenizer
