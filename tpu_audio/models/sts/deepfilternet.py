@@ -335,6 +335,7 @@ class DeepFilterNet:
             start = stop
         self.erb_fb = params.get("erb_fb", jnp.asarray(fb))
         self._forward = jax.jit(self._forward_impl)
+        self._enhance = jax.jit(self._enhance_impl, static_argnums=(2,))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "DeepFilterNet":
@@ -468,34 +469,43 @@ class DeepFilterNet:
 
     # -- public API (enhance, DeepFilterNetModel.swift:323-418) -----------------
 
-    def enhance(self, audio: np.ndarray) -> np.ndarray:
+    def _enhance_impl(self, params, padded, orig_len: int):
+        """Whole pipeline (STFT + features + network + ISTFT) as ONE
+        graph: eager per-op dispatch costs ~28 ms each over a tunneled
+        device — measured 812 ms end-to-end vs 185 ms of device work for
+        10 s of audio before fusing."""
         cfg = self.config
-        x = np.asarray(audio, np.float32)
-        orig_len = x.shape[0]
-        padded = np.concatenate([np.zeros(cfg.hop_size, np.float32), x,
-                                 np.zeros(cfg.fft_size, np.float32)])
         window = vorbis_window(cfg.fft_size)
-        spec = _stft(jnp.asarray(padded), window, cfg.fft_size, cfg.hop_size)
+        spec = _stft(padded, window, cfg.fft_size, cfg.hop_size)
         spec = spec * self.wnorm
         re, im = spec.real, spec.imag
-        erb = (jnp.abs(spec) ** 2) @ jnp.asarray(self.erb_fb)
+        erb = (re**2 + im**2) @ jnp.asarray(self.erb_fb)
         erb_db = 10.0 * jnp.log10(erb + 1e-10)
         feat_erb = self._band_mean_norm(erb_db)
         dfr, dfi = self._band_unit_norm(re[:, : cfg.nb_df], im[:, : cfg.nb_df])
         feat_df = jnp.stack([dfr, dfi], axis=-1)
         spec_ri = jnp.stack([re, im], axis=-1)
 
-        enhanced = self._forward(self.params, spec_ri.astype(self.dtype),
-                                 feat_erb.astype(self.dtype),
-                                 feat_df.astype(self.dtype))
+        enhanced = self._forward_impl(params, spec_ri.astype(self.dtype),
+                                      feat_erb.astype(self.dtype),
+                                      feat_df.astype(self.dtype))
         # lax.complex: python 1j scalars can't device_put on axon
         enh = jax.lax.complex(enhanced[..., 0], enhanced[..., 1])
         enh = enh / self.wnorm
         out = _istft(enh, window, cfg.fft_size, cfg.hop_size,
                      length=orig_len + cfg.hop_size + cfg.fft_size)
         delay = cfg.fft_size - cfg.hop_size
-        out = out[delay : delay + orig_len]
-        return np.clip(np.asarray(out), -1.0, 1.0)
+        out = jax.lax.dynamic_slice_in_dim(out, delay, orig_len)
+        return jnp.clip(out, -1.0, 1.0)
+
+    def enhance(self, audio: np.ndarray) -> np.ndarray:
+        cfg = self.config
+        x = np.asarray(audio, np.float32)
+        orig_len = x.shape[0]
+        padded = np.concatenate([np.zeros(cfg.hop_size, np.float32), x,
+                                 np.zeros(cfg.fft_size, np.float32)])
+        return np.asarray(self._enhance(self.params, jnp.asarray(padded),
+                                        orig_len))
 
     def enhance_streaming(self, audio: np.ndarray,
                           chunk_samples: int | None = None):
