@@ -428,5 +428,11 @@ def gru(p: dict, x: jnp.ndarray, h0=None):
         h = (1 - z) * n + z * h
         return h, h
 
+    if x.shape[1] == 1:
+        # single-step fast path: a T=1 lax.scan still pays while-loop
+        # setup (~ms-level on tunneled TPU backends); streaming steppers
+        # (e.g. the DeepFilterNet hop streamer) call this per hop
+        h, _ = step(h0, x_proj[:, 0])
+        return h[:, None], h
     h, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(ys, 0, 1), h

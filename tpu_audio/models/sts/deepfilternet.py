@@ -766,7 +766,10 @@ class DeepFilterNetStreamer:
 
     def _run_frames(self, frames: list, is_flush: list) -> list:
         """Advance the stream over frames; scan-blocks of ``scan_block``
-        hops per dispatch, singles for the remainder."""
+        hops per dispatch, singles for the remainder. Each block comes
+        back to host in ONE transfer — per-row pulls would pay the
+        device round-trip 16x (measured 470 ms/block vs 30 ms over a
+        tunneled TPU)."""
         outs = []
         i = 0
         B = self.scan_block
@@ -776,18 +779,21 @@ class DeepFilterNetStreamer:
             self.state, block_out = self._scan_steps(
                 self.model.params, self.state, block,
                 jnp.int32(self._s), mask)
-            for j in range(B):
-                if self._s >= self.D:
-                    outs.append(block_out[j])
-                self._s += 1
+            valid_from = max(0, self.D - self._s)
+            self._s += B
+            if valid_from < B:
+                outs.append(np.asarray(block_out)[valid_from:])
             i += B
+        pend = []
         for frame, fl in zip(frames[i:], is_flush[i:]):
             self.state, out = self._step(
                 self.model.params, self.state, jnp.asarray(frame),
                 jnp.int32(self._s), jnp.bool_(fl))
             if self._s >= self.D:
-                outs.append(out)
+                pend.append(out)
             self._s += 1
+        if pend:
+            outs.append(np.stack([np.asarray(o) for o in pend]))
         return outs
 
     # -- public API ---------------------------------------------------------
@@ -819,7 +825,7 @@ class DeepFilterNetStreamer:
     def _collect(self, outs) -> np.ndarray:
         if not outs:
             return np.zeros(0, np.float32)
-        chunk = np.concatenate([np.asarray(o) for o in outs])
+        chunk = np.concatenate([np.asarray(o).reshape(-1) for o in outs])
         if self._skip > 0:
             drop = min(self._skip, len(chunk))
             chunk = chunk[drop:]
