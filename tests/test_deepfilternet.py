@@ -131,3 +131,36 @@ def test_enhance_streaming_generator_matches_offline(model):
                                                       chunk_samples=hop * 3)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_band_norm_stable_for_long_audio(model):
+    """Regression: the closed-form a**t EMA underflowed float32 past ~88 s
+    (x/powers -> inf -> NaN); the associative-scan recurrence is stable
+    and matches a sequential EMA at arbitrary length."""
+    import jax.numpy as jnp
+
+    a = model.norm_alpha
+    t = 100_000
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((t, 4)).astype(np.float32) * 10 - 60.0
+    got = np.asarray(model._band_mean_norm(jnp.asarray(x)))
+    assert np.isfinite(got).all()
+    # sequential reference on the last frames
+    init = np.linspace(-60.0, -90.0, 4, dtype=np.float64)
+    s = init / a
+    for i in range(t):
+        s = a * s + (1 - a) * x[i].astype(np.float64)
+    np.testing.assert_allclose(got[-1], (x[-1] - s) / 40.0, atol=1e-3)
+
+
+def test_enhance_bucketing_invariant(model):
+    """Bucket padding must not change results: lengths that land in
+    different buckets produce identical prefixes."""
+    rng = np.random.default_rng(2)
+    hop = model.config.hop_size
+    audio = rng.standard_normal(hop * 40 + 7).astype(np.float32) * 0.2
+    full = model.enhance(audio)
+    short = model.enhance(audio[: hop * 9 + 3])
+    # prefix far from the short signal's tail is identical
+    n = hop * 5
+    np.testing.assert_allclose(full[:n], short[:n], atol=2e-4)

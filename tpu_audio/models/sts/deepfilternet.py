@@ -334,8 +334,7 @@ class DeepFilterNet:
                 fb[start:stop, j] = 1.0 / (stop - start)
             start = stop
         self.erb_fb = params.get("erb_fb", jnp.asarray(fb))
-        self._forward = jax.jit(self._forward_impl)
-        self._enhance = jax.jit(self._enhance_impl, static_argnums=(2,))
+        self._enhance = jax.jit(self._enhance_impl)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "DeepFilterNet":
@@ -345,26 +344,42 @@ class DeepFilterNet:
         params = {k: jnp.asarray(v) for k, v in flat.items()}
         return cls(config, params, dtype)
 
-    # -- feature normalization (closed-form EMA; DeepFilterNetDSP.swift:8-46) --
+    # -- feature normalization (EMA over frames; DeepFilterNetDSP.swift:8-46) --
+
+    def _ema(self, x, init_row):
+        """s_t = a*s_{t-1} + (1-a)*x_t with s_{-1} = init/a (the offline
+        closed form's undecayed init at t=0), as a log-depth
+        ``associative_scan`` over the linear recurrence.
+
+        A plain ``a**t`` closed form underflows float32 past ~88 s of
+        audio (0.999**8800 -> 0, then x/powers -> inf -> NaN); composing
+        (A, b) pairs never divides by a decayed power, so this is stable
+        for arbitrary lengths.
+        """
+        a = self.norm_alpha
+        x = jnp.asarray(x)
+        t = x.shape[0]
+        A = jnp.full((t, 1), a, x.dtype)
+        b = (1 - a) * x
+        b = b.at[0].add(init_row[0])  # a * (init/a) folded into step 0
+
+        def compose(left, right):
+            a1, b1 = left
+            a2, b2 = right
+            return a1 * a2, a2 * b1 + b2
+
+        _, state = jax.lax.associative_scan(compose, (A, b), axis=0)
+        return state
 
     def _band_mean_norm(self, x):
-        a = self.norm_alpha
-        t = x.shape[0]
-        time = jnp.arange(t, dtype=jnp.float32)
-        powers = a**time
-        accum = jnp.cumsum(x / powers[:, None], axis=0)
         init = jnp.linspace(-60.0, -90.0, x.shape[1])[None]
-        state = powers[:, None] * (init + (1 - a) * accum)
+        state = self._ema(x, init)
         return (x - state) / 40.0
 
     def _band_unit_norm(self, real, imag):
-        a = self.norm_alpha
-        t = real.shape[0]
-        powers = (a ** jnp.arange(t, dtype=jnp.float32))[:, None]
         mag = jnp.sqrt(real**2 + imag**2)
-        accum = jnp.cumsum(mag / powers, axis=0)
         init = jnp.linspace(0.001, 0.0001, real.shape[1])[None]
-        state = powers * (init + (1 - a) * accum)
+        state = self._ema(mag, init)
         denom = jnp.sqrt(jnp.maximum(state, 1e-12))
         return real / denom, imag / denom
 
@@ -469,21 +484,31 @@ class DeepFilterNet:
 
     # -- public API (enhance, DeepFilterNetModel.swift:323-418) -----------------
 
-    def _enhance_impl(self, params, padded, orig_len: int):
+    def _enhance_impl(self, params, padded, n_valid_frames):
         """Whole pipeline (STFT + features + network + ISTFT) as ONE
         graph: eager per-op dispatch costs ~28 ms each over a tunneled
         device — measured 812 ms end-to-end vs 185 ms of device work for
-        10 s of audio before fusing."""
+        10 s of audio before fusing.
+
+        ``padded`` is bucket-padded on the host so the per-length jit
+        cache stays bounded; frames beyond ``n_valid_frames`` (the true
+        audio extent) have their features and spec zeroed so the result
+        is bit-identical to an exact-length call."""
         cfg = self.config
+        orig_len = padded.shape[0] - cfg.hop_size - cfg.fft_size
         window = vorbis_window(cfg.fft_size)
         spec = _stft(padded, window, cfg.fft_size, cfg.hop_size)
         spec = spec * self.wnorm
         re, im = spec.real, spec.imag
+        valid = (jnp.arange(re.shape[0]) < n_valid_frames)[:, None]
+        re = jnp.where(valid, re, 0.0)
+        im = jnp.where(valid, im, 0.0)
         erb = (re**2 + im**2) @ jnp.asarray(self.erb_fb)
         erb_db = 10.0 * jnp.log10(erb + 1e-10)
-        feat_erb = self._band_mean_norm(erb_db)
+        feat_erb = jnp.where(valid, self._band_mean_norm(erb_db), 0.0)
         dfr, dfi = self._band_unit_norm(re[:, : cfg.nb_df], im[:, : cfg.nb_df])
-        feat_df = jnp.stack([dfr, dfi], axis=-1)
+        feat_df = jnp.where(valid[..., None],
+                            jnp.stack([dfr, dfi], axis=-1), 0.0)
         spec_ri = jnp.stack([re, im], axis=-1)
 
         enhanced = self._forward_impl(params, spec_ri.astype(self.dtype),
@@ -502,10 +527,19 @@ class DeepFilterNet:
         cfg = self.config
         x = np.asarray(audio, np.float32)
         orig_len = x.shape[0]
-        padded = np.concatenate([np.zeros(cfg.hop_size, np.float32), x,
-                                 np.zeros(cfg.fft_size, np.float32)])
-        return np.asarray(self._enhance(self.params, jnp.asarray(padded),
-                                        orig_len))
+        # bucket to 16-hop multiples so the per-length jit cache stays
+        # bounded; n_valid_frames marks the exact-length frame count so
+        # the masked graph reproduces the exact-length result
+        bucket = cfg.hop_size * 16
+        padded_len = ((orig_len + bucket - 1) // bucket) * bucket
+        padded = np.zeros(cfg.hop_size + padded_len + cfg.fft_size,
+                          np.float32)
+        padded[cfg.hop_size : cfg.hop_size + orig_len] = x
+        n_exact = orig_len + cfg.hop_size + cfg.fft_size
+        t_exact = 1 + (n_exact - cfg.fft_size + cfg.hop_size - 1) // cfg.hop_size
+        out = np.asarray(self._enhance(self.params, jnp.asarray(padded),
+                                       jnp.int32(t_exact)))
+        return out[:orig_len]
 
     def enhance_streaming(self, audio: np.ndarray,
                           chunk_samples: int | None = None):
@@ -782,7 +816,9 @@ class DeepFilterNetStreamer:
             valid_from = max(0, self.D - self._s)
             self._s += B
             if valid_from < B:
-                outs.append(np.asarray(block_out)[valid_from:])
+                # keep the device slice lazy: _collect does one
+                # np.asarray per block, letting later dispatches pipeline
+                outs.append(block_out[valid_from:])
             i += B
         pend = []
         for frame, fl in zip(frames[i:], is_flush[i:]):
