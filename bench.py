@@ -426,14 +426,45 @@ def bench_deepfilternet(audio_seconds: float = 10.0, repeats: int = 3,
     }
 
 
+def bench_all() -> dict:
+    """Run every north-star config and fold them into ONE json line.
+
+    The primary metric stays Whisper-large-v3 RTF (BASELINE config 1) so
+    ``value``/``vs_baseline`` keep their round-1 meaning; the other configs
+    (Orpheus TTFB, VAD+diarization, Parakeet batch, DeepFilterNet) land in
+    ``detail.also`` so every README benchmark row is driver-corroborated.
+    Each sub-bench is isolated: a failure records an error entry instead of
+    killing the whole bench."""
+    also = []
+    for name, fn in [
+        ("tts", bench_tts_ttfb),
+        ("vad", bench_vad_diarization),
+        ("parakeet", bench_parakeet_batch),
+        ("dfn", bench_deepfilternet),
+    ]:
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            r.setdefault("detail", {})["bench_wall_s"] = round(
+                time.perf_counter() - t0, 1)
+            also.append(r)
+        except Exception as e:  # noqa: BLE001 — isolate sub-bench failures
+            also.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+    primary = bench_whisper_rtf("large-v3")
+    primary["detail"]["also"] = also
+    return primary
+
+
 def main():
     _enable_compile_cache()
-    mode = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     kv_bits = 8 if "kv8" in sys.argv[2:] else None
     qbits = (4 if "q4" in sys.argv[2:] else
              8 if "q8" in sys.argv[2:] else
              -8 if "w8" in sys.argv[2:] else None)
-    if mode == "tts":
+    if mode == "all":
+        result = bench_all()
+    elif mode == "tts":
         result = bench_tts_ttfb(quantize_bits=qbits)
     elif mode == "vad":
         result = bench_vad_diarization()

@@ -417,9 +417,12 @@ def make_parakeet_fixture(path: Path, vocab: int = 16, d_model: int = 32,
     return path
 
 
-def make_qwen3_tts_fixture(path: Path) -> Path:
+def make_qwen3_tts_fixture(path: Path, with_icl: bool = False) -> Path:
     """Tiny Qwen3-TTS checkpoint: talker + code predictor (talker.* keys) and
-    a speech_tokenizer/ subdirectory with the RVQ decoder."""
+    a speech_tokenizer/ subdirectory with the RVQ decoder. ``with_icl`` adds
+    the ref-audio cloning components: a speaker encoder in the talker file
+    (HF ``talker.speaker_encoder.*`` names) and a speech tokenizer encoder
+    in HF qwen3 layout (``encoder.encoder.layers.N...``)."""
     from safetensors.numpy import save_file
 
     path = Path(path)
@@ -428,7 +431,7 @@ def make_qwen3_tts_fixture(path: Path) -> Path:
     heads, kv, hd = 2, 2, 8
     cfg = {
         "model_type": "qwen3_tts",
-        "tts_model_type": "custom_voice",
+        "tts_model_type": "base" if with_icl else "custom_voice",
         "tts_bos_token_id": 60, "tts_eos_token_id": 61, "tts_pad_token_id": 62,
         "talker_config": {
             "vocab_size": 1060 + 1024,  # leaves room for the suppressed band
@@ -492,6 +495,38 @@ def make_qwen3_tts_fixture(path: Path) -> Path:
         lin(f"talker.code_predictor.lm_head.{g}", CV, CPH)
     qwen_layer("talker.code_predictor.model.layers.0", CPH, 32)
     w["talker.code_predictor.model.norm.weight"] = np.ones((CPH,), np.float32)
+    if with_icl:
+        # speaker encoder (Qwen3TTSSpeakerEncoder.swift) — tiny dims, torch
+        # conv layout [O, I, K]
+        cfg["speaker_encoder_config"] = {
+            "mel_dim": 16, "enc_dim": H,
+            "enc_channels": [8, 8, 8, 8, 24],
+            "enc_kernel_sizes": [5, 3, 3, 3, 1],
+            "enc_dilations": [1, 2, 3, 4, 1],
+            "enc_attention_channels": 4, "enc_res2net_scale": 4,
+            "enc_se_channels": 4, "sample_rate": 24000,
+        }
+        (path / "config.json").write_text(json.dumps(cfg))
+
+        def spk_conv(name, o, i, k):
+            c[0] += 1
+            w[f"talker.speaker_encoder.{name}.weight"] = modulo_values(
+                (o, i, k), 7 + c[0] % 5, 0.2)
+            w[f"talker.speaker_encoder.{name}.bias"] = modulo_values(
+                (o,), 3, 0.01)
+
+        spk_conv("blocks.0.conv", 8, 16, 5)
+        for b in (1, 2, 3):
+            spk_conv(f"blocks.{b}.tdnn1.conv", 8, 8, 1)
+            for j in range(3):  # res2net scale 4 -> 3 blocks of width 2
+                spk_conv(f"blocks.{b}.res2net_block.blocks.{j}.conv", 2, 2, 3)
+            spk_conv(f"blocks.{b}.tdnn2.conv", 8, 8, 1)
+            spk_conv(f"blocks.{b}.se_block.conv1", 4, 8, 1)
+            spk_conv(f"blocks.{b}.se_block.conv2", 8, 4, 1)
+        spk_conv("mfa.conv", 24, 24, 1)
+        spk_conv("asp.tdnn.conv", 4, 72, 1)
+        spk_conv("asp.conv", 24, 4, 1)
+        spk_conv("fc", H, 48, 1)
     save_file(w, str(path / "model.safetensors"))
 
     # tokenizer
@@ -579,6 +614,70 @@ def make_qwen3_tts_fixture(path: Path) -> Path:
     sw["decoder.3.alpha"] = np.zeros((8,), np.float32)
     sw["decoder.3.beta"] = np.zeros((8,), np.float32)
     sconv("decoder.4.conv", 1, 8, 7)
+    if with_icl:
+        # speech tokenizer ENCODER in HF qwen3 layout (4-ratio SEANet +
+        # transformer + downsample + split RVQ), tiny dims; the qwen3_codec
+        # sanitize maps these onto the mimi tree
+        st_cfg["encoder_valid_num_quantizers"] = G
+        st_cfg["encoder_config"] = {
+            "hidden_size": 16, "audio_channels": 1, "num_filters": 2,
+            "num_residual_layers": 1, "upsampling_ratios": [2, 2, 2, 2],
+            "kernel_size": 7, "residual_kernel_size": 3,
+            "last_kernel_size": 3, "dilation_growth_rate": 2, "compress": 2,
+            "num_attention_heads": 2, "num_hidden_layers": 1,
+            "intermediate_size": 32, "layer_scale_initial_scale": 0.01,
+            "sliding_window": 64, "rope_theta": 10000.0,
+            "num_quantizers": G, "codebook_size": CV, "codebook_dim": 4,
+            "sampling_rate": 256, "frame_rate": 8.0,
+        }
+        (st / "config.json").write_text(json.dumps(st_cfg))
+
+        def econv(name, o, i, k):
+            c[0] += 1
+            sw[f"encoder.encoder.layers.{name}.weight"] = modulo_values(
+                (o, i, k), 7 + c[0] % 5, 0.2)
+            sw[f"encoder.encoder.layers.{name}.bias"] = modulo_values(
+                (o,), 3, 0.01)
+
+        econv("0.conv", 2, 1, 7)  # init
+        ch = 2
+        for n_res, n_down in ((1, 3), (4, 6), (7, 9), (10, 12)):
+            econv(f"{n_res}.block.1.conv", max(ch // 2, 1), ch, 3)
+            econv(f"{n_res}.block.3.conv", ch, max(ch // 2, 1), 1)
+            econv(f"{n_down}.conv", ch * 2, ch, 4)
+            ch *= 2
+        econv("14.conv", 16, ch, 3)  # final -> hidden 16
+        base = "encoder.encoder_transformer.layers.0"
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            c[0] += 1
+            sw[f"{base}.self_attn.{proj}.weight"] = modulo_values(
+                (16, 16), 7 + c[0] % 5, 0.2)
+        sw[f"{base}.self_attn.out_proj.weight"] = modulo_values((16, 16), 9, 0.2)
+        sw[f"{base}.mlp.fc1.weight"] = modulo_values((32, 16), 11, 0.2)
+        sw[f"{base}.mlp.fc2.weight"] = modulo_values((16, 32), 13, 0.2)
+        for ln in ("input_layernorm", "post_attention_layernorm"):
+            sw[f"{base}.{ln}.weight"] = np.ones((16,), np.float32)
+            sw[f"{base}.{ln}.bias"] = np.zeros((16,), np.float32)
+        sw[f"{base}.self_attn_layer_scale.scale"] = np.full((16,), 0.01, np.float32)
+        sw[f"{base}.mlp_layer_scale.scale"] = np.full((16,), 0.01, np.float32)
+        # downsample: 256 Hz audio / 16x seanet = 16 fps enc, frame_rate 8
+        # -> stride 2, kernel 2*stride = 4
+        sw["encoder.downsample.weight"] = modulo_values((16, 16, 4), 17, 0.2)
+        # quantizer: semantic 1 + acoustic G-1, EMA codebooks
+        eq = "encoder.quantizer"
+        sw[f"{eq}.semantic_residual_vector_quantizer.input_proj.weight"] = (
+            modulo_values((4, 16, 1), 19, 0.3))
+        sw[f"{eq}.semantic_residual_vector_quantizer.layers.0.codebook"
+           ".embed_sum"] = modulo_values((CV, 4), 23, 0.5)
+        sw[f"{eq}.semantic_residual_vector_quantizer.layers.0.codebook"
+           ".cluster_usage"] = np.ones((CV,), np.float32)
+        sw[f"{eq}.acoustic_residual_vector_quantizer.input_proj.weight"] = (
+            modulo_values((4, 16, 1), 29, 0.3))
+        for i in range(G - 1):
+            sw[f"{eq}.acoustic_residual_vector_quantizer.layers.{i}.codebook"
+               ".embed_sum"] = modulo_values((CV, 4), 31 + i, 0.5)
+            sw[f"{eq}.acoustic_residual_vector_quantizer.layers.{i}.codebook"
+               ".cluster_usage"] = np.ones((CV,), np.float32)
     save_file(sw, str(st / "model.safetensors"))
     return path
 

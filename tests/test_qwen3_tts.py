@@ -98,3 +98,73 @@ def test_voice_parsing(model):
     assert model._parse_voice("vivian, speak slowly") == ("vivian", "speak slowly")
     assert model._parse_voice("vivian") == ("vivian", None)
     assert model._parse_voice(None) == (None, None)
+
+
+# -- ref-audio ICL voice cloning (Qwen3TTS.swift:267-302, 699-836) -----------
+
+
+@pytest.fixture(scope="module")
+def icl_model(tmp_path_factory):
+    path = make_qwen3_tts_fixture(tmp_path_factory.mktemp("q3tts_icl"),
+                                  with_icl=True)
+    return Qwen3TTS.from_pretrained(str(path))
+
+
+def _ref_audio(n=2048):
+    rng = np.random.default_rng(7)
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+def test_icl_components_load(icl_model):
+    assert icl_model.speaker_encoder is not None
+    assert icl_model.codec_encoder is not None
+    emb = np.asarray(icl_model.extract_speaker_embedding(_ref_audio()))
+    assert emb.shape == (1, 16) and np.isfinite(emb).all()
+    codes = np.asarray(icl_model.codec_encoder.encode(_ref_audio()))
+    # 2048 samples / 16x seanet / stride-2 downsample = 64 frames, 4 books
+    assert codes.shape[1] == 4 and codes.shape[2] == 64
+    assert codes.min() >= 0 and codes.max() < 32
+
+
+def test_ref_audio_changes_prefill(icl_model):
+    """Providing ref audio must change the talker prefill (the r1 build
+    silently ignored it)."""
+    plain, _, _ = icl_model.prepare_generation_inputs("hello world")
+    icl, trailing, _, ref_codes = icl_model.prepare_icl_generation_inputs(
+        "hello world", _ref_audio(), "hello")
+    assert icl.shape[1] > plain.shape[1]
+    assert ref_codes.shape[1] == 4
+    # speaker embedding adds one prefix position vs the no-speaker layout:
+    # prefix = role(3) + pads+bos aligned to codec prefill(3+spk1+2) - 1
+    assert trailing.shape[1] == 1  # all target text is in the prompt
+
+
+def test_generate_with_ref_audio_runs(icl_model):
+    params = AudioGenerateParameters(max_tokens=8, temperature=0.0)
+    wav = icl_model.generate("hello world", ref_audio=_ref_audio(),
+                             ref_text="hello", generation_parameters=params)
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+    # differs from the uncloned output (conditioning reaches the talker)
+    plain = icl_model.generate("hello world", generation_parameters=params)
+    assert len(wav) != len(plain) or not np.allclose(wav[: len(plain)], plain)
+
+
+def test_ref_audio_without_text_raises(icl_model):
+    from tpu_audio.core.generation import AudioGenerationError
+
+    with pytest.raises(AudioGenerationError, match="BOTH"):
+        icl_model.generate("hi", ref_audio=_ref_audio())
+
+
+def test_ref_audio_without_encoder_raises(model):
+    from tpu_audio.core.generation import AudioGenerationError
+
+    with pytest.raises(AudioGenerationError, match="encoder"):
+        model.generate("hi", ref_audio=_ref_audio(), ref_text="hi")
+
+
+def test_ref_context_cached(icl_model):
+    a = _ref_audio()
+    ctx1 = icl_model._reference_audio_context(a)
+    ctx2 = icl_model._reference_audio_context(a)
+    assert ctx1 is ctx2

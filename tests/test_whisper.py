@@ -256,3 +256,71 @@ def test_w8a8_decoder_logits_close(tiny_model):
     denom = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / denom < 0.05
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_tokenizer_autofetch_by_vocab_size(tmp_path, monkeypatch):
+    """A tokenizer-less checkpoint resolves its tokenizer from the sibling
+    openai repo selected by vocab size (WhisperModel.swift:566-639), via a
+    mocked hub resolver."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+
+    from tpu_audio.core import hub
+
+    model_dir = make_whisper_fixture(tmp_path / "m")
+    assert not (model_dir / "tokenizer.json").exists()
+
+    # sibling repo dir holding only tokenizer assets
+    sibling = tmp_path / "sibling"
+    sibling.mkdir()
+    specials = [
+        "<|endoftext|>", "<|startoftranscript|>", "<|transcribe|>",
+        "<|translate|>", "<|notimestamps|>", "<|nospeech|>", "<|en|>",
+    ]
+    vocab = {f"w{i}": i for i in range(8)}
+    vocab.update({s: 8 + i for i, s in enumerate(specials)})
+    Tokenizer(WordLevel(vocab, unk_token="w0")).save(
+        str(sibling / "tokenizer.json"))
+
+    calls = {}
+
+    def fake_resolve(repo, required_files=(), allow_patterns=None, **kw):
+        if Path(str(repo)).exists():  # model-dir resolution passes through
+            return Path(str(repo))
+        calls["repo"] = str(repo)
+        calls["patterns"] = allow_patterns
+        return sibling
+
+    monkeypatch.setattr(hub, "resolve_or_download_model", fake_resolve)
+    model = W.Whisper.from_pretrained(str(model_dir))
+    # fixture vocab 64 -> default large-v3 sibling
+    assert calls["repo"] == "openai/whisper-large-v3"
+    assert "tokenizer.json" in calls["patterns"]
+    assert model.tokenizer is not None
+    assert model.tokenizer.sot == vocab["<|startoftranscript|>"]
+    assert model.tokenizer.eot == vocab["<|endoftext|>"]
+
+    # vocab-size routing table matches the reference switch
+    assert W.TOKENIZER_REPO_BY_VOCAB[51866] == "openai/whisper-large-v3"
+    assert W.TOKENIZER_REPO_BY_VOCAB[51865] == "openai/whisper-medium"
+    assert W.TOKENIZER_REPO_BY_VOCAB[51864] == "openai/whisper-medium.en"
+
+
+def test_tokenizer_autofetch_failure_warns_not_raises(tmp_path, monkeypatch):
+    """Offline with no cached sibling snapshot: loading still succeeds
+    (tokenizer None) with a warning; generate() raises a clear error."""
+    from tpu_audio.core import hub
+
+    model_dir = make_whisper_fixture(tmp_path / "m")
+
+    def fail_resolve(repo, *a, **k):
+        if Path(str(repo)).exists():
+            return Path(str(repo))
+        raise RuntimeError("no network")
+
+    monkeypatch.setattr(hub, "resolve_or_download_model", fail_resolve)
+    with pytest.warns(UserWarning, match="no tokenizer.json"):
+        model = W.Whisper.from_pretrained(str(model_dir))
+    assert model.tokenizer is None
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        model.generate(np.zeros(160, np.float32))

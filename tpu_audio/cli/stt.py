@@ -37,9 +37,13 @@ def main(argv=None):
     parser.add_argument("--chunk-duration", type=float, default=None,
                         help="chunking window in seconds (model-dependent)")
     parser.add_argument("--kv-bits", type=int, default=None,
-                        choices=[8],
-                        help="quantize the decode KV cache (int8)")
+                        choices=[4, 8],
+                        help="quantize the decode KV cache "
+                        "(8=int8 symmetric, 4=packed affine int4)")
     parser.add_argument("--kv-group-size", type=int, default=64)
+    parser.add_argument("--quantized-kv-start", type=int, default=0,
+                        help="keep KV positions below this index full "
+                        "precision (Generation.swift quantizedKVStart)")
     args = parser.parse_args(argv)
 
     from tpu_audio.core.audio_io import load_audio
@@ -53,6 +57,7 @@ def main(argv=None):
         temperature=args.temperature, verbose=args.verbose,
         chunk_duration=args.chunk_duration, kv_bits=args.kv_bits,
         kv_group_size=args.kv_group_size,
+        quantized_kv_start=args.quantized_kv_start,
     )
 
     if getattr(model, "is_forced_aligner", False):

@@ -61,7 +61,8 @@ def main(argv=None):
     try:
         model = load_model(args.model, **kwargs)
     except TypeError as e:
-        if "quantize_bits" in str(e):
+        if ("unexpected keyword argument" in str(e)
+                and "quantize_bits" in str(e)):
             raise SystemExit(
                 "--quantize is supported by the llama-family TTS models "
                 "(Orpheus/llama_tts, VyvoTTS/qwen3, Qwen3TTS); this model "

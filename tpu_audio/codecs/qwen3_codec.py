@@ -375,3 +375,201 @@ class Qwen3CodecDecoder:
         wav, self._stream_state = self._step(
             self.params, jnp.asarray(codes), self._stream_state)
         return wav
+
+
+# ---------------------------------------------------------------------------
+# Speech tokenizer ENCODER (ref-audio ICL): Mimi-architecture SEANet encoder
+# + windowed-rope transformer + downsample + split RVQ encode
+# (Qwen3TTSSpeechTokenizer.swift:793-880 Qwen3TTSSpeechTokenizerEncoder).
+# The architecture is identical to Mimi's encoder, so the compute functions
+# are shared with tpu_audio.codecs.mimi; only the config plumbing and the
+# HF-checkpoint weight mapping are Qwen3-specific.
+# ---------------------------------------------------------------------------
+
+
+def encoder_config_from_dict(d: dict):
+    """Build a MimiConfig for the speech tokenizer's ``encoder_config``
+    section (Qwen3TTSConfig.swift:391-494 key set + defaults)."""
+    from tpu_audio.codecs.mimi import MimiConfig, SeanetConfig, TransformerConfig
+
+    e = d.get("encoder_config", {}) or {}
+    seanet = SeanetConfig(
+        dimension=e.get("hidden_size", 512),
+        channels=e.get("audio_channels", 1),
+        nfilters=e.get("num_filters", 64),
+        nresidual_layers=e.get("num_residual_layers", 1),
+        ratios=tuple(e.get("upsampling_ratios", (8, 6, 5, 4))),
+        ksize=e.get("kernel_size", 7),
+        residual_ksize=e.get("residual_kernel_size", 3),
+        last_ksize=e.get("last_kernel_size", 3),
+        dilation_base=e.get("dilation_growth_rate", 2),
+        compress=e.get("compress", 2),
+    )
+    transformer = TransformerConfig(
+        d_model=e.get("hidden_size", 512),
+        num_heads=e.get("num_attention_heads", 8),
+        num_layers=e.get("num_hidden_layers", 8),
+        layer_scale=e.get("layer_scale_initial_scale", 0.01),
+        context=e.get("sliding_window", 250),
+        max_period=e.get("rope_theta", 10000.0),
+        dim_feedforward=e.get("intermediate_size", 2048),
+    )
+    return MimiConfig(
+        channels=e.get("audio_channels", 1),
+        sample_rate=e.get("sampling_rate", 24000),
+        frame_rate=e.get("frame_rate", 12.5),
+        seanet=seanet,
+        transformer=transformer,
+        quantizer_nq=e.get("num_quantizers", 32),
+        quantizer_bins=e.get("codebook_size", 2048),
+        quantizer_dim=e.get("codebook_dim", 256),
+    )
+
+
+def sanitize_encoder(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Map HF qwen3 speech-tokenizer encoder weights onto the mimi param
+    tree consumed by tpu_audio.codecs.mimi (layer tables from
+    Qwen3TTSSpeechTokenizer.swift:1099-1108, name mapping :1240-1370).
+    Torch conv layouts [O, I, K] are kept (our convs are torch-layout)."""
+    conv_map = {0: "encoder.init_conv1d", 3: "encoder.layers.0.downsample",
+                6: "encoder.layers.1.downsample", 9: "encoder.layers.2.downsample",
+                12: "encoder.layers.3.downsample", 14: "encoder.final_conv1d"}
+    residual_layer = {1: 0, 4: 1, 7: 2, 10: 3}
+    residual_block = {1: 0, 3: 1}
+
+    out: dict[str, np.ndarray] = {}
+    qkv: dict[int, dict[str, np.ndarray]] = {}
+
+    def strip(key: str) -> str:
+        for pre in ("speech_tokenizer.", "encoder_model.", "decoder_model."):
+            while key.startswith(pre):
+                key = key[len(pre):]
+        return key
+
+    for raw, v in flat.items():
+        k = strip(raw)
+        if not k.startswith("encoder."):
+            continue
+        if "codebook.initialized" in k or k.endswith("codebook.embed"):
+            continue
+        if k.startswith("encoder.encoder.layers."):
+            parts = k.split(".")
+            n = int(parts[3])
+            if ".block." in k and n in residual_layer:
+                li = residual_layer[n]
+                bi = residual_block.get(int(parts[5]))
+                if bi is None:
+                    continue
+                # suffix already carries the trailing "conv.weight" level
+                suffix = ".".join(parts[6:])
+                out[f"encoder.layers.{li}.residuals.0.block.{bi}.conv.{suffix}"] = v
+            elif n in conv_map:
+                suffix = ".".join(parts[4:])
+                out[f"{conv_map[n]}.conv.{suffix}"] = v
+            continue
+        if (k.startswith("encoder.encoder_transformer.layers.")
+                or k.startswith("encoder.encoder_transformer.transformer.layers.")):
+            parts = k.split(".")
+            off = 4 if parts[2] == "transformer" else 3
+            li = int(parts[off])
+            suffix = ".".join(parts[off + 1:])
+            base = f"encoder_transformer.transformer.layers.{li}"
+            if "self_attn.q_proj.weight" in suffix:
+                qkv.setdefault(li, {})["q"] = v
+            elif "self_attn.k_proj.weight" in suffix:
+                qkv.setdefault(li, {})["k"] = v
+            elif "self_attn.v_proj.weight" in suffix:
+                qkv.setdefault(li, {})["v"] = v
+            elif "self_attn.qkv.weight" in suffix:
+                third = v.shape[0] // 3
+                qkv.setdefault(li, {}).update(
+                    q=v[:third], k=v[third:2 * third], v=v[2 * third:])
+            elif ("self_attn.out_proj.weight" in suffix
+                  or "self_attn.o_proj.weight" in suffix):
+                out[f"{base}.self_attn.out_proj.weight"] = v
+            elif "mlp.fc1.weight" in suffix:
+                out[f"{base}.gating.linear1.weight"] = v
+            elif "mlp.fc2.weight" in suffix:
+                out[f"{base}.gating.linear2.weight"] = v
+            elif "input_layernorm." in suffix:
+                out[f"{base}.norm1.{suffix.rsplit('.', 1)[1]}"] = v
+            elif "post_attention_layernorm." in suffix:
+                out[f"{base}.norm2.{suffix.rsplit('.', 1)[1]}"] = v
+            elif "self_attn_layer_scale.scale" in suffix:
+                out[f"{base}.layer_scale_1.scale"] = v
+            elif "mlp_layer_scale.scale" in suffix:
+                out[f"{base}.layer_scale_2.scale"] = v
+            continue
+        if k.startswith("encoder.downsample."):
+            out["downsample.conv.conv." + k[len("encoder.downsample."):]] = v
+            continue
+        if k.startswith("encoder.quantizer."):
+            rest = k[len("encoder.quantizer."):]
+            part = ("rvq_first"
+                    if ("semantic_residual_vector_quantizer" in rest
+                        or rest.startswith("rvq_first."))
+                    else "rvq_rest")
+            if "input_proj.weight" in rest or "output_proj.weight" in rest:
+                proj = "input_proj" if "input_proj" in rest else "output_proj"
+                out[f"quantizer.{part}.{proj}.weight"] = v
+                continue
+            if ".layers." in rest and (".codebook." in rest or "._codebook." in rest):
+                li = rest.split(".layers.")[1].split(".")[0]
+                field_name = rest.rsplit(".", 1)[1]
+                if field_name == "embed_sum":
+                    field_name = "embedding_sum"
+                if field_name in ("embedding_sum", "cluster_usage"):
+                    out[f"quantizer.{part}.vq.layers.{li}.codebook.{field_name}"] = v
+            continue
+
+    for li, d3 in qkv.items():
+        if {"q", "k", "v"} <= set(d3):
+            out[f"encoder_transformer.transformer.layers.{li}"
+                ".self_attn.in_proj.weight"] = np.concatenate(
+                    [d3["q"], d3["k"], d3["v"]], axis=0)
+    return out
+
+
+class Qwen3CodecEncoder:
+    """Speech tokenizer encoder: waveform -> [1, n_valid_q, frames] codes
+    (Qwen3TTSSpeechTokenizerEncoder.encode, :872-880). Runs as one jitted
+    graph (SEANet + transformer + downsample + RVQ nearest-codebook search)."""
+
+    def __init__(self, mimi_config, params, valid_num_quantizers: int = 16,
+                 dtype=jnp.float32):
+        from tpu_audio.codecs.mimi import (
+            quantizer_encode,
+            s_conv1d,
+            seanet_encode,
+            transformer_forward,
+        )
+
+        self.config = mimi_config
+        self.params = params
+        self.valid_num_quantizers = valid_num_quantizers
+        self.dtype = dtype
+        cfg = mimi_config
+
+        def encode(p, x):
+            h = seanet_encode(p["encoder"], x, cfg.seanet)
+            h, _ = transformer_forward(p["encoder_transformer"], h,
+                                       cfg.transformer)
+            stride = cfg.downsample_stride
+            if stride > 1:
+                h = s_conv1d(p["downsample"], h, 2 * stride, stride=stride,
+                             pad_mode="edge")
+            return quantizer_encode(p["quantizer"], h)
+
+        self._encode = jax.jit(encode)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    def encode(self, audio) -> jnp.ndarray:
+        """waveform [T] / [B, T] -> codes [B, n_valid_q, frames]."""
+        x = jnp.asarray(audio, self.dtype)
+        if x.ndim == 1:
+            x = x[None]
+        codes = self._encode(self.params, x[..., None])
+        return codes[:, : self.valid_num_quantizers]

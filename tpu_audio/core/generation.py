@@ -128,11 +128,19 @@ class STTGenerateParameters:
     max_tokens: int = 448
     temperature: float = 0.0
     chunk_duration: float | None = None
+    # KV quantization (Generation.swift:14-19): kv_bits 8 = int8 symmetric,
+    # 4 = packed affine int4; quantized_kv_start keeps positions below it
+    # full precision (hybrid dense-prefix cache)
     kv_bits: int | None = None
     kv_group_size: int = 64
     quantized_kv_start: int = 0
     verbose: bool = False
     extra: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        from tpu_audio.core.kv_cache import validate_kv_bits
+
+        validate_kv_bits(self.kv_bits)
 
 
 @dataclass

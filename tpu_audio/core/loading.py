@@ -133,7 +133,8 @@ def stack_layer_params(tree, container: str = "layers"):
         out = {}
         for k, v in tree.items():
             if (k == container and isinstance(v, dict) and v
-                    and all(s.isdigit() for s in v)):
+                    and all(s.isdigit() for s in v)
+                    and all(str(i) in v for i in range(len(v)))):
                 per = [stack_layer_params(v[str(i)], container)
                        for i in range(len(v))]
                 out[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *per)

@@ -340,7 +340,7 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
     if word_scales is None:
         word_scales = _use_pallas_qmm()
 
-    def walk(node, name=""):
+    def walk(node, name="", in_layers=False):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
@@ -349,9 +349,14 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
                         and not name.lower().startswith("ln")
                         and "position" not in name.lower()
                         and "pos_emb" not in name.lower()
+                        and "conv" not in name.lower()
                         and hasattr(v, "dtype")
                         and jnp.issubdtype(v.dtype, jnp.floating)
-                        and v.ndim in (2, 3)
+                        # 3-D is only the stacked [L, O, I] per-layer layout
+                        # under a "layers" container; a conv-style 3-D
+                        # weight elsewhere must stay dense (nn.conv* cannot
+                        # consume QuantizedTensor leaves)
+                        and (v.ndim == 2 or (v.ndim == 3 and in_layers))
                         and v.shape[-1] % group_size == 0
                         and v.shape[-1] >= min_in_features):
                     if scheme == "w8a8":
@@ -397,7 +402,7 @@ def quantize_tree(params, group_size: int = 64, bits: int = 4,
                         qt = qt.with_word_scales()
                     out[k] = qt
                 else:
-                    out[k] = walk(v, k)
+                    out[k] = walk(v, k, in_layers or k == "layers")
             return out
         return node
 

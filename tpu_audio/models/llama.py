@@ -57,7 +57,11 @@ class LlamaConfig:
 
 
 def _is_per_layer_dict(layers) -> bool:
-    return isinstance(layers, dict) and "0" in layers
+    # require a contiguous "0".."N-1" key set so checkpoints with gaps or
+    # extra non-numeric keys fall back to the unrolled path instead of
+    # raising KeyError during stacking
+    return (isinstance(layers, dict) and "0" in layers
+            and all(str(i) in layers for i in range(len(layers))))
 
 
 def maybe_stack(params: dict) -> dict:
@@ -218,7 +222,7 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
 
     mask = kv_cache.attention_mask(cache, t) if cache is not None else None
     offset0 = cache.offset if cache is not None else None
-    quant_self = isinstance(cache, kv_cache.QuantKVCache)
+    cache_xs, cache_update, cache_fold = kv_cache.make_layer_updater(cache)
     stacked = not _is_per_layer_dict(p["layers"])
 
     def attn_mlp(x, lp, kv_update):
@@ -269,40 +273,16 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
 
     if stacked:
         # scan over the stacked layer axis: one compiled layer body
-        # regardless of depth; cache buffers ([L, ...]) ride as xs/ys
-        if cache is None:
-            cache_xs = None
-        elif quant_self:
-            cache_xs = (cache.k_q, cache.k_scale, cache.v_q, cache.v_scale)
-        else:
-            cache_xs = (cache.k, cache.v)
-
+        # regardless of depth; cache buffers ([L, ...]) ride as xs/ys —
+        # dense/int8/int4/hybrid handling lives in kv_cache.make_layer_updater
         def layer(x, xs):
             lp, cache_l = xs
             written = []
 
             def kv_update(k, v):
-                start = (0, 0, offset0, 0)
-                if quant_self:
-                    k_q, k_s, v_q, v_s = cache_l
-                    g = k_s.shape[-1]
-                    kq_new, ks_new = kv_cache._quantize(k, g)
-                    vq_new, vs_new = kv_cache._quantize(v, g)
-                    k_q = jax.lax.dynamic_update_slice(k_q, kq_new, start)
-                    k_s = jax.lax.dynamic_update_slice(
-                        k_s, ks_new.astype(k_s.dtype), start)
-                    v_q = jax.lax.dynamic_update_slice(v_q, vq_new, start)
-                    v_s = jax.lax.dynamic_update_slice(
-                        v_s, vs_new.astype(v_s.dtype), start)
-                    written.append((k_q, k_s, v_q, v_s))
-                    return (kv_cache._dequantize(k_q, k_s, x.dtype),
-                            kv_cache._dequantize(v_q, v_s, x.dtype))
-                k_cache, v_cache = cache_l
-                k_full = jax.lax.dynamic_update_slice(
-                    k_cache, k.astype(k_cache.dtype), start)
-                v_full = jax.lax.dynamic_update_slice(
-                    v_cache, v.astype(v_cache.dtype), start)
-                written.append((k_full, v_full))
+                new_l, k_full, v_full = cache_update(
+                    cache_l, offset0, k, v, x.dtype)
+                written.append(new_l)
                 return k_full, v_full
 
             x = attn_mlp(x, lp, kv_update if cache_l is not None else None)
@@ -315,11 +295,7 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
         # the plain scan.
         x, cache_ys = jax.lax.scan(layer, x, xs)
         if cache is not None:
-            if quant_self:
-                cache = cache._replace(k_q=cache_ys[0], k_scale=cache_ys[1],
-                                       v_q=cache_ys[2], v_scale=cache_ys[3])
-            else:
-                cache = cache._replace(k=cache_ys[0], v=cache_ys[1])
+            cache = cache_fold(cache, cache_ys)
     else:
         # per-layer dict path: kept for heterogeneous checkpoints
         # (e.g. per-layer quantization configs, LlamaTTS.swift:959-969)
@@ -348,10 +324,19 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
     return logits, cache
 
 
-def make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    return kv_cache.init_cache(
+def make_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               valid_from: int = 0, kv_bits: int | None = None,
+               kv_group_size: int = 64, quantized_kv_start: int = 0):
+    """Cache factory honoring the reference's kvBits/kvGroupSize/
+    quantizedKVStart knobs (Generation.swift:14-19). With a multi-token
+    prefill and ``quantized_kv_start > 0``, pass
+    ``quantized_kv_start=max(start, prefill_len)`` so the prefill write does
+    not straddle the dense/quant boundary."""
+    return kv_cache.make_cache_for(
         cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
-        cfg.resolved_head_dim, max_len, dtype,
+        cfg.resolved_head_dim, max_len, dtype, valid_from,
+        kv_bits=kv_bits, kv_group_size=kv_group_size,
+        quantized_kv_start=quantized_kv_start,
     )
 
 

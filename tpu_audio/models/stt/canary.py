@@ -377,17 +377,21 @@ class Canary:
             :, None, None, :]
         return enc, cross_k, cross_v, enc_mask
 
-    def _get_loop(self, max_total: int):
-        if max_total in self._loops:
-            return self._loops[max_total]
+    def _get_loop(self, max_total: int, kv_bits: int | None = None,
+                  kv_group_size: int = 64, quantized_kv_start: int = 0):
+        key = (max_total, kv_bits, kv_group_size, quantized_kv_start)
+        if key in self._loops:
+            return self._loops[key]
         cfg = self.config
 
         def loop(params, cross_k, cross_v, enc_mask, prompt_buf, prompt_len,
                  eos_id):
-            cache = kv_cache.init_cache(
+            cache = kv_cache.make_cache_for(
                 cfg.decoder.num_layers, 1, cfg.decoder.num_attention_heads,
                 cfg.enc_output_dim // cfg.decoder.num_attention_heads,
-                max_total, jnp.float32)
+                max_total, jnp.float32, kv_bits=kv_bits,
+                kv_group_size=kv_group_size,
+                quantized_kv_start=quantized_kv_start)
             tokens = jnp.zeros((max_total,), jnp.int32)
 
             def cond(c):
@@ -414,7 +418,7 @@ class Canary:
             return tokens, count
 
         fn = jax.jit(loop)
-        self._loops[max_total] = fn
+        self._loops[key] = fn
         return fn
 
     def generate(self, audio, generation_parameters:
@@ -448,7 +452,9 @@ class Canary:
         max_total = len(prompt) + max_new
         buf = np.zeros((max_total,), np.int32)
         buf[: len(prompt)] = prompt
-        loop = self._get_loop(max_total)
+        loop = self._get_loop(max_total, kv_bits=gp.kv_bits,
+                              kv_group_size=gp.kv_group_size,
+                              quantized_kv_start=gp.quantized_kv_start)
         tokens, count = loop(self.params, ck, cv, enc_mask,
                              jnp.asarray(buf), jnp.int32(len(prompt)),
                              jnp.int32(eos))

@@ -270,8 +270,11 @@ class GLMASR:
         embeds = jax.lax.dynamic_update_slice(
             embeds, audio_embeds.astype(embeds.dtype),
             (0, len(prefix), 0))
-        cache = llama.make_cache(self.config.lm, 1,
-                                 len(tokens) + max_new + 1, self.dtype)
+        cache = llama.make_cache(
+            self.config.lm, 1, len(tokens) + max_new + 1, self.dtype,
+            kv_bits=gp.kv_bits, kv_group_size=gp.kv_group_size,
+            quantized_kv_start=(max(gp.quantized_kv_start, len(tokens))
+                                if gp.quantized_kv_start else 0))
         loop = self._get_loop(max_new)
         out_tokens, count = loop(self._lm_params, embeds, cache)
         ids = np.asarray(out_tokens)[: int(count)].tolist()

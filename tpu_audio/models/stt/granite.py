@@ -418,8 +418,12 @@ class GraniteSpeech:
             n_tokens, params.extra.get("prompt"), params.language)], np.int32)
         embeds = self._merge_audio(ids, audio_embeds)
         tcfg = self.config.text
-        cache = llama.make_cache(tcfg, 1, ids.shape[1] + params.max_tokens + 1,
-                                 self.dtype)
+        prefill_len = embeds.shape[1] - 1
+        cache = llama.make_cache(
+            tcfg, 1, ids.shape[1] + params.max_tokens + 1, self.dtype,
+            kv_bits=params.kv_bits, kv_group_size=params.kv_group_size,
+            quantized_kv_start=(max(params.quantized_kv_start, prefill_len)
+                                if params.quantized_kv_start else 0))
         _, cache = self._prefill(self.params,
                                  jnp.asarray(embeds[:, :-1], self.dtype), cache)
         key = (params.temperature,)

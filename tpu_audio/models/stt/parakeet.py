@@ -38,6 +38,7 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
+from tpu_audio.models.stt import nemo_alignment
 
 __all__ = ["Parakeet", "ParakeetConfig"]
 
@@ -517,6 +518,39 @@ class Parakeet:
         pieces = [vocab[t] for t in token_ids if 0 <= t < len(vocab)]
         return "".join(pieces).replace("▁", " ").strip()
 
+    def _token_text(self, token_id: int) -> str | None:
+        """SentencePiece piece -> display text; None for special tokens
+        (ParakeetTokenizer.isSpecialToken)."""
+        vocab = self.config.vocabulary
+        if not 0 <= token_id < len(vocab):
+            return None
+        piece = vocab[token_id]
+        if piece.startswith("<") and piece.endswith(">"):
+            return None
+        return piece.replace("▁", " ")
+
+    def _aligned_tokens(self, ids, starts, ends) -> list:
+        """Lattice emissions -> AlignedTokens with absolute seconds
+        (ParakeetModel.swift:455-465 TDT / :786-799 CTC)."""
+        out = []
+        for tok, s, e in zip(ids, starts, ends):
+            text = self._token_text(int(tok))
+            if text is None:
+                continue
+            start = self._frame_seconds(int(s))
+            out.append(nemo_alignment.AlignedToken(
+                id=int(tok), text=text, start=start,
+                duration=max(self._frame_seconds(int(e)) - start, 0.0)))
+        return out
+
+    @staticmethod
+    def _result_to_segments(result) -> list[STTSegment]:
+        return [
+            STTSegment(text=s.text.strip(), start=s.start, end=s.end,
+                       tokens=[t.id for t in s.tokens])
+            for s in result.sentences
+        ]
+
     def _get_decoder(self, max_emit: int):
         if max_emit not in self._decoders:
             self._decoders[max_emit] = make_tdt_decoder(self.config, max_emit)
@@ -527,6 +561,15 @@ class Parakeet:
     def generate_batch(self, audios: list[np.ndarray],
                        generation_parameters: STTGenerateParameters | None = None
                        ) -> list[STTOutput]:
+        return self.generate_batch_aligned(audios, generation_parameters)[0]
+
+    def generate_batch_aligned(
+            self, audios: list[np.ndarray],
+            generation_parameters: STTGenerateParameters | None = None
+    ) -> tuple[list[STTOutput], list[list]]:
+        """Batch decode returning both STTOutputs and the per-utterance
+        aligned token lists (timing from the TDT/CTC lattice) used by the
+        long-audio overlap merge."""
         params = generation_parameters or STTGenerateParameters(max_tokens=8192)
         t0 = time.perf_counter()
         cfg = self.config
@@ -554,26 +597,23 @@ class Parakeet:
                                       np.asarray(jumps), np.asarray(counts))
         elapsed = time.perf_counter() - t0
 
-        outputs = []
+        outputs, aligned_lists = [], []
         for i, audio in enumerate(audios):
             n = int(counts[i])
             ids = toks[i, :n].tolist()
-            text = self._decode_text(ids)
-            segments = [
-                STTSegment(
-                    text=self._decode_text([tok]),
-                    start=self._frame_seconds(int(times[i, j])),
-                    end=self._frame_seconds(int(times[i, j]) + max(int(jumps[i, j]), 1)),
-                    tokens=[int(tok)],
-                )
-                for j, tok in enumerate(ids)
-            ]
+            aligned = self._aligned_tokens(
+                ids, times[i, :n],
+                times[i, :n] + np.maximum(jumps[i, :n], 1))
+            aligned_lists.append(aligned)
+            result = nemo_alignment.sentences_to_result(
+                nemo_alignment.tokens_to_sentences(aligned))
             outputs.append(STTOutput(
-                text=text, segments=segments, language=params.language,
+                text=result.text, segments=self._result_to_segments(result),
+                language=params.language,
                 generation_token_count=n, total_time=elapsed,
                 generation_time=elapsed,
             ))
-        return outputs
+        return outputs, aligned_lists
 
     def _generate_ctc(self, feats, out_lens, audios, t0):
         logits = self._ctc_head(self.params, feats)
@@ -581,30 +621,33 @@ class Parakeet:
         out_lens = np.asarray(out_lens)
         blank = self.config.blank_token
         elapsed = time.perf_counter() - t0
-        outputs = []
+        outputs, aligned_lists = [], []
         for i in range(len(audios)):
-            seq = best[i, : int(out_lens[i])]
-            # collapse repeats then remove blanks (ctcSpans)
-            ids, prev = [], -1
-            spans = []
-            for t, tok in enumerate(seq.tolist()):
-                if tok != prev and tok != blank:
-                    ids.append(tok)
-                    spans.append(t)
+            seq = best[i, : int(out_lens[i])].tolist()
+            # collapse repeats then remove blanks, keeping [start, end) frame
+            # spans per emission (ctcSpans, ParakeetModel.swift:786-799)
+            ids, starts, ends = [], [], []
+            prev = -1
+            for t, tok in enumerate(seq):
+                if tok == prev:
+                    if tok != blank:
+                        ends[-1] = t + 1
+                else:
+                    if tok != blank:
+                        ids.append(tok)
+                        starts.append(t)
+                        ends.append(t + 1)
                 prev = tok
-            text = self._decode_text(ids)
-            segments = [
-                STTSegment(text=self._decode_text([tok]),
-                           start=self._frame_seconds(spans[j]),
-                           end=self._frame_seconds(spans[j] + 1), tokens=[tok])
-                for j, tok in enumerate(ids)
-            ]
+            aligned = self._aligned_tokens(ids, starts, ends)
+            aligned_lists.append(aligned)
+            result = nemo_alignment.sentences_to_result(
+                nemo_alignment.tokens_to_sentences(aligned))
             outputs.append(STTOutput(
-                text=text, segments=segments,
+                text=result.text, segments=self._result_to_segments(result),
                 generation_token_count=len(ids), total_time=elapsed,
                 generation_time=elapsed,
             ))
-        return outputs
+        return outputs, aligned_lists
 
     # -- single utterance with long-audio chunking ------------------------------
 
@@ -621,20 +664,29 @@ class Parakeet:
         chunk = int(chunk_s * sr)
         if len(audio) <= chunk:
             return self.generate_batch([audio], params)[0]
-        # chunk with overlap, merge by dropping overlap-region duplicates
+        # chunk with overlap; merge chunks by aligning their shared tokens
+        # (timestamped-anchor merge, ParakeetModel.swift:118-160 +
+        # NemoAlignment.swift:123-273) — robust to repeated phrases at the
+        # boundary, unlike naive duplicate dropping
         step = max(1, chunk - int(overlap_s * sr))
         pieces = [audio[s : s + chunk] for s in range(0, len(audio), step)]
-        outs = self.generate_batch(pieces, params)
-        text = " ".join(o.text for o in outs if o.text)
-        segments = []
-        for idx, o in enumerate(outs):
+        outs, aligned_lists = self.generate_batch_aligned(pieces, params)
+        all_tokens: list = []
+        for idx, chunk_tokens in enumerate(aligned_lists):
             offset = idx * step / sr
-            for s in o.segments:
-                segments.append(STTSegment(text=s.text, start=s.start + offset,
-                                           end=s.end + offset, tokens=s.tokens))
-        total = sum(o.generation_token_count for o in outs)
-        return STTOutput(text=text, segments=segments,
-                         generation_token_count=total,
+            shifted = [
+                nemo_alignment.AlignedToken(
+                    id=t.id, text=t.text, start=t.start + offset,
+                    duration=t.duration)
+                for t in chunk_tokens
+            ]
+            all_tokens = nemo_alignment.merge_token_sequences(
+                all_tokens, shifted, overlap_s)
+        result = nemo_alignment.sentences_to_result(
+            nemo_alignment.tokens_to_sentences(all_tokens))
+        return STTOutput(text=result.text,
+                         segments=self._result_to_segments(result),
+                         generation_token_count=len(all_tokens),
                          total_time=sum(o.total_time for o in outs),
                          generation_time=sum(o.generation_time for o in outs))
 

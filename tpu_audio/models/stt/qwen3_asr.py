@@ -354,6 +354,7 @@ class Qwen3ASR:
         language = None
         if len(audio) == 0:
             audio = np.zeros(1, np.float32)
+        total_duration = len(audio) / SAMPLE_RATE
         for piece, offset in split_audio_into_chunks(
                 audio, SAMPLE_RATE, chunk_duration=chunk_s):
             text, lang, n_prompt, n_gen = self._generate_chunk(piece, params)
@@ -363,9 +364,12 @@ class Qwen3ASR:
                 language = lang
             if text:
                 texts.append(text)
+                # chunks can be zero-padded up to min_chunk_duration; clamp
+                # the end to the real audio so padding never inflates it
                 segments.append(STTSegment(
                     text=text, start=offset,
-                    end=offset + len(piece) / SAMPLE_RATE))
+                    end=min(offset + len(piece) / SAMPLE_RATE,
+                            total_duration)))
         elapsed = time.perf_counter() - t0
         return STTOutput(
             text=" ".join(texts), segments=segments, language=language,
@@ -385,7 +389,14 @@ class Qwen3ASR:
         embeds = self._merge_audio_features(ids, feats)
         tcfg = self.config.text
         max_total = ids.shape[1] + params.max_tokens + 1
-        cache = llama.make_cache(tcfg, 1, max_total, self.dtype)
+        prefill_len = embeds.shape[1] - 1
+        cache = llama.make_cache(
+            tcfg, 1, max_total, self.dtype, kv_bits=params.kv_bits,
+            kv_group_size=params.kv_group_size,
+            # round the dense/quant split up so the prefill write does not
+            # straddle the hybrid boundary
+            quantized_kv_start=(max(params.quantized_kv_start, prefill_len)
+                                if params.quantized_kv_start else 0))
         _, cache = self._prefill(self.params, jnp.asarray(embeds[:, :-1], self.dtype),
                                  cache)
         key = (params.temperature,)

@@ -135,14 +135,21 @@ class IncrementalMelSpectrogram:
 
 
 class StreamingEncoder:
-    """Window accumulator over a model's ``encode_single_window``."""
+    """Window accumulator over a model's ``encode_single_window``
+    (StreamingEncoder.swift:20-205): full windows encode once and cache;
+    the pending partial re-encodes for early feedback; ``overlap_frames``
+    keeps a window tail in the pending buffer so consecutive windows
+    overlap (encoderWindowOverlapSeconds)."""
 
     def __init__(self, encode_single_window, window_size: int = 800,
-                 max_cached_windows: int = 60):
+                 max_cached_windows: int = 60, overlap_frames: int = 0):
         self._encode = encode_single_window
         self.window_size = window_size
+        overlap = max(0, min(overlap_frames, window_size - 1))
+        self.window_stride = max(1, window_size - overlap)
         self.max_cached_windows = max_cached_windows
         self.cached: list[np.ndarray] = []
+        self._new_windows: list[np.ndarray] = []
         self.total_encoded_windows = 0
         self._pending = np.zeros((0, 0), np.float32)
 
@@ -156,8 +163,10 @@ class StreamingEncoder:
         new = 0
         while self._pending.shape[0] >= self.window_size:
             window = self._pending[: self.window_size]
-            self._pending = self._pending[self.window_size:]
-            self.cached.append(np.asarray(self._encode(window)))
+            self._pending = self._pending[self.window_stride:]
+            feats = np.asarray(self._encode(window))
+            self.cached.append(feats)
+            self._new_windows.append(feats)
             if len(self.cached) > self.max_cached_windows:
                 self.cached.pop(0)
             self.total_encoded_windows += 1
@@ -168,9 +177,26 @@ class StreamingEncoder:
     def pending_frames(self) -> int:
         return self._pending.shape[0]
 
+    @property
+    def encoded_window_count(self) -> int:
+        return self.total_encoded_windows
+
+    def drain_new_windows(self) -> list[np.ndarray]:
+        """Newly completed window features since the last drain
+        (drainNewlyEncodedWindows, StreamingEncoder.swift:190-194)."""
+        out, self._new_windows = self._new_windows, []
+        return out
+
+    def encode_pending(self) -> np.ndarray | None:
+        """Re-encode the pending partial window WITHOUT consuming it
+        (encodePending, StreamingEncoder.swift:147-155)."""
+        if self._pending.shape[0] == 0:
+            return None
+        return np.asarray(self._encode(self._pending))
+
     def encoded_features(self, include_pending: bool = True) -> np.ndarray:
         """Cached windows + re-encoded pending partial
-        (StreamingEncoder.swift:147-177)."""
+        (getFullEncoderOutput, StreamingEncoder.swift:157-177)."""
         parts = list(self.cached)
         if include_pending and self._pending.shape[0] > 0:
             parts.append(np.asarray(self._encode(self._pending)))
@@ -180,7 +206,10 @@ class StreamingEncoder:
 
     def flush_partial(self) -> None:
         if self._pending.shape[0] > 0:
-            self.cached.append(np.asarray(self._encode(self._pending)))
+            feats = np.asarray(self._encode(self._pending))
+            self.cached.append(feats)
+            self._new_windows.append(feats)
+            self.total_encoded_windows += 1
             self._pending = np.zeros((0, 0), np.float32)
 
 

@@ -28,6 +28,7 @@ import functools
 import json
 import math
 import time
+import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -43,6 +44,37 @@ from tpu_audio.core.generation import (
 )
 
 SAMPLE_RATE = 16000
+
+# tokenizer-less checkpoints fetch assets from the openai sibling repo that
+# matches the checkpoint's vocab size (WhisperModel.swift:566-575)
+TOKENIZER_REPO_BY_VOCAB = {
+    51866: "openai/whisper-large-v3",
+    51865: "openai/whisper-medium",
+    51864: "openai/whisper-medium.en",
+}
+TOKENIZER_ASSET_FILES = [
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "special_tokens_map.json",
+    "added_tokens.json",
+    "vocab.json",
+    "merges.txt",
+    "normalizer.json",
+    "generation_config.json",
+]
+
+
+def fetch_tokenizer_dir(vocab_size: int) -> Path:
+    """Resolve (cache-first) the sibling openai repo holding tokenizer assets
+    for a tokenizer-less whisper checkpoint (WhisperModel.swift:566-639)."""
+    from tpu_audio.core import hub as _hub
+
+    repo = TOKENIZER_REPO_BY_VOCAB.get(vocab_size, "openai/whisper-large-v3")
+    return _hub.resolve_or_download_model(
+        repo,
+        required_files=("tokenizer.json",),
+        allow_patterns=list(TOKENIZER_ASSET_FILES),
+    )
 N_FFT = 400
 HOP_LENGTH = 160
 CHUNK_LENGTH_SECONDS = 30
@@ -239,13 +271,9 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
     hd = d // n_heads
     mask = kv_cache.attention_mask(cache, t)
     offset = cache.offset
-    quant_self = isinstance(cache, kv_cache.QuantKVCache)
     quant_cross = isinstance(cross_k, tuple)
 
-    if quant_self:
-        cache_xs = (cache.k_q, cache.k_scale, cache.v_q, cache.v_scale)
-    else:
-        cache_xs = (cache.k, cache.v)
+    cache_xs, cache_update, cache_fold = kv_cache.make_layer_updater(cache)
     cross_xs = (cross_k + cross_v) if quant_cross else (cross_k, cross_v)
 
     def layer(x, xs):
@@ -255,24 +283,7 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         k = nn.linear(ap["k_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
         v = nn.linear(ap["v_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        start = (0, 0, offset, 0)
-        if quant_self:
-            k_q, k_s, v_q, v_s = cache_l
-            g = k_s.shape[-1]
-            kq_new, ks_new = kv_cache._quantize(k, g)
-            vq_new, vs_new = kv_cache._quantize(v, g)
-            k_q = jax.lax.dynamic_update_slice(k_q, kq_new, start)
-            k_s = jax.lax.dynamic_update_slice(k_s, ks_new.astype(k_s.dtype), start)
-            v_q = jax.lax.dynamic_update_slice(v_q, vq_new, start)
-            v_s = jax.lax.dynamic_update_slice(v_s, vs_new.astype(v_s.dtype), start)
-            cache_l = (k_q, k_s, v_q, v_s)
-            k_full = kv_cache._dequantize(k_q, k_s, x.dtype)
-            v_full = kv_cache._dequantize(v_q, v_s, x.dtype)
-        else:
-            k_cache, v_cache = cache_l
-            k_full = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), start)
-            v_full = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), start)
-            cache_l = (k_full, v_full)
+        cache_l, k_full, v_full = cache_update(cache_l, offset, k, v, x.dtype)
         o = nn.sdpa(q, k_full, v_full, mask=mask)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.linear(ap["out_proj"], o)
@@ -280,9 +291,9 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
         cp = lp["encoder_attn"]
         q = nn.linear(cp["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        if quant_cross:  # int8-quantized cross KV (kv_bits=8)
-            ck = kv_cache._dequantize(cross_l[0], cross_l[1], x.dtype)
-            cv = kv_cache._dequantize(cross_l[2], cross_l[3], x.dtype)
+        if quant_cross:  # quantized cross KV (kv_bits=8/4)
+            ck = kv_cache._dequantize(cross_l[0], cross_l[1], cross_l[2], x.dtype)
+            cv = kv_cache._dequantize(cross_l[3], cross_l[4], cross_l[5], x.dtype)
         else:
             ck, cv = cross_l
         o = nn.sdpa(q, ck, cv)
@@ -294,11 +305,7 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         return x, cache_l
 
     x, cache_ys = jax.lax.scan(layer, x, (p["layers"], cross_xs, cache_xs))
-    if quant_self:
-        cache = cache._replace(k_q=cache_ys[0], k_scale=cache_ys[1],
-                               v_q=cache_ys[2], v_scale=cache_ys[3])
-    else:
-        cache = cache._replace(k=cache_ys[0], v=cache_ys[1])
+    cache = cache_fold(cache, cache_ys)
     x = nn.layer_norm(p["layer_norm"], x)
     logits = nn.embedding_as_linear(p["embed_tokens"], x)
     cache = cache._replace(offset=cache.offset + t)
@@ -521,7 +528,8 @@ class Whisper:
         )
         self._decode_loop = jax.jit(
             functools.partial(_decode_loop, cfg=cfg),
-            static_argnames=("max_total", "kv_bits", "kv_group_size"),
+            static_argnames=("max_total", "kv_bits", "kv_group_size",
+                             "quantized_kv_start"),
         )
         if config.quantization:
             from tpu_audio.core import quant
@@ -552,6 +560,19 @@ class Whisper:
         tokenizer = None
         if (Path(model_dir) / "tokenizer.json").exists():
             tokenizer = WhisperTokenizer.from_dir(model_dir, config.vocab_size)
+        else:
+            # many mlx-community whisper checkpoints ship no tokenizer.json;
+            # fetch the assets from the openai sibling repo selected by vocab
+            # size (reference WhisperModel.swift:566-639)
+            try:
+                tok_dir = fetch_tokenizer_dir(config.vocab_size)
+                tokenizer = WhisperTokenizer.from_dir(tok_dir, config.vocab_size)
+            except Exception as e:  # offline / fetch failure: defer to generate
+                warnings.warn(
+                    f"whisper checkpoint at {model_dir} has no tokenizer.json "
+                    f"and the sibling-repo fallback failed ({e}); generate() "
+                    "will raise until a tokenizer is provided"
+                )
         return cls(config, params, tokenizer, gen_cfg, dtype)
 
     # -- features -----------------------------------------------------------
@@ -681,6 +702,7 @@ class Whisper:
             jnp.asarray(begin), jnp.float32(params.temperature), rng,
             max_total=max_total, kv_bits=params.kv_bits,
             kv_group_size=params.kv_group_size,
+            quantized_kv_start=params.quantized_kv_start,
         )
         tokens = np.asarray(tokens)
         count = int(count)
@@ -715,28 +737,34 @@ class Whisper:
 
 def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
                  begin, temperature, rng, *, max_total: int, cfg: WhisperConfig,
-                 kv_bits: int | None = None, kv_group_size: int = 64):
+                 kv_bits: int | None = None, kv_group_size: int = 64,
+                 quantized_kv_start: int = 0):
     """One jitted graph: cross-KV precompute + prompt prefill (teacher-forced
     through the single-token step) + AR decode with fused suppression and
-    sampling + on-device EOT stop. ``kv_bits=8`` stores the self-attention
-    KV cache AND the cross-attention K/V as int8 per-head-group affine
-    (Generation.swift:14-19 knobs) — a memory-footprint option for long
-    transcripts / batched decode (measured RTF-neutral on v5e: XLA
-    materializes the dequantized KV before the attention matmul)."""
+    sampling + on-device EOT stop. ``kv_bits=8/4`` stores the self-attention
+    KV cache AND the cross-attention K/V quantized per-head-group
+    (int8 symmetric / packed-int4 affine; Generation.swift:14-19 knobs) —
+    a memory-footprint option for long transcripts / batched decode
+    (measured RTF-neutral on v5e: XLA materializes the dequantized KV before
+    the attention matmul). ``quantized_kv_start>0`` keeps positions below it
+    full precision (hybrid cache); the loop is single-token throughout, so
+    any split point is safe."""
+    kv_cache.validate_kv_bits(kv_bits)
     b = enc_out.shape[0]
     n_heads = cfg.decoder_attention_heads
     head_dim = cfg.d_model // n_heads
     cross_k, cross_v = _cross_kv(params, enc_out, cfg)
-    if kv_bits == 8:
+    if kv_bits:
         n_groups = head_dim // min(kv_group_size, head_dim)
         quantize = jax.vmap(functools.partial(kv_cache._quantize,
-                                              n_groups=n_groups))
+                                              n_groups=n_groups,
+                                              bits=kv_bits))
         cross_k = quantize(cross_k)
         cross_v = quantize(cross_v)
-    if kv_bits == 8:
-        cache = kv_cache.init_quant_cache(
+        cache = kv_cache.make_cache_for(
             cfg.decoder_layers, b, n_heads, head_dim, max_total,
-            group_size=kv_group_size,
+            enc_out.dtype, kv_bits=kv_bits, kv_group_size=kv_group_size,
+            quantized_kv_start=quantized_kv_start,
         )
     else:
         cache = kv_cache.init_cache(

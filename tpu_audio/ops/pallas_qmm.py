@@ -28,9 +28,11 @@ The scale expansion has two modes:
 - ``scales_w``: the caller passes the expansion precomputed ONCE at
   load time as **bf16** [O, words] (`expand_word_scales`). Per output
   element the kernel then reads 0.5 B (packed) + 0.25 B (bf16 scales)
-  vs 2 B for a bf16 weight: 2.7x less HBM. bf16 scales round the
-  affine scale to 8 mantissa bits — the same precision MLX's own fp16
-  scale tensors carry, and far below the int4 quantization error.
+  vs 2 B for a bf16 weight: 2.7x less HBM. bf16 scales keep 8 total
+  mantissa bits (vs fp16's 11 in MLX's scale tensors), adding ~0.2-0.4%
+  scale rounding error — negligible against int4 quantization noise,
+  but comparable to int8's, so for bits=8 prefer dense bf16 or w8a8
+  over this packed path when fidelity matters.
 
 Layout (MLX ``quantize()``, see core/quant.py): for W [O, I] —
 ``packed`` uint32 [O, I*bits/32] (32/bits consecutive input elements
