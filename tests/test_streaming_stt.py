@@ -147,25 +147,217 @@ def test_streaming_encoder_window_accounting():
     assert calls == [16, 4]
 
 
-def test_session_provisional_to_confirmed(model):
-    session = StreamingInferenceSession(
-        model, delay_preset=DelayPreset.REALTIME, min_agreement_passes=2,
-        max_tokens_per_pass=4)
-    session.delay = 0.0  # no wall-clock wait in tests
-    session.feed_audio(_audio(5, 4000))
-    ev1 = session.decode_pass()
-    assert any(e.kind == EventKind.PROVISIONAL for e in ev1)
-    ev2 = session.decode_pass()
-    kinds = [e.kind for e in ev1 + ev2]
-    # same audio, greedy decode -> identical passes -> confirmation
-    prov_texts = [e.text for e in ev1 + ev2 if e.kind == EventKind.PROVISIONAL]
-    if prov_texts[0]:
-        assert EventKind.CONFIRMED in kinds
+class FakeClock:
+    """Deterministic wall clock for pacing the session's decode cadence."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def advance(self, dt):
+        self.t += dt
+
+    def __call__(self):
+        return self.t
+
+
+def test_session_token_promotion_and_cadence(model):
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    clock = FakeClock()
+    config = StreamingConfig(delay_seconds=0.0, min_agreement_passes=2,
+                             max_tokens_per_pass=4,
+                             decode_interval_seconds=1.0,
+                             finalize_completed_windows=False)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+    events = []
+    # repeated identical passes over the same pending audio promote tokens
+    for _ in range(3):
+        events += session.feed_audio(_audio(5, 4000))
+        clock.advance(1.5)  # past the decode interval -> next feed decodes
+    kinds = [e.kind for e in events]
+    assert EventKind.DISPLAY_UPDATE in kinds
+    # promotion bookkeeping stays consistent (token-level promotion itself
+    # is pinned by test_promote_tokens_delay_and_agreement)
+    state = session.core.state
+    assert len(state.provisional_ids) == len(state.first_seen) \
+        == len(state.agreement)
     final = session.stop()
     assert final[-1].kind == EventKind.ENDED
     stats = [e for e in final if e.kind == EventKind.STATS][0].stats
-    assert stats["decode_passes"] == 2
-    assert stats["real_time_factor"] > 0
+    assert stats["decode_passes"] >= 2
+    assert stats["real_time_factor"] >= 0
+
+
+def test_session_decode_interval_gates_passes(model):
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    clock = FakeClock()
+    config = StreamingConfig(decode_interval_seconds=10.0,
+                             finalize_completed_windows=False,
+                             max_tokens_per_pass=4)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+    session.feed_audio(_audio(3, 4000))  # first pass runs immediately
+    passes0 = session.core._passes
+    # within the interval: no new pass
+    session.feed_audio(_audio(3, 4000))
+    assert session.core._passes == passes0
+    clock.advance(11.0)
+    session.feed_audio(_audio(3, 4000))
+    assert session.core._passes == passes0 + 1
+
+
+def test_session_boundary_boost_and_finalize(model):
+    """Completing an encoder window triggers (a) an immediate finalize pass
+    appended to completed text and (b) the boundary-boost fast cadence."""
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    clock = FakeClock()
+    config = StreamingConfig(decode_interval_seconds=5.0,
+                             boundary_decode_interval_seconds=0.1,
+                             boundary_boost_seconds=2.0,
+                             max_tokens_per_pass=4,
+                             finalize_completed_windows=True)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+    window = session.core.encoder.window_size  # mel frames per window
+    # enough samples to complete one window: frames*hop + fft
+    n = window * 160 + 400
+    events = session.feed_audio(_audio(9, n))
+    assert session.core.encoder.encoded_window_count >= 1
+    # finalize pass emitted a display update with confirmed text only
+    finals = [e for e in events if e.kind == EventKind.DISPLAY_UPDATE]
+    assert finals and finals[-1].text == ""
+    # boost cadence active: a pass within boundary interval but below the
+    # normal interval still runs
+    passes0 = session.core._passes
+    clock.advance(0.2)
+    session.feed_audio(_audio(3, 2000))
+    assert session.core._passes >= passes0 + 1
+
+
+def test_cohere_streaming_core(tmp_path):
+    from fixtures import make_cohere_fixture
+
+    from tpu_audio.models.stt.cohere import CohereTranscribe
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    d = make_cohere_fixture(tmp_path / "c")
+    model = CohereTranscribe.from_pretrained(str(d), dtype=jnp.float32)
+    clock = FakeClock()
+    config = StreamingConfig(delay_seconds=0.0, min_agreement_passes=1,
+                             decode_interval_seconds=0.5,
+                             max_tokens_per_pass=8)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+    sr = model.config.sample_rate
+    events = []
+    for _ in range(3):
+        events += session.feed_audio(_audio(11, sr))  # 1 s chunks
+        clock.advance(1.0)
+    events += session.stop()
+    kinds = [e.kind for e in events]
+    assert kinds[-1] == EventKind.ENDED
+    assert EventKind.STATS in kinds
+    # confirmed-token forcing: passes after the first reuse confirmed ids
+    assert isinstance(session.core.state.confirmed_ids, list)
+
+
+def test_cohere_confirmed_prefix_is_preserved(tmp_path):
+    """streaming_decode_token_ids teacher-forces the confirmed prefix: the
+    returned ids must start with it."""
+    from fixtures import make_cohere_fixture
+
+    from tpu_audio.models.stt.cohere import CohereTranscribe
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    d = make_cohere_fixture(tmp_path / "c")
+    model = CohereTranscribe.from_pretrained(str(d), dtype=jnp.float32)
+    sr = model.config.sample_rate
+    audio = _audio(13, sr)
+    cfg = StreamingConfig(max_tokens_per_pass=8)
+    ids, _ = model.streaming_decode_token_ids(audio, cfg, [])
+    if len(ids) >= 2:
+        prefix = ids[:2]
+        ids2, _ = model.streaming_decode_token_ids(audio, cfg, prefix)
+        assert ids2[:2] == prefix
+
+
+def test_moss_streaming_core(tmp_path):
+    from fixtures import make_moss_diarize_fixture
+
+    from tpu_audio.models.stt.moss_diarize import MossTranscribeDiarize
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    d = make_moss_diarize_fixture(tmp_path / "m")
+    model = MossTranscribeDiarize.from_pretrained(str(d), dtype=jnp.float32)
+    clock = FakeClock()
+    config = StreamingConfig(decode_interval_seconds=1.0, max_decode_windows=1)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+    sr = model.sample_rate
+    events = []
+    for _ in range(3):
+        events += session.feed_audio(_audio(17, int(sr * 1.5)))
+        clock.advance(1.5)
+    events += session.stop()
+    assert events[-1].kind == EventKind.ENDED
+    # at least one partial or final window pass ran
+    assert session.core._passes >= 1
+
+
+def test_session_rejects_unsupported_model():
+    with pytest.raises(TypeError, match="requires"):
+        StreamingInferenceSession(object())
+
+
+def test_async_stream_api(model):
+    import asyncio
+
+    from tpu_audio.models.stt.streaming import StreamingConfig
+
+    clock = FakeClock()
+    config = StreamingConfig(delay_seconds=0.0, min_agreement_passes=1,
+                             max_tokens_per_pass=4,
+                             finalize_completed_windows=False)
+    session = StreamingInferenceSession(model, config=config, clock=clock)
+
+    async def run():
+        chunks = [_audio(5, 4000) for _ in range(2)]
+        out = []
+        async for ev in session.stream(iter(chunks)):
+            out.append(ev)
+            clock.advance(1.5)
+        return out
+
+    events = asyncio.run(run())
+    assert events and events[-1].kind == EventKind.ENDED
+
+
+def test_append_text_dedupes_overlap():
+    from tpu_audio.models.stt.streaming import append_text
+
+    assert append_text("hello world", "world again") == "hello world again"
+    assert append_text("", "  hi ") == "hi"
+    assert append_text("the cat sat", "the cat sat") == "the cat sat"
+    # punctuation-insensitive word matching
+    assert append_text("It's done,", "it's done, next") == "It's done, next"
+
+
+def test_promote_tokens_delay_and_agreement():
+    from tpu_audio.models.stt.streaming import _promote_tokens, _SharedState
+
+    decode = lambda ids: " ".join(f"t{i}" for i in ids)  # noqa: E731
+    state = _SharedState()
+    events = []
+    # pass 1 at t=0: all tokens fresh, nothing promotes (agreement 1 < 2)
+    _promote_tokens(state, [1, 2, 3], 0.0, 0.5, 2, decode, events)
+    assert state.confirmed_ids == [] and state.provisional_ids == [1, 2, 3]
+    # pass 2 at t=0.6: same prefix -> agreement 2 and age 0.6 >= 0.5
+    _promote_tokens(state, [1, 2, 4], 0.6, 0.5, 2, decode, events)
+    assert state.confirmed_ids == [1, 2]
+    assert state.provisional_ids == [4]
+    # disagreement resets the tail's age
+    _promote_tokens(state, [1, 2, 5], 0.7, 0.5, 2, decode, events)
+    assert state.confirmed_ids == [1, 2] and state.provisional_ids == [5]
+    kinds = [e.kind for e in events]
+    assert EventKind.CONFIRMED in kinds and EventKind.DISPLAY_UPDATE in kinds
 
 
 def test_split_audio_into_chunks_energy_cuts():

@@ -80,8 +80,11 @@ def main(argv=None):
             total_time=aligned.total_time,
             generation_time=aligned.total_time,
         )
-    elif args.stream and hasattr(model, "encode_single_window"):
-        # live session with provisional/confirmed promotion
+    elif args.stream and (hasattr(model, "encode_single_window")
+                          or hasattr(model, "streaming_decode_token_ids")
+                          or hasattr(model, "streaming_transcribe_window")):
+        # live session (Qwen3ASR/Cohere/Moss cores) with provisional/
+        # confirmed promotion, boundary-boost cadence, window finalization
         from tpu_audio.core.generation import STTOutput
         from tpu_audio.models.stt.streaming import (
             EventKind,
@@ -89,22 +92,28 @@ def main(argv=None):
         )
 
         session = StreamingInferenceSession(model, language=args.language)
-        chunk = 16000  # 1 s cadence
+        sr = getattr(getattr(model, "config", None), "sample_rate", None) \
+            or getattr(model, "sample_rate", 16000)
+        chunk = int(sr)  # 1 s cadence
         confirmed = ""
-        for s in range(0, len(audio), chunk):
-            session.feed_audio(audio[s : s + chunk])
-            for ev in session.decode_pass():
-                if ev.kind == EventKind.PROVISIONAL and args.verbose:
-                    print(f"[provisional] {ev.text}", file=sys.stderr)
-                elif ev.kind == EventKind.CONFIRMED:
-                    print(ev.text, flush=True)
-                    confirmed = ev.text
         stats = {}
-        for ev in session.stop():
-            if ev.kind == EventKind.CONFIRMED:
-                confirmed = ev.text
-            elif ev.kind == EventKind.STATS:
-                stats = ev.stats
+
+        def consume(events):
+            nonlocal confirmed, stats
+            for ev in events:
+                if ev.kind == EventKind.DISPLAY_UPDATE and args.verbose:
+                    print(f"[display] {ev.confirmed_text} | {ev.text}",
+                          file=sys.stderr)
+                elif ev.kind in (EventKind.CONFIRMED, EventKind.ENDED):
+                    if ev.confirmed_text:
+                        print(ev.confirmed_text, flush=True)
+                        confirmed = ev.confirmed_text
+                elif ev.kind == EventKind.STATS:
+                    stats = ev.stats
+
+        for s in range(0, len(audio), chunk):
+            consume(session.feed_audio(audio[s : s + chunk]))
+        consume(session.stop())
         output = STTOutput(text=confirmed,
                            total_time=stats.get("wall_seconds", 0.0),
                            generation_time=stats.get("decode_time", 0.0))

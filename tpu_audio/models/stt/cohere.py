@@ -487,16 +487,27 @@ class CohereTranscribe:
         return logits[:, -1], cache, cross_k, cross_v
 
     def _decode_fn(self, params, first_logits, cache, cross_k, cross_v,
-                   enc_mask, max_tokens: int):
-        """Greedy while_loop decode. Returns (tokens [max], count)."""
+                   enc_mask, max_tokens: int, forced_buf=None,
+                   forced_len=None):
+        """Greedy while_loop decode. Returns (tokens [max], count).
+        ``forced_buf[:forced_len]`` teacher-forces the first steps — the
+        streaming session replays confirmed tokens so new decodes extend
+        them (streamingDecodeTokenIds confirmed prefix)."""
         eos = jnp.int32(self.tokenizer.eos_id if self.tokenizer else 0)
 
         def cond(state):
             i, tok, _cache, _buf = state
-            return (i < max_tokens) & (tok != eos)
+            live = tok != eos
+            if forced_buf is not None:
+                live = live | (i < forced_len)
+            return (i < max_tokens) & live
 
         def body(state):
             i, tok, cache, buf = state
+            if forced_buf is not None:
+                tok = jnp.where(
+                    i < forced_len,
+                    forced_buf[jnp.clip(i, 0, forced_buf.shape[0] - 1)], tok)
             buf = buf.at[i].set(tok)
             positions = jnp.full((1, 1), cache.offset)
             logits, cache = _decoder_pass(
@@ -593,6 +604,48 @@ class CohereTranscribe:
             language=params.language, prompt_token_count=n_prompt,
             generation_token_count=n_gen, total_time=elapsed,
             generation_time=elapsed)
+
+    # -- streaming session hooks (CohereStreamingInferenceSessionCore) -------
+
+    def streaming_decode_token_ids(self, audio, config,
+                                   confirmed_token_ids) -> tuple[list[int], float]:
+        """Decode a window's token ids with previously confirmed tokens
+        teacher-forced as a prefix (streamingDecodeTokenIds). Returns
+        (all token ids incl. the confirmed prefix, decode seconds)."""
+        t0 = time.perf_counter()
+        enc_out, enc_len = self._encode_audio(np.asarray(audio, np.float32))
+        prompt = self.tokenizer.build_prompt(
+            language=(getattr(config, "language", None) or "en"))
+        max_total = min(
+            getattr(config, "max_tokens_per_pass", 512),
+            self.config.decoder.max_sequence_length - len(prompt) - 1)
+        cache = kv_cache.init_cache(
+            self.config.decoder.num_layers, 1,
+            self.config.decoder.num_attention_heads,
+            self.config.decoder.hidden_size
+            // self.config.decoder.num_attention_heads,
+            len(prompt) + max_total + 1, self.dtype)
+        enc_mask = (jnp.arange(enc_out.shape[1])[None, None, None, :]
+                    < enc_len)
+        logits, cache, cross_k, cross_v = self._prefill(
+            self.params, jnp.asarray([prompt], jnp.int32), cache,
+            jnp.asarray(enc_out, self.dtype), enc_mask)
+        forced = np.zeros((max_total,), np.int32)
+        n_forced = min(len(confirmed_token_ids), max_total)
+        if n_forced:
+            forced[:n_forced] = confirmed_token_ids[:n_forced]
+        buf, count = self._decode(
+            self.params, logits, cache, cross_k, cross_v, enc_mask,
+            max_total, jnp.asarray(forced), jnp.int32(n_forced))
+        eos = self.tokenizer.eos_id
+        ids = [t for t in np.asarray(buf)[: int(count)].tolist() if t != eos]
+        return ids, time.perf_counter() - t0
+
+    def streaming_decode_text(self, tokens) -> str:
+        """Token ids -> display text (streamingDecodeText)."""
+        if not tokens:
+            return ""
+        return self.tokenizer.decode([int(t) for t in tokens]).strip()
 
     def generate_stream(self, audio, generation_parameters=None):
         """Chunk-level streaming (generateStream,

@@ -439,6 +439,20 @@ class MossTranscribeDiarize:
         text = self.tokenizer.decode(gen, skip_special_tokens=True).strip()
         return text, ids.shape[1], len(gen)
 
+    # -- streaming session hook (MossStreamingInferenceSessionCore) ----------
+
+    def streaming_transcribe_window(self, samples, offset_seconds: float = 0.0,
+                                    language: str | None = None,
+                                    max_tokens: int | None = None) -> str:
+        """Transcribe one streaming window; timestamps shifted by the window
+        offset (streamingTranscribeWindow). ``max_tokens`` caps partial
+        passes (the session budgets ~16 tok/s of audio)."""
+        gp = STTGenerateParameters(max_tokens=max_tokens or 2048,
+                                   language=language)
+        text, _, _ = self._generate_chunk(
+            np.asarray(samples, np.float32), gp, None)
+        return self._offset_tags(text, offset_seconds)
+
     def generate_stream(self, audio, generation_parameters=None, **kw):
         out = self.generate(audio, generation_parameters, **kw)
         if out.text:

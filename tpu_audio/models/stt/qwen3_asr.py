@@ -382,10 +382,23 @@ class Qwen3ASR:
         return self.decode_features(feats, params)
 
     def decode_features(self, feats: np.ndarray, params: STTGenerateParameters):
-        """Decode encoder features -> (text, language, n_prompt, n_gen).
-        Used by both offline chunks and the streaming session's decode passes."""
-        ids = np.asarray([self.build_prompt(feats.shape[0], language=params.language)],
-                         np.int32)
+        """Decode encoder features -> (text, language, n_prompt, n_gen)."""
+        gen, n_prompt = self.decode_features_tokens(feats, params)
+        decoded = self.tokenizer.decode(gen, skip_special_tokens=True)
+        lang, text = self._parse_output(decoded, params.language)
+        return text, lang, n_prompt, len(gen)
+
+    def decode_features_tokens(self, feats: np.ndarray,
+                               params: STTGenerateParameters,
+                               forced_tokens=None):
+        """Decode encoder features -> (token ids incl. the forced prefix,
+        n_prompt). ``forced_tokens`` teacher-forces previously confirmed
+        tokens so the pass extends them (the streaming session's confirmed
+        prefix, decodeAllTokenIds in StreamingInferenceSession.swift)."""
+        forced = [int(t) for t in (forced_tokens or [])]
+        ids = np.asarray([self.build_prompt(feats.shape[0],
+                                            language=params.language)
+                          + forced], np.int32)
         embeds = self._merge_audio_features(ids, feats)
         tcfg = self.config.text
         max_total = ids.shape[1] + params.max_tokens + 1
@@ -415,9 +428,7 @@ class Qwen3ASR:
             jax.random.PRNGKey(0), jnp.int32(eos_ids[0]), hist, jnp.int32(0))
         gen = np.asarray(tokens)[: int(count)].tolist()
         gen = [t for t in gen if t not in eos_ids]
-        decoded = self.tokenizer.decode(gen, skip_special_tokens=True)
-        lang, text = self._parse_output(decoded, params.language)
-        return text, lang, ids.shape[1], len(gen)
+        return forced + gen, ids.shape[1] - len(forced)
 
     @staticmethod
     def _parse_output(decoded: str, forced_language: str | None):
