@@ -1,0 +1,408 @@
+"""Golden parity vs torch/transformers reference implementations (CPU).
+
+The reference repo pins codec outputs to Python-reference golden vectors
+computed from real checkpoints (MLXAudioCodecsTests.swift:207-348) — those
+gate on downloaded weights. The offline equivalent here is stronger where
+possible: build a seeded tiny *torch* reference model (transformers), export
+its weights into our checkpoint format, and require our jitted graphs to
+reproduce the torch outputs — exact code indices for encoders, float
+tolerance for waveforms.
+
+Covered: Encodec (encoder codes exact + decoder waveform), Descript DAC,
+Mimi (SEANet + windowed transformer + split RVQ). Whisper/Wav2Vec2/T5/
+HuBERT/Moonshine have the same style of test in their own files.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fixtures import modulo_values  # noqa: E402,F401
+
+
+def _save(d, weights, config):
+    from safetensors.numpy import save_file
+
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "config.json").write_text(json.dumps(config))
+    # safetensors silently corrupts non-contiguous arrays
+    save_file({k: np.ascontiguousarray(v) for k, v in weights.items()},
+              str(d / "model.safetensors"))
+    return d
+
+
+def _strip_weight_norm(m):
+    import torch.nn.utils.parametrize as P
+
+    for mod in m.modules():
+        if hasattr(mod, "parametrizations") \
+                and "weight" in getattr(mod, "parametrizations", {}):
+            P.remove_parametrizations(mod, "weight")
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Encodec
+# ---------------------------------------------------------------------------
+
+
+def _tiny_encodec():
+    from transformers import EncodecConfig, EncodecModel
+
+    cfg = EncodecConfig(
+        audio_channels=1, num_filters=4, num_residual_layers=1,
+        upsampling_ratios=[8, 4, 2], codebook_size=1024, codebook_dim=8,
+        hidden_size=8, num_lstm_layers=1, kernel_size=3, last_kernel_size=3,
+        residual_kernel_size=3, sampling_rate=24000,
+        target_bandwidths=[7.5, 15.0], normalize=False, compress=2)
+    torch.manual_seed(0)
+    return cfg, _strip_weight_norm(EncodecModel(cfg).eval())
+
+
+def _export_encodec(m, cfg, d):
+    """torch state dict -> mlx-community-layout checkpoint our loader eats."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    # decoder flat indices holding transposed convs: [conv, lstm,
+    # (elu, convt, resnet) per ratio, ...] -> 3, 6, 9 for three ratios
+    convt = {f"decoder.layers.{3 + 3 * i}"
+             for i in range(len(cfg.upsampling_ratios))}
+    out = {}
+    for k, v in sd.items():
+        if k.endswith("codebook.embed"):
+            out[k] = v
+            continue
+        if any(s in k for s in ("inited", "cluster_size", "embed_avg")):
+            continue
+        if k.endswith(".lstm.weight_ih_l0"):
+            out[k.replace(".lstm.weight_ih_l0", ".lstm.0.Wx")] = v
+            continue
+        if k.endswith(".lstm.weight_hh_l0"):
+            out[k.replace(".lstm.weight_hh_l0", ".lstm.0.Wh")] = v
+            continue
+        if k.endswith(".lstm.bias_ih_l0"):
+            # MLX single-bias LSTM: fold both torch biases
+            out[k.replace(".lstm.bias_ih_l0", ".lstm.0.bias")] = \
+                v + sd[k.replace("bias_ih", "bias_hh")]
+            continue
+        if k.endswith(".lstm.bias_hh_l0"):
+            continue
+        if k.endswith(".conv.weight") and v.ndim == 3:
+            base = ".".join(k.split(".")[:3])
+            # conv torch [O,I,K] -> MLX [O,K,I]; convt torch [I,O,K] -> [O,K,I]
+            out[k] = (np.transpose(v, (1, 2, 0)) if base in convt
+                      else np.transpose(v, (0, 2, 1)))
+            continue
+        out[k] = v
+    cfg_d = {"model_type": "encodec", **{k: getattr(cfg, k) for k in [
+        "audio_channels", "num_filters", "num_residual_layers",
+        "upsampling_ratios", "codebook_size", "codebook_dim", "hidden_size",
+        "num_lstm_layers", "kernel_size", "last_kernel_size",
+        "residual_kernel_size", "sampling_rate", "target_bandwidths",
+        "normalize", "compress", "dilation_growth_rate", "use_causal_conv",
+        "pad_mode", "norm_type", "trim_right_ratio", "use_conv_shortcut"]}}
+    return _save(d, out, cfg_d)
+
+
+def test_encodec_torch_parity(tmp_path):
+    from tpu_audio.codecs.encodec import Encodec
+
+    cfg, m = _tiny_encodec()
+    ours = Encodec.from_pretrained(str(_export_encodec(m, cfg, tmp_path / "e")))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(640) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        t_codes = m.encode(torch.from_numpy(audio)[None, None],
+                           bandwidth=15.0).audio_codes
+        t_wav = m.decode(t_codes, [None]).audio_values.numpy().reshape(-1)
+    codes, scales = ours.encode(audio, bandwidth=15.0)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(t_codes))
+    wav = np.asarray(ours.decode(codes, scales)).reshape(-1)
+    n = min(len(t_wav), len(wav))
+    np.testing.assert_allclose(wav[:n], t_wav[:n], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Descript DAC (transformers DacModel)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_dac():
+    from transformers import DacConfig, DacModel
+
+    cfg = DacConfig(
+        encoder_hidden_size=8, downsampling_ratios=[2, 4],
+        decoder_hidden_size=8, upsampling_ratios=[4, 2], n_codebooks=2,
+        codebook_size=32, codebook_dim=4, sampling_rate=16000, hidden_size=8)
+    torch.manual_seed(0)
+    return cfg, DacModel(cfg).eval()
+
+
+def _export_dac(m, cfg, d):
+    """transformers named modules -> descript Sequential-index layout."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    n_enc = len(cfg.downsampling_ratios)
+    n_dec = len(cfg.upsampling_ratios)
+    out = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if k.startswith("encoder.conv1."):
+            nk = k.replace("encoder.conv1.", "encoder.block.0.")
+        elif k.startswith("encoder.snake1."):
+            nk = f"encoder.block.{n_enc + 1}.{parts[-1]}"
+        elif k.startswith("encoder.conv2."):
+            nk = k.replace("encoder.conv2.", f"encoder.block.{n_enc + 2}.")
+        elif k.startswith("encoder.block."):
+            b = int(parts[2]) + 1
+            rest = parts[3]
+            tail = ".".join(parts[4:])
+            if rest.startswith("res_unit"):
+                u = int(rest[len("res_unit"):]) - 1
+                inner = {"snake1.alpha": "block.0.alpha",
+                         "conv1.weight": "block.1.weight",
+                         "conv1.bias": "block.1.bias",
+                         "snake2.alpha": "block.2.alpha",
+                         "conv2.weight": "block.3.weight",
+                         "conv2.bias": "block.3.bias"}[
+                    f"{parts[4]}.{parts[5]}"]
+                nk = f"encoder.block.{b}.block.{u}.{inner}"
+            elif rest == "snake1":
+                nk = f"encoder.block.{b}.block.3.{tail}"
+            else:  # conv1
+                nk = f"encoder.block.{b}.block.4.{tail}"
+        elif k.startswith("decoder.conv1."):
+            nk = k.replace("decoder.conv1.", "decoder.model.0.")
+        elif k.startswith("decoder.snake1."):
+            nk = f"decoder.model.{n_dec + 1}.{parts[-1]}"
+        elif k.startswith("decoder.conv2."):
+            nk = k.replace("decoder.conv2.", f"decoder.model.{n_dec + 2}.")
+        elif k.startswith("decoder.block."):
+            b = int(parts[2]) + 1
+            rest = parts[3]
+            tail = ".".join(parts[4:])
+            if rest.startswith("res_unit"):
+                u = int(rest[len("res_unit"):]) + 1
+                inner = {"snake1.alpha": "block.0.alpha",
+                         "conv1.weight": "block.1.weight",
+                         "conv1.bias": "block.1.bias",
+                         "snake2.alpha": "block.2.alpha",
+                         "conv2.weight": "block.3.weight",
+                         "conv2.bias": "block.3.bias"}[
+                    f"{parts[4]}.{parts[5]}"]
+                nk = f"decoder.model.{b}.block.{u}.{inner}"
+            elif rest == "snake1":
+                nk = f"decoder.model.{b}.block.0.{tail}"
+            else:  # conv_t1
+                nk = f"decoder.model.{b}.block.1.{tail}"
+        elif k.startswith("quantizer.quantizers."):
+            nk = k
+        else:
+            nk = k
+        out[nk] = v
+    cfg_d = {"model_type": "dac",
+             "encoder_dim": cfg.encoder_hidden_size,
+             "encoder_rates": list(cfg.downsampling_ratios),
+             "decoder_dim": cfg.decoder_hidden_size,
+             "decoder_rates": list(cfg.upsampling_ratios),
+             "n_codebooks": cfg.n_codebooks,
+             "codebook_size": cfg.codebook_size,
+             "codebook_dim": cfg.codebook_dim,
+             "sample_rate": cfg.sampling_rate,
+             "latent_dim": cfg.hidden_size}
+    return _save(d, out, cfg_d)
+
+
+def test_dac_torch_parity(tmp_path):
+    from tpu_audio.codecs.dac import DescriptDAC
+
+    cfg, m = _tiny_dac()
+    ours = DescriptDAC.from_pretrained(str(_export_dac(m, cfg, tmp_path / "d")))
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(256) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        enc = m.encode(torch.from_numpy(audio)[None, None])
+        t_codes = enc.audio_codes
+        t_wav = m.decode(enc.quantized_representation).audio_values
+        t_wav = t_wav.numpy().reshape(-1)
+    codes = np.asarray(ours.encode(audio))
+    np.testing.assert_array_equal(codes, np.asarray(t_codes))
+    wav = np.asarray(ours.decode(codes)).reshape(-1)
+    n = min(len(t_wav), len(wav))
+    np.testing.assert_allclose(wav[:n], t_wav[:n], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mimi (transformers MimiModel)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mimi():
+    from transformers import MimiConfig, MimiModel
+
+    cfg = MimiConfig(
+        audio_channels=1, num_filters=4, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, head_dim=8, num_key_value_heads=2,
+        intermediate_size=32, upsampling_ratios=[4, 2], codebook_size=32,
+        codebook_dim=4, num_quantizers=4, num_semantic_quantizers=1,
+        sampling_rate=16000, frame_rate=1000.0,
+        vector_quantization_hidden_dimension=4, sliding_window=250,
+        upsample_groups=16)
+    torch.manual_seed(0)
+    return cfg, MimiModel(cfg).eval()
+
+
+def _unpermute_rope(w, n_heads, head_dim):
+    """HF checkpoints store q/k projections permuted for half-rotation rope;
+    our transformer uses the original interleaved layout — invert the
+    conversion permutation."""
+    w = w.reshape(n_heads, 2, head_dim // 2, -1)
+    return np.ascontiguousarray(w.transpose(0, 2, 1, 3).reshape(
+        n_heads * head_dim, -1))
+
+
+def _export_mimi(m, cfg, d, unpermute=True):
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    n_ratios = len(cfg.upsampling_ratios)
+    out = {}
+    qkv = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if "codebook.initialized" in k:
+            continue
+        if k.startswith("encoder.layers.") or k.startswith("decoder.layers."):
+            stem = parts[0]
+            n = int(parts[2])
+            tail = ".".join(parts[3:])
+            # tail is e.g. "conv.weight"; the final tree nests one more
+            # module level (s_conv1d reads p["conv"]["conv"])
+            if stem == "encoder":
+                # [init, (res, elu?, down)...] flat: 0 init; res at 1,4,...;
+                # down at 3,6,...; final at 2+3*n_ratios
+                if n == 0:
+                    nk = f"encoder.init_conv1d.{tail}"
+                elif n == 2 + 3 * n_ratios:
+                    nk = f"encoder.final_conv1d.{tail}"
+                elif (n - 1) % 3 == 0 and ".block." in k:
+                    li = (n - 1) // 3
+                    bi = {1: 0, 3: 1}[int(parts[4])]
+                    nk = (f"encoder.layers.{li}.residuals.0.block.{bi}"
+                          f".{'.'.join(parts[5:])}")
+                else:
+                    li = (n - 3) // 3
+                    nk = f"encoder.layers.{li}.downsample.{tail}"
+            else:
+                # decoder flat: 0 init; convt at 2,5,...; res at 3,6,...;
+                if n == 0:
+                    nk = f"decoder.init_conv1d.{tail}"
+                elif n == 2 + 3 * n_ratios:
+                    nk = f"decoder.final_conv1d.{tail}"
+                elif (n - 2) % 3 == 0 and ".block." not in k:
+                    li = (n - 2) // 3
+                    nk = (f"decoder.layers.{li}.upsample."
+                          + tail.replace("conv.", "convtr."))
+                else:
+                    li = (n - 3) // 3
+                    bi = {1: 0, 3: 1}[int(parts[4])]
+                    nk = (f"decoder.layers.{li}.residuals.0.block.{bi}"
+                          f".{'.'.join(parts[5:])}")
+            out[nk.replace(".conv.weight", ".conv.conv.weight")
+                  .replace(".conv.bias", ".conv.conv.bias")
+                  .replace(".convtr.weight", ".convtr.convtr.weight")
+                  .replace(".convtr.bias", ".convtr.convtr.bias")] = v
+            continue
+        if "_transformer.layers." in k:
+            stem = "encoder_transformer" if k.startswith("encoder") \
+                else "decoder_transformer"
+            li = parts[2]
+            suffix = ".".join(parts[3:])
+            base = f"{stem}.transformer.layers.{li}"
+            if suffix.startswith("self_attn.q_proj"):
+                qkv.setdefault((stem, li), {})["q"] = \
+                    _unpermute_rope(v, nh, hd) if unpermute else v
+            elif suffix.startswith("self_attn.k_proj"):
+                qkv.setdefault((stem, li), {})["k"] = \
+                    _unpermute_rope(v, nh, hd) if unpermute else v
+            elif suffix.startswith("self_attn.v_proj"):
+                qkv.setdefault((stem, li), {})["v"] = v
+            elif suffix.startswith("self_attn.o_proj"):
+                out[f"{base}.self_attn.out_proj.weight"] = v
+            elif suffix.startswith("mlp.fc1"):
+                out[f"{base}.gating.linear1.weight"] = v
+            elif suffix.startswith("mlp.fc2"):
+                out[f"{base}.gating.linear2.weight"] = v
+            elif suffix.startswith("input_layernorm"):
+                out[f"{base}.norm1.{parts[-1]}"] = v
+            elif suffix.startswith("post_attention_layernorm"):
+                out[f"{base}.norm2.{parts[-1]}"] = v
+            elif suffix == "self_attn_layer_scale.scale":
+                out[f"{base}.layer_scale_1.scale"] = v
+            elif suffix == "mlp_layer_scale.scale":
+                out[f"{base}.layer_scale_2.scale"] = v
+            continue
+        if k.startswith("downsample.conv."):
+            out["downsample.conv.conv." + parts[-1]] = v
+            continue
+        if k.startswith("upsample.conv."):
+            out["upsample.convtr.convtr." + parts[-1]] = v
+            continue
+        if k.startswith("quantizer."):
+            part = ("rvq_first" if "semantic" in parts[1] else "rvq_rest")
+            rest = ".".join(parts[2:])
+            rest = rest.replace("embed_sum", "embedding_sum")
+            if rest.startswith("layers."):
+                out[f"quantizer.{part}.vq.{rest}"] = v
+            else:
+                out[f"quantizer.{part}.{rest}"] = v
+            continue
+        out[k] = v
+    for (stem, li), d3 in qkv.items():
+        out[f"{stem}.transformer.layers.{li}.self_attn.in_proj.weight"] = \
+            np.concatenate([d3["q"], d3["k"], d3["v"]], axis=0)
+    cfg_d = {
+        "model_type": "mimi",
+        "sampling_rate": cfg.sampling_rate, "frame_rate": cfg.frame_rate,
+        "num_quantizers": cfg.num_quantizers,
+        "quantizer_dim": cfg.codebook_dim, "quantizer_bins": cfg.codebook_size,
+        "seanet": {"dimension": cfg.hidden_size, "channels": 1,
+                   "nfilters": cfg.num_filters, "nresidual_layers": 1,
+                   "ratios": list(cfg.upsampling_ratios), "ksize": 7,
+                   "residual_ksize": 3, "last_ksize": 3, "dilation_base": 2,
+                   "compress": 2},
+        "transformer": {"d_model": cfg.hidden_size,
+                        "num_heads": cfg.num_attention_heads,
+                        "num_layers": cfg.num_hidden_layers,
+                        "layer_scale": 0.01, "context": cfg.sliding_window,
+                        "max_period": 10000.0,
+                        "dim_feedforward": cfg.intermediate_size},
+    }
+    return _save(d, out, cfg_d)
+
+
+def test_mimi_torch_parity(tmp_path):
+    from tpu_audio.codecs.mimi import Mimi, MimiConfig as OurMimiConfig
+
+    cfg, m = _tiny_mimi()
+    d = _export_mimi(m, cfg, tmp_path / "m")
+    # bypass the mlx-layout sanitize: the export writes final tree names
+    from tpu_audio.core import hub, loading
+
+    our_cfg = OurMimiConfig.from_dict(json.loads((d / "config.json").read_text()))
+    params = loading.load_params(d, dtype=jnp.float32)
+    ours = Mimi(our_cfg, params, jnp.float32)
+
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(320) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        t_codes = m.encode(torch.from_numpy(audio)[None, None]).audio_codes
+        t_wav = m.decode(t_codes).audio_values.numpy().reshape(-1)
+    codes = np.asarray(ours.encode(audio))
+    np.testing.assert_array_equal(codes, np.asarray(t_codes))
+    wav = np.asarray(ours.decode(codes)).reshape(-1)
+    n = min(len(t_wav), len(wav))
+    np.testing.assert_allclose(wav[:n], t_wav[:n], atol=2e-5)

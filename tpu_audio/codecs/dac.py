@@ -100,9 +100,13 @@ def decoder_forward(params, z, cfg: DescriptDACConfig):
     for i, stride in enumerate(cfg.decoder_rates):
         bp = p[str(i + 1)]["block"]
         h = nn.snake(h, bp["0"]["alpha"])
+        # original descript semantics: output_padding = stride % 2 (the Swift
+        # port's hardcoded outputPadding 1 is wrong for even strides;
+        # descriptinc/dac DecoderBlock + transformers DacModel agree on %2,
+        # pinned by test_golden_parity.test_dac_torch_parity)
         h = nn.conv_transpose1d(bp["1"], h, stride=stride,
                                 padding=math.ceil(stride / 2),
-                                output_padding=1)
+                                output_padding=stride % 2)
         for j, dil in enumerate((1, 3, 9)):
             h = _residual_unit(bp[str(j + 2)]["block"], h, dil)
     last = len(cfg.decoder_rates) + 1
