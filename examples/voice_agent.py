@@ -67,7 +67,29 @@ def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
     turns = []
     pending = None  # buffered incomplete utterance
     pending_since = 0.0
+    # (transcript, reply, wav, play_start_s) — kept mutable for barge-in
+    scheduled: list[list] = []
+    tts_sr = tts_model.sample_rate
     for seg_audio, offset in segments:
+        # barge-in (SimpleChat: VAD .started cancels the in-flight reply and
+        # the UI stops playback, ConversationController.swift:345-351 +
+        # stopSpeaking :283): a new user segment starting while the previous
+        # reply would still be playing truncates that reply at the
+        # interruption point
+        if scheduled:
+            prev = scheduled[-1]
+            user_start = offset / 16000
+            prev_end = prev[3] + len(prev[2]) / tts_sr
+            if user_start < prev_end:
+                keep = int(max(0.0, user_start - prev[3]) * tts_sr)
+                if verbose:
+                    cut = len(prev[2]) - keep
+                    print(f"[agent] barge-in at {user_start:.2f}s: cut "
+                          f"{cut / tts_sr:.2f}s of reply audio",
+                          file=sys.stderr)
+                prev[2] = prev[2][:keep]
+                # interruption also cancels the pending reprompt state
+                pending = None
         if pending is not None:
             seg_audio = np.concatenate([pending, seg_audio])
         if smart_turn is not None:
@@ -93,8 +115,13 @@ def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
             dt = time.perf_counter() - t0
             print(f"[agent] {offset / 16000:.2f}s: {transcript!r} -> "
                   f"{reply!r} ({dt:.2f}s)", file=sys.stderr)
-        # stream the reply to the player in ~0.5 s chunks with crossfade
-        step = max(1, tts_model.sample_rate // 2)
+        # reply playback starts when the user's segment ends
+        play_start = (offset + len(seg_audio)) / 16000
+        scheduled.append([transcript, reply, wav, play_start])
+    # stream the (possibly barge-in-truncated) replies through the player in
+    # ~0.5 s chunks with crossfade
+    step = max(1, tts_sr // 2)
+    for transcript, reply, wav, _start in scheduled:
         for j in range(0, len(wav), step):
             player.schedule_audio_chunk(wav[j:j + step])
         turns.append((transcript, reply, wav))

@@ -5145,3 +5145,58 @@ def make_omnivoice_fixture(path: Path) -> Path:
     make_higgs_audio_fixture(path / "audio_tokenizer")
     save_file(w, str(path / "model.safetensors"))
     return path
+
+
+def make_bart_g2p_files(path: Path, prefix: str = "us") -> Path:
+    """Tiny Misaki BART fallback files (``{us}_bart.safetensors`` +
+    ``{us}_bart_config.json``) in the HF BART key layout the reference
+    consumes (BARTModel.swift:17-66)."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    D, H, FF, V, L = 16, 2, 32, 40, 1
+    graphemes = ";:,.!?¡¿—…\"«»“” abcdefghijklmnop"  # len 32 < V
+    phonemes = ";:,.!?¡¿—…\"«»“” ɑɐɒæβɔbcdefhijkl"
+    cfg = {
+        "d_model": D, "encoder_layers": L, "decoder_layers": L,
+        "encoder_attention_heads": H, "decoder_attention_heads": H,
+        "encoder_ffn_dim": FF, "decoder_ffn_dim": FF, "vocab_size": V,
+        "max_position_embeddings": 64, "bos_token_id": 0,
+        "eos_token_id": 2, "pad_token_id": 1,
+        "grapheme_chars": graphemes, "phoneme_chars": phonemes,
+    }
+    (path / f"{prefix}_bart_config.json").write_text(json.dumps(cfg))
+    w = {}
+    c = [0]
+
+    def lin(name, o, i):
+        c[0] += 1
+        w[f"{name}.weight"] = modulo_values((o, i), 11 + c[0] % 7, 0.2)
+        w[f"{name}.bias"] = modulo_values((o,), 5, 0.01)
+
+    def ln(name, d):
+        w[f"{name}.weight"] = np.ones((d,), np.float32)
+        w[f"{name}.bias"] = np.zeros((d,), np.float32)
+
+    w["model.shared.weight"] = modulo_values((V, D), 13, 0.3)
+    w["model.encoder.embed_positions.weight"] = modulo_values((66, D), 17, 0.1)
+    w["model.decoder.embed_positions.weight"] = modulo_values((66, D), 19, 0.1)
+    ln("model.encoder.layernorm_embedding", D)
+    ln("model.decoder.layernorm_embedding", D)
+    for stem, n, cross in (("encoder", L, False), ("decoder", L, True)):
+        for i in range(n):
+            base = f"model.{stem}.layers.{i}"
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                lin(f"{base}.self_attn.{proj}", D, D)
+            ln(f"{base}.self_attn_layer_norm", D)
+            if cross:
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    lin(f"{base}.encoder_attn.{proj}", D, D)
+                ln(f"{base}.encoder_attn_layer_norm", D)
+            lin(f"{base}.fc1", FF, D)
+            lin(f"{base}.fc2", D, FF)
+            ln(f"{base}.final_layer_norm", D)
+    w["final_logits_bias"] = np.zeros((1, V), np.float32)
+    save_file(w, str(path / f"{prefix}_bart.safetensors"))
+    return path

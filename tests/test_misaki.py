@@ -2,6 +2,8 @@
 
 import json
 
+import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from tpu_audio.models.g2p.misaki import (
@@ -114,3 +116,120 @@ def test_capitalization_stress(g2p):
 def test_oov_passthrough(g2p):
     out = g2p.phonemize("zzqx")
     assert "zzqx" in out
+
+
+# -- BART fallback network (G2P/FallbackNetwork, VERDICT r1 item 10) ---------
+
+
+def test_bart_fallback_loads_and_converts(tmp_path):
+    from fixtures import make_bart_g2p_files
+
+    from tpu_audio.models.g2p.bart_fallback import BartFallbackNetwork
+
+    d = make_bart_g2p_files(tmp_path)
+    net = BartFallbackNetwork.from_pretrained(d)
+    assert net is not None
+    ph, rating = net("hello")
+    assert rating == 1 and isinstance(ph, str)
+    # deterministic greedy decode
+    assert net("hello")[0] == ph
+    # special ids (<=3) never leak into the phoneme string
+    toks = net.graphemes_to_tokens("abc")
+    assert toks[0] == net.config.bos_token_id
+    assert toks[-1] == net.config.eos_token_id
+    assert net.tokens_to_phonemes([0, 1, 2, 3]) == ""
+
+
+def test_bart_fallback_absent_returns_none(tmp_path):
+    from tpu_audio.models.g2p.bart_fallback import BartFallbackNetwork
+
+    assert BartFallbackNetwork.from_pretrained(tmp_path) is None
+
+
+def test_bart_fallback_british_falls_back_to_us(tmp_path):
+    from fixtures import make_bart_g2p_files
+
+    from tpu_audio.models.g2p.bart_fallback import BartFallbackNetwork
+
+    make_bart_g2p_files(tmp_path, prefix="us")
+    net = BartFallbackNetwork.from_pretrained(tmp_path, british=True)
+    assert net is not None  # gb files missing -> us fallback
+
+
+def test_misaki_uses_bart_fallback_for_oov(tmp_path):
+    import json as _json
+
+    from fixtures import make_bart_g2p_files
+
+    from tpu_audio.models.g2p.misaki import MisakiEnglishG2P
+
+    d = make_bart_g2p_files(tmp_path)
+    (d / "us_gold.json").write_text(_json.dumps({"hello": "həlˈoʊ"}))
+    g2p = MisakiEnglishG2P(model_dir=d)
+    assert g2p.fallback is not None
+    out = g2p.phonemize("hello")
+    assert "həlˈoʊ" in out
+    # an OOV word routes through the BART network (the r1 behavior passed
+    # raw text through without consulting any fallback)
+    calls = []
+    real_convert = g2p.fallback.convert
+
+    def spy(word, lang=None):
+        calls.append(word)
+        return real_convert(word, lang)
+
+    g2p.fallback.convert = spy
+    g2p.phonemize("blorp")
+    assert calls == ["blorp"]
+    # a lexicon hit does NOT consult the fallback
+    calls.clear()
+    g2p.phonemize("hello")
+    assert calls == []
+
+
+def test_bart_logits_match_transformers(tmp_path):
+    """Encoder+decoder forward parity vs transformers BartModel on the
+    fixture weights (golden reference for the fallback network)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BartConfig, BartForConditionalGeneration
+
+    from fixtures import make_bart_g2p_files
+
+    from tpu_audio.models.g2p import bart_fallback as B
+
+    d = make_bart_g2p_files(tmp_path)
+    net = B.BartFallbackNetwork.from_pretrained(d)
+    cfg = net.config
+    t_cfg = BartConfig(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers, decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.encoder_attention_heads,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        decoder_ffn_dim=cfg.decoder_ffn_dim,
+        max_position_embeddings=64, activation_function="gelu",
+        bos_token_id=0, eos_token_id=2, pad_token_id=1,
+        scale_embedding=False, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0)
+    tm = BartForConditionalGeneration(t_cfg).eval()
+    from safetensors.numpy import load_file
+
+    flat = load_file(str(d / "us_bart.safetensors"))
+    sd = {k: torch.from_numpy(v) for k, v in flat.items()}
+    sd["lm_head.weight"] = sd["model.shared.weight"]
+    sd["model.encoder.embed_tokens.weight"] = sd["model.shared.weight"]
+    sd["model.decoder.embed_tokens.weight"] = sd["model.shared.weight"]
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+
+    src = np.asarray([[0, 5, 6, 7, 2]], np.int64)
+    tgt = np.asarray([[0, 8, 9]], np.int64)
+    with torch.no_grad():
+        want = tm(input_ids=torch.from_numpy(src),
+                  decoder_input_ids=torch.from_numpy(tgt)).logits.numpy()
+    enc = B.encode(net.params, jnp.asarray(src, jnp.int32), cfg)
+    t = tgt.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    got = np.asarray(B.decode(net.params, jnp.asarray(tgt, jnp.int32), enc,
+                              cfg, self_mask=causal))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -133,3 +133,27 @@ def test_incomplete_utterance_buffering(models, tmp_path_factory,
     # the second endpoint call saw the merged (buffered + new) audio
     assert calls[1] > calls[0]
     assert len(turns) == 1
+
+
+def test_barge_in_truncates_previous_reply(models, monkeypatch):
+    """A user segment starting while the previous reply is still playing
+    cuts that reply at the interruption point (SimpleChat interruption,
+    ConversationController.swift:345-351 + stopSpeaking)."""
+    import voice_agent
+
+    vad, stt, tts = models
+    sr = 16000
+    # craft a long reply so playback spans past the next user segment
+    long_reply = np.zeros(tts.sample_rate * 100, np.float32)
+    monkeypatch.setattr(tts, "generate", lambda text, **kw: long_reply)
+    rng = np.random.default_rng(0)
+    audio = np.zeros(sr * 6, np.float32)
+    # two clearly separated speech bursts
+    audio[sr : sr * 2] = rng.standard_normal(sr) * 0.5
+    audio[sr * 4 : sr * 5] = rng.standard_normal(sr) * 0.5
+    turns = voice_agent.run_agent(audio, sr, vad, stt, tts, verbose=False)
+    if len(turns) >= 2:
+        # first reply truncated to the gap before the second user segment
+        assert len(turns[0][2]) < len(long_reply)
+        # second reply untouched
+        assert len(turns[-1][2]) == len(long_reply)

@@ -157,7 +157,7 @@ class MisakiEnglishG2P:
                  british: bool = False, fallback=None,
                  cap_stress: tuple = (0.5, 2.0)):
         self.british = british
-        self.fallback = fallback  # e.g. a ByT5G2P instance
+        self.fallback = fallback  # BartFallbackNetwork / ByT5G2P instance
         self.cap_stress = cap_stress
         self.golds: dict = {}
         self.silvers: dict = {}
@@ -170,6 +170,16 @@ class MisakiEnglishG2P:
                 self.golds = grow_dictionary(json.loads(gold.read_text()))
             if silver.exists():
                 self.silvers = grow_dictionary(json.loads(silver.read_text()))
+            if self.fallback is None:
+                # the kokoro-checkpoint BART OOV network
+                # (G2P/FallbackNetwork/BARTModel.swift); None when the
+                # checkpoint ships no {us,gb}_bart files
+                from tpu_audio.models.g2p.bart_fallback import (
+                    BartFallbackNetwork,
+                )
+
+                self.fallback = BartFallbackNetwork.from_pretrained(
+                    d, british=british)
 
     # -- lexicon --------------------------------------------------------------------
 
@@ -254,7 +264,9 @@ class MisakiEnglishG2P:
             if ps is None and self.fallback is not None:
                 ps = self.fallback.convert(
                     tok, "eng-gb" if self.british else "eng-us")
-            out.append(ps if ps is not None else tok)
+            # an empty fallback result is a miss: keep the raw token rather
+            # than silently dropping the word
+            out.append(ps if ps else tok)
         return " ".join(p for p in out if p)
 
     process = phonemize
