@@ -406,3 +406,71 @@ def test_mimi_torch_parity(tmp_path):
     wav = np.asarray(ours.decode(codes)).reshape(-1)
     n = min(len(t_wav), len(wav))
     np.testing.assert_allclose(wav[:n], t_wav[:n], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 trunk (IndexTTS / Chatterbox-T3 / MossTTSNano backbone)
+# ---------------------------------------------------------------------------
+
+
+def test_gpt2_trunk_torch_parity():
+    """Our shared GPT-2 core (indextts.gpt2_forward) vs transformers
+    GPT2Model hidden states on a seeded tiny model."""
+    from transformers import GPT2Config, GPT2Model
+
+    from tpu_audio.core import kv_cache, nn
+    from tpu_audio.models.tts.indextts import IndexTTSGPTConfig, gpt2_forward
+
+    cfg = GPT2Config(vocab_size=64, n_positions=32, n_embd=16, n_layer=2,
+                     n_head=2, resid_pdrop=0.0, embd_pdrop=0.0,
+                     attn_pdrop=0.0)
+    torch.manual_seed(0)
+    tm = GPT2Model(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    # torch GPT2 Conv1D stores [in, out]; our nn.linear wants [out, in]
+    params = {"h": {}, "ln_f": {"weight": sd["ln_f.weight"],
+                                "bias": sd["ln_f.bias"]}}
+    for i in range(cfg.n_layer):
+        b = f"h.{i}"
+        params["h"][str(i)] = {
+            "ln_1": {"weight": sd[f"{b}.ln_1.weight"],
+                     "bias": sd[f"{b}.ln_1.bias"]},
+            "ln_2": {"weight": sd[f"{b}.ln_2.weight"],
+                     "bias": sd[f"{b}.ln_2.bias"]},
+            "attn": {
+                "c_attn": {"weight": sd[f"{b}.attn.c_attn.weight"].T,
+                           "bias": sd[f"{b}.attn.c_attn.bias"]},
+                "c_proj": {"weight": sd[f"{b}.attn.c_proj.weight"].T,
+                           "bias": sd[f"{b}.attn.c_proj.bias"]},
+            },
+            "mlp": {
+                "c_fc": {"weight": sd[f"{b}.mlp.c_fc.weight"].T,
+                         "bias": sd[f"{b}.mlp.c_fc.bias"]},
+                "c_proj": {"weight": sd[f"{b}.mlp.c_proj.weight"].T,
+                           "bias": sd[f"{b}.mlp.c_proj.bias"]},
+            },
+        }
+    params = jax.tree.map(jnp.asarray, params)
+
+    tokens = np.asarray([[1, 5, 9, 13, 2]], np.int64)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(tokens)).last_hidden_state.numpy()
+
+    embeds = (nn.embedding({"weight": jnp.asarray(sd["wte.weight"])},
+                           jnp.asarray(tokens, jnp.int32))
+              + jnp.asarray(sd["wpe.weight"])[: tokens.shape[1]][None])
+    icfg = IndexTTSGPTConfig(layers=cfg.n_layer, heads=cfg.n_head)
+    cache = kv_cache.init_cache(cfg.n_layer, 1, cfg.n_head,
+                                cfg.n_embd // cfg.n_head, 16, jnp.float32)
+    got, cache = gpt2_forward(params, embeds, cache, icfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # KV-cached incremental decode matches the full forward
+    cache2 = kv_cache.init_cache(cfg.n_layer, 1, cfg.n_head,
+                                 cfg.n_embd // cfg.n_head, 16, jnp.float32)
+    outs = []
+    for t in range(tokens.shape[1]):
+        step, cache2 = gpt2_forward(params, embeds[:, t : t + 1], cache2, icfg)
+        outs.append(np.asarray(step))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), want, atol=2e-5)
