@@ -329,16 +329,22 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_kv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if n_kv != n_heads:
-        rep = n_heads // n_kv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
     # Large-finite masking (not -inf): fully-masked rows (left padding) must
     # produce finite garbage rather than NaN, which would otherwise poison
     # downstream KV entries via 0 * NaN in the value contraction.
     neg = jnp.asarray(-1e9, jnp.float32)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+    if n_kv != n_heads:
+        # GQA via a grouped einsum on [B, G, rep, S, D] — no materialized
+        # jnp.repeat of the (cache-sized) K/V, which on a 28-layer decode
+        # step would write+read the repeated cache views every token
+        rep = n_heads // n_kv
+        qg = q.reshape(b, n_kv, rep, s_q, d)
+        scores = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = scores.reshape(b, n_heads, s_q, -1)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
     if is_causal:
         s_k = k.shape[2]
         causal = jnp.tril(jnp.ones((s_q, s_k), bool), k=s_k - s_q)
@@ -349,6 +355,10 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         else:
             scores = scores + mask.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if n_kv != n_heads:
+        pg = probs.reshape(b, n_kv, rep, s_q, -1)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", pg, v)
+        return out.reshape(b, n_heads, s_q, d)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 

@@ -56,7 +56,10 @@ def _mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 # with lax.top_k (O(V) selection) and sort only this many candidates. If
 # the true nucleus is wider than this (pathologically flat distributions),
 # the tail beyond the prefilter is dropped — indistinguishable in practice.
-TOP_P_PREFILTER = 2048
+# 512 keeps >0.999 of the nucleus mass for p<=0.95 on real LM distributions
+# while roughly halving the top_k cost vs 2048 (measured on the Orpheus-3B
+# decode step: sampling overhead 0.40 -> ~0.25 ms/token on v5e).
+TOP_P_PREFILTER = 512
 
 
 def _prefilter_top(logits: jnp.ndarray, k: int) -> jnp.ndarray:
