@@ -88,8 +88,9 @@ def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
                           f"{cut / tts_sr:.2f}s of reply audio",
                           file=sys.stderr)
                 prev[2] = prev[2][:keep]
-                # interruption also cancels the pending reprompt state
-                pending = None
+        seg_end = (offset + len(seg_audio)) / 16000  # before the merge:
+        # a buffered incomplete utterance must not inflate this turn's
+        # playback-start time
         if pending is not None:
             seg_audio = np.concatenate([pending, seg_audio])
         if smart_turn is not None:
@@ -116,8 +117,7 @@ def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
             print(f"[agent] {offset / 16000:.2f}s: {transcript!r} -> "
                   f"{reply!r} ({dt:.2f}s)", file=sys.stderr)
         # reply playback starts when the user's segment ends
-        play_start = (offset + len(seg_audio)) / 16000
-        scheduled.append([transcript, reply, wav, play_start])
+        scheduled.append([transcript, reply, wav, seg_end])
     # stream the (possibly barge-in-truncated) replies through the player in
     # ~0.5 s chunks with crossfade
     step = max(1, tts_sr // 2)

@@ -99,25 +99,27 @@ def compute():
     codes = (np.arange(4 * 6).reshape(1, 4, 6) % 8).astype(np.int32)
     goldens["qwen3_codec_decode"] = entry(m.decode(codes))
 
-    # DeepFilterNet on the REAL noisy fixture (reference Tests/media pair,
-    # MLXAudioSTSTests.swift:311 precedent) — fixture weights, real audio
-    from tpu_audio.core.audio_io import load_audio
-    from tpu_audio.models.sts.deepfilternet import DeepFilterNet
+    # Real-audio fixtures (reference Tests/media pair,
+    # MLXAudioSTSTests.swift:311 precedent) — only where the reference
+    # checkout exists (skipped on CI runners without it)
+    media = Path("/root/reference/Tests/media")
+    if media.is_dir():
+        from tpu_audio.core.audio_io import load_audio
+        from tpu_audio.models.sts.deepfilternet import DeepFilterNet
 
-    noisy, _ = load_audio("/root/reference/Tests/media/noisy_audio.wav",
-                          sample_rate=48000)
-    m = DeepFilterNet.from_pretrained(
-        str(F.make_deepfilternet_fixture(tmp / "dfn")))
-    enhanced = np.asarray(m.enhance(noisy[: 48000]))
-    goldens["deepfilternet_enhance_noisy"] = entry(enhanced)
+        noisy, _ = load_audio(str(media / "noisy_audio.wav"),
+                              sample_rate=48000)
+        m = DeepFilterNet.from_pretrained(
+            str(F.make_deepfilternet_fixture(tmp / "dfn")))
+        enhanced = np.asarray(m.enhance(noisy[: 48000]))
+        goldens["deepfilternet_enhance_noisy"] = entry(enhanced)
 
-    # Whisper log-mel of real speech (conversational_a.wav)
-    from tpu_audio.core.dsp import log_mel_spectrogram
+        from tpu_audio.core.dsp import log_mel_spectrogram
 
-    speech, _ = load_audio("/root/reference/Tests/media/conversational_a.wav",
-                           sample_rate=16000)
-    mel = np.asarray(log_mel_spectrogram(speech[:16000], n_mels=80))
-    goldens["whisper_mel_conversational_a"] = entry(mel)
+        speech, _ = load_audio(str(media / "conversational_a.wav"),
+                               sample_rate=16000)
+        mel = np.asarray(log_mel_spectrogram(speech[:16000], n_mels=80))
+        goldens["whisper_mel_conversational_a"] = entry(mel)
 
     return goldens
 

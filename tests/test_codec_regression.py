@@ -56,6 +56,8 @@ def test_all_families_present(stored):
     "whisper_mel_conversational_a",
 ])
 def test_codec_golden(name, computed, stored):
+    if name not in computed:
+        pytest.skip("reference media checkout not available")
     got, want = computed[name], stored[name]
     assert got["shape"] == want["shape"], name
     np.testing.assert_allclose(got["first"], want["first"],

@@ -200,3 +200,36 @@ def test_llama_forward_quant_cache_bitwidths():
         tol = 0.06 if kwargs.get("kv_bits") == 4 else 0.02
         assert np.abs(got - ref).max() / denom < tol, kwargs
         np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_hybrid_prefill_longer_than_quant_tail():
+    """A multi-token prefill into the dense prefix must not trace the quant
+    branch (whose tail can be SHORTER than the prefill) — the code-review
+    failure case: quantized_kv_start small, long prompt, short max_tokens."""
+    from tpu_audio.models import llama
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, num_key_value_heads=4, intermediate_size=64,
+        max_position_embeddings=128)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    prefill_len = 20
+    max_new = 4
+    # split rounded up to the prefill (call-site contract): quant tail is
+    # only max_new + 1 positions — shorter than the prefill write
+    cache = llama.make_cache(cfg, 1, prefill_len + max_new + 1, jnp.float32,
+                             kv_bits=8, quantized_kv_start=prefill_len)
+    toks = jnp.asarray([list(range(1, prefill_len + 1))], jnp.int32)
+    logits, cache = jax.jit(
+        lambda p, t, c: llama.forward(p, t, c, cfg))(params, toks, cache)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+    # decode steps continue into the quant tail
+    last = toks[:, -1:]
+    for _ in range(3):
+        logits, cache = llama.forward(params, last, cache, cfg)
+        last = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    # an unsatisfiable prefill (longer than the dense prefix) raises clearly
+    bad = kv_cache.init_hybrid_cache(1, 1, 4, 8, 64, split=4)
+    with pytest.raises(ValueError, match="dense prefix"):
+        kv_cache.update_cache(bad, 0, jnp.zeros((1, 4, 10, 8)),
+                              jnp.zeros((1, 4, 10, 8)))

@@ -267,7 +267,8 @@ def test_tokenizer_autofetch_by_vocab_size(tmp_path, monkeypatch):
 
     from tpu_audio.core import hub
 
-    model_dir = make_whisper_fixture(tmp_path / "m")
+    # official multilingual vocab size -> the medium sibling repo
+    model_dir = make_whisper_fixture(tmp_path / "m", vocab=51865)
     assert not (model_dir / "tokenizer.json").exists()
 
     # sibling repo dir holding only tokenizer assets
@@ -293,8 +294,7 @@ def test_tokenizer_autofetch_by_vocab_size(tmp_path, monkeypatch):
 
     monkeypatch.setattr(hub, "resolve_or_download_model", fake_resolve)
     model = W.Whisper.from_pretrained(str(model_dir))
-    # fixture vocab 64 -> default large-v3 sibling
-    assert calls["repo"] == "openai/whisper-large-v3"
+    assert calls["repo"] == "openai/whisper-medium"  # vocab 51865 routing
     assert "tokenizer.json" in calls["patterns"]
     assert model.tokenizer is not None
     assert model.tokenizer.sot == vocab["<|startoftranscript|>"]
@@ -304,6 +304,9 @@ def test_tokenizer_autofetch_by_vocab_size(tmp_path, monkeypatch):
     assert W.TOKENIZER_REPO_BY_VOCAB[51866] == "openai/whisper-large-v3"
     assert W.TOKENIZER_REPO_BY_VOCAB[51865] == "openai/whisper-medium"
     assert W.TOKENIZER_REPO_BY_VOCAB[51864] == "openai/whisper-medium.en"
+    # custom vocab sizes never fetch a mismatched sibling tokenizer
+    with pytest.raises(RuntimeError, match="own tokenizer"):
+        W.fetch_tokenizer_dir(32000)
 
 
 def test_tokenizer_autofetch_failure_warns_not_raises(tmp_path, monkeypatch):

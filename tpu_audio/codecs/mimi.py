@@ -389,6 +389,21 @@ def quantizer_decode(p, codes, nq_semantic: int = 1):
     return out
 
 
+def encode_forward(params, x, cfg: "MimiConfig") -> "jnp.ndarray":
+    """Pure offline encode: waveform [B, T, 1] -> codes [B, n_q, frames].
+    Shared by :class:`Mimi` and the Qwen3 speech tokenizer encoder
+    (tpu_audio.codecs.qwen3_codec.Qwen3CodecEncoder) — the architectures
+    are identical."""
+    h = seanet_encode(params["encoder"], x, cfg.seanet)
+    h, _ = transformer_forward(params["encoder_transformer"], h,
+                               cfg.transformer)
+    stride = cfg.downsample_stride
+    if stride > 1:
+        h = s_conv1d(params["downsample"], h, 2 * stride, stride=stride,
+                     pad_mode="edge")
+    return quantizer_encode(params["quantizer"], h)
+
+
 # ---------------------------------------------------------------------------
 # Sanitize (Mimi.swift:337-416)
 # ---------------------------------------------------------------------------
@@ -467,15 +482,7 @@ class Mimi(AudioCodecModel):
         x = jnp.asarray(audio, self.dtype)
         if x.ndim == 1:
             x = x[None]
-        x = x[..., None]  # [B, T, 1]
-        p = self.params
-        h = seanet_encode(p["encoder"], x, self.config.seanet)
-        h, _ = transformer_forward(p["encoder_transformer"], h,
-                                   self.config.transformer)
-        stride = self.config.downsample_stride
-        h = s_conv1d(p["downsample"], h, 2 * stride, stride=stride,
-                     pad_mode="edge")
-        return quantizer_encode(p["quantizer"], h)
+        return encode_forward(self.params, x[..., None], self.config)
 
     def decode(self, codes) -> jnp.ndarray:
         """codes [B, n_q, frames] -> waveform [B, T] (Mimi.decode)."""

@@ -537,30 +537,14 @@ class Qwen3CodecEncoder:
 
     def __init__(self, mimi_config, params, valid_num_quantizers: int = 16,
                  dtype=jnp.float32):
-        from tpu_audio.codecs.mimi import (
-            quantizer_encode,
-            s_conv1d,
-            seanet_encode,
-            transformer_forward,
-        )
+        from tpu_audio.codecs.mimi import encode_forward
 
         self.config = mimi_config
         self.params = params
         self.valid_num_quantizers = valid_num_quantizers
         self.dtype = dtype
-        cfg = mimi_config
-
-        def encode(p, x):
-            h = seanet_encode(p["encoder"], x, cfg.seanet)
-            h, _ = transformer_forward(p["encoder_transformer"], h,
-                                       cfg.transformer)
-            stride = cfg.downsample_stride
-            if stride > 1:
-                h = s_conv1d(p["downsample"], h, 2 * stride, stride=stride,
-                             pad_mode="edge")
-            return quantizer_encode(p["quantizer"], h)
-
-        self._encode = jax.jit(encode)
+        self._encode = jax.jit(functools.partial(encode_forward,
+                                                 cfg=mimi_config))
 
     @property
     def sample_rate(self) -> int:

@@ -303,6 +303,8 @@ def make_layer_updater(cache):
               cache.v_q, cache.v_scale, cache.v_bias)
 
         def update(cache_l, offset, k_new, v_new, dtype):
+            t = k_new.shape[2]
+
             def write_dense(c):
                 k_c, v_c = c[0], c[1]
                 start = (0, 0, offset, 0)
@@ -312,13 +314,25 @@ def make_layer_updater(cache):
                     v_c, v_new.astype(v_c.dtype), start)
                 return (k, v) + c[2:]
 
-            def write_quant(c):
-                new = _write_quant_layer(c[2:], offset - split, k_new, v_new,
-                                         n_groups, bits)
-                return c[:2] + new
+            if t > 1:
+                # multi-token prefill: the hybrid contract routes it to the
+                # dense prefix (split is rounded up to the prefill length by
+                # callers); skipping lax.cond also avoids tracing a quant
+                # write whose T exceeds the quant-tail capacity
+                if t > split:
+                    raise ValueError(
+                        f"hybrid KV prefill of {t} tokens exceeds the dense "
+                        f"prefix ({split}); pass quantized_kv_start >= the "
+                        "prefill length")
+                new = write_dense(cache_l)
+            else:
+                def write_quant(c):
+                    new = _write_quant_layer(c[2:], offset - split, k_new,
+                                             v_new, n_groups, bits)
+                    return c[:2] + new
 
-            new = jax.lax.cond(offset < split, write_dense, write_quant,
-                               cache_l)
+                new = jax.lax.cond(offset < split, write_dense, write_quant,
+                                   cache_l)
             k = jnp.concatenate(
                 [new[0].astype(dtype),
                  _dequantize(new[2], new[3], new[4], dtype)], axis=2)
@@ -399,6 +413,7 @@ def update_cache(cache, layer: int, k_new: jnp.ndarray,
         return new, k, v
     if isinstance(cache, HybridKVCache):
         split = cache.split
+        t = k_new.shape[2]
 
         def write_dense(c):
             start = (layer, 0, 0, c.offset, 0)
@@ -411,8 +426,19 @@ def update_cache(cache, layer: int, k_new: jnp.ndarray,
         def write_quant(c):
             return c._replace(**_quant_writes(c, c.offset - split))
 
-        new = jax.lax.cond(cache.offset < split, write_dense, write_quant,
-                           cache)
+        if t > 1:
+            # multi-token prefill targets the dense prefix (see
+            # make_layer_updater) — do not trace the quant branch, whose
+            # tail may be smaller than the prefill
+            if t > split:
+                raise ValueError(
+                    f"hybrid KV prefill of {t} tokens exceeds the dense "
+                    f"prefix ({split}); pass quantized_kv_start >= the "
+                    "prefill length")
+            new = write_dense(cache)
+        else:
+            new = jax.lax.cond(cache.offset < split, write_dense,
+                               write_quant, cache)
         k = jnp.concatenate(
             [new.k[layer].astype(dtype),
              _dequantize(new.k_q[layer], new.k_scale[layer],

@@ -9,6 +9,7 @@ delta vs the reference's ``.item()``-per-token loop on TPU.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -54,12 +55,14 @@ def _mask_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 # Nucleus filtering only ever needs the head of the distribution; sorting
 # the full 100k+ vocab every decode step is pure waste on TPU. Prefilter
 # with lax.top_k (O(V) selection) and sort only this many candidates. If
-# the true nucleus is wider than this (pathologically flat distributions),
-# the tail beyond the prefilter is dropped — indistinguishable in practice.
-# 512 keeps >0.999 of the nucleus mass for p<=0.95 on real LM distributions
-# while roughly halving the top_k cost vs 2048 (measured on the Orpheus-3B
-# decode step: sampling overhead 0.40 -> ~0.25 ms/token on v5e).
-TOP_P_PREFILTER = 512
+# the true nucleus is wider than this (flat distributions, e.g. acoustic
+# code tokens at high temperature), the tail beyond the prefilter is
+# dropped. 512 keeps >0.999 of the nucleus mass for p<=0.95 on LM-shaped
+# distributions and roughly halves the top_k cost vs 2048 (measured on the
+# Orpheus-3B decode: sampling overhead 0.40 -> ~0.25 ms/token on v5e);
+# widen via TPU_AUDIO_TOP_P_PREFILTER when sampling very flat distributions
+# at top_p > 0.95.
+TOP_P_PREFILTER = int(os.environ.get("TPU_AUDIO_TOP_P_PREFILTER", "512"))
 
 
 def _prefilter_top(logits: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -66,10 +66,21 @@ TOKENIZER_ASSET_FILES = [
 
 def fetch_tokenizer_dir(vocab_size: int) -> Path:
     """Resolve (cache-first) the sibling openai repo holding tokenizer assets
-    for a tokenizer-less whisper checkpoint (WhisperModel.swift:566-639)."""
+    for a tokenizer-less whisper checkpoint (WhisperModel.swift:566-639).
+
+    Only official whisper vocab sizes resolve (the reference's default-case
+    large-v3 fallback is restricted to the >=51864 family): a custom-vocab
+    fine-tune must ship its own tokenizer — fetching large-v3 ids above the
+    model's vocab would silently clamp embeddings into garbage."""
     from tpu_audio.core import hub as _hub
 
-    repo = TOKENIZER_REPO_BY_VOCAB.get(vocab_size, "openai/whisper-large-v3")
+    repo = TOKENIZER_REPO_BY_VOCAB.get(vocab_size)
+    if repo is None:
+        if vocab_size < 51864:
+            raise RuntimeError(
+                f"no sibling tokenizer repo for vocab size {vocab_size}; "
+                "this checkpoint needs its own tokenizer.json")
+        repo = "openai/whisper-large-v3"
     return _hub.resolve_or_download_model(
         repo,
         required_files=("tokenizer.json",),

@@ -425,9 +425,13 @@ class Qwen3TTS:
         """(speaker_embedding | None, ref_codes [1, nq, T], codec_embed_icl)
         with a one-entry cache keyed on the audio buffer
         (referenceAudioContext, Qwen3TTS.swift:267-302)."""
+        import hashlib
+
         ref_audio = np.asarray(ref_audio, np.float32).reshape(-1)
-        key = (ref_audio.shape[0], float(ref_audio[:64].sum()),
-               float(ref_audio[-64:].sum()))
+        # content hash, not a sampled fingerprint: same-length clips that
+        # start/end in silence must not collide (a stale hit would clone
+        # the wrong voice)
+        key = hashlib.sha1(ref_audio.tobytes()).hexdigest()
         if self._ref_context_cache is not None \
                 and self._ref_context_cache[0] == key:
             return self._ref_context_cache[1]
