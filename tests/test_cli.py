@@ -87,3 +87,42 @@ def test_tts_cli_timestamps_and_raw_ipa(tmp_path, capsys):
     rc2 = tts.main(["h@loU", "--model", str(tts_dir),
                     "-o", str(tmp_path / "o2.wav"), "--raw-ipa"])
     assert rc2 == 0
+
+
+def test_sts_cli_enhance(tmp_path):
+    """sts CLI short-mode enhance through a DFN fixture
+    (mlx-audio-swift-sts App.swift surface)."""
+    from fixtures import make_deepfilternet_fixture
+
+    from tpu_audio.cli import sts as sts_cli
+    from tpu_audio.core.audio_io import load_audio, save_wav
+
+    d = make_deepfilternet_fixture(tmp_path / "dfn")
+    rng = np.random.default_rng(0)
+    wav_path = tmp_path / "noisy.wav"
+    save_wav(str(wav_path), (rng.standard_normal(48000) * 0.1
+                             ).astype(np.float32), 48000)
+    out = tmp_path / "enhanced.wav"
+    rc = sts_cli.main(["--model", str(d), str(wav_path), "-o", str(out)])
+    assert rc in (0, None)
+    y, sr = load_audio(str(out))
+    assert sr == 48000 and len(y) > 0 and np.isfinite(y).all()
+
+
+def test_sts_cli_stream_mode(tmp_path):
+    from fixtures import make_deepfilternet_fixture
+
+    from tpu_audio.cli import sts as sts_cli
+    from tpu_audio.core.audio_io import load_audio, save_wav
+
+    d = make_deepfilternet_fixture(tmp_path / "dfn")
+    rng = np.random.default_rng(1)
+    wav_path = tmp_path / "noisy.wav"
+    save_wav(str(wav_path), (rng.standard_normal(24000) * 0.1
+                             ).astype(np.float32), 48000)
+    out = tmp_path / "enhanced.wav"
+    rc = sts_cli.main(["--model", str(d), str(wav_path), "--mode", "stream",
+                       "-o", str(out)])
+    assert rc in (0, None)
+    y, _ = load_audio(str(out))
+    assert len(y) > 0
