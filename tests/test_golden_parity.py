@@ -474,3 +474,228 @@ def test_gpt2_trunk_torch_parity():
         step, cache2 = gpt2_forward(params, embeds[:, t : t + 1], cache2, icfg)
         outs.append(np.asarray(step))
     np.testing.assert_allclose(np.concatenate(outs, axis=1), want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# CSM (Marvis) — backbone frame embeds + codebook0 head + depth decoder
+# ---------------------------------------------------------------------------
+
+
+def _tiny_csm():
+    from transformers import CsmConfig, CsmForConditionalGeneration
+    from transformers.models.csm.configuration_csm import CsmDepthDecoderConfig
+
+    dd = CsmDepthDecoderConfig(
+        num_codebooks=4, vocab_size=35, backbone_hidden_size=32,
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=6,
+        rope_theta=500000.0)
+    cfg = CsmConfig(
+        text_vocab_size=50, vocab_size=35, num_codebooks=4, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, rope_theta=500000.0,
+        depth_decoder_config=dd.to_dict(),
+        codec_config={"model_type": "mimi"})
+    torch.manual_seed(3)
+    return cfg, CsmForConditionalGeneration(cfg).eval()
+
+
+def _export_csm(m, cfg, d):
+    """HF Csm state dict -> the tree MarvisTTS expects (csm.sanitize is a
+    no-op on these already-HF-style names)."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()
+          if "codec_model" not in k}
+    out = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            out["codebook0_head.weight"] = v
+        elif k == "embed_text_tokens.weight":
+            out["text_embeddings.weight"] = v
+        elif k == "backbone_model.embed_tokens.embed_audio_tokens.weight":
+            out["audio_embeddings.weight"] = v
+        elif k == "depth_decoder.model.inputs_embeds_projector.weight":
+            out["projection.weight"] = v
+        elif k == "depth_decoder.codebooks_head.weight":
+            out["audio_head"] = v
+        elif k == "depth_decoder.model.embed_tokens.weight":
+            continue  # tied to audio_embeddings
+        elif k.startswith("depth_decoder.model."):
+            out["decoder." + k[len("depth_decoder.model."):]] = v
+        elif k.startswith("backbone_model."):
+            out["backbone." + k[len("backbone_model."):]] = v
+        else:
+            raise AssertionError(f"unmapped key {k}")
+    dcfg = cfg.depth_decoder_config
+    sub = lambda c, hd: {  # noqa: E731
+        "hidden_size": c.hidden_size, "num_hidden_layers": c.num_hidden_layers,
+        "intermediate_size": c.intermediate_size,
+        "num_attention_heads": c.num_attention_heads,
+        "num_key_value_heads": c.num_key_value_heads,
+        "rope_theta": c.rope_theta, "rms_norm_eps": c.rms_norm_eps,
+        "head_dim": hd}
+    cfg_d = {
+        "model_type": "csm", "text_vocab_size": cfg.text_vocab_size,
+        "audio_vocab_size": cfg.vocab_size,
+        "audio_num_codebooks": cfg.num_codebooks,
+        "backbone_config": sub(cfg, cfg.head_dim),
+        "depth_decoder_config": sub(dcfg, dcfg.head_dim),
+    }
+    return _save(d, out, cfg_d)
+
+
+def test_csm_torch_parity(tmp_path):
+    """Backbone frame-grid embeds + codebook0 logits + teacher-forced depth
+    decoder logits vs transformers CsmForConditionalGeneration
+    (reference: MarvisTTSModel.swift / CSMModel.swift:467-526)."""
+    from tpu_audio.core import kv_cache, nn
+    from tpu_audio.models import llama
+    from tpu_audio.models.tts.csm import MarvisTTS
+
+    cfg, m = _tiny_csm()
+    d = _export_csm(m, cfg, tmp_path / "csm")
+    ours = MarvisTTS.from_pretrained(str(d))
+    K, V = cfg.num_codebooks, cfg.vocab_size
+
+    # prompt: 2 text rows then 3 audio frames (the [T, K+1] grid of
+    # MarvisTTSModel.swift:70-142)
+    rng = np.random.default_rng(0)
+    text_ids = np.asarray([[7, 21]], np.int64)
+    audio_ids = rng.integers(0, V, size=(1, 3, K)).astype(np.int64)
+
+    frames = np.zeros((1, 5, K + 1), np.int32)
+    masks = np.zeros((1, 5, K + 1), np.float32)
+    frames[0, :2, K] = text_ids[0]
+    masks[0, :2, K] = 1.0
+    frames[0, 2:, :K] = audio_ids[0]
+    masks[0, 2:, :K] = 1.0
+
+    with torch.no_grad():
+        text_emb = m.embed_text_tokens(torch.from_numpy(text_ids))
+        audio_emb = m.backbone_model.embed_tokens(torch.from_numpy(audio_ids))
+        t_embeds = torch.cat([text_emb, audio_emb], dim=1)
+        t_h = m.backbone_model(inputs_embeds=t_embeds).last_hidden_state
+        t_last = t_h[:, -1]
+        t_c0_logits = m.lm_head(t_last).numpy()
+
+    embeds = ours._embed_frames(ours.params, jnp.asarray(frames),
+                                jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(embeds), t_embeds.numpy(), atol=1e-6)
+
+    bb_cache = kv_cache.init_cache(
+        ours.config.backbone.num_hidden_layers, 1,
+        ours.config.backbone.num_key_value_heads,
+        ours.config.backbone.resolved_head_dim, 8, jnp.float32)
+    h, bb_cache = llama.forward(ours.params["backbone"], None, bb_cache,
+                                ours.config.backbone, inputs_embeds=embeds,
+                                return_hidden=True)
+    np.testing.assert_allclose(np.asarray(h), t_h.numpy(), atol=3e-5)
+    last_h = h[:, -1]
+    c0_logits = np.asarray(
+        last_h @ ours.params["codebook0_head"]["weight"].T)
+    np.testing.assert_allclose(c0_logits, t_c0_logits, atol=3e-5)
+
+    # depth decoder, teacher-forced on fixed codes c0..c_{K-2}
+    codes = rng.integers(0, V, size=(1, K - 1)).astype(np.int64)
+    with torch.no_grad():
+        # HF embeds position p with codebook offset p-1 and replaces
+        # position 0 by the backbone hidden, so teacher-forced input is
+        # [pad, c0, .., c_{K-2}]
+        t_dec = m.depth_decoder(
+            input_ids=torch.from_numpy(
+                np.concatenate([np.zeros((1, 1), np.int64), codes], axis=1)),
+            backbone_last_hidden_state=t_last)
+        # HF already drops position 0 (the backbone hidden slot) and applies
+        # weight[pos-1] per remaining position -> [1, K-1, V]
+        t_depth_logits = t_dec.logits.numpy()
+
+    dcfg = ours.config.decoder
+    dec_cache = kv_cache.init_cache(
+        dcfg.num_hidden_layers, 1, dcfg.num_key_value_heads,
+        dcfg.resolved_head_dim, K + 2, jnp.float32)
+    c0_embed = nn.embedding(ours.params["audio_embeddings"],
+                            jnp.asarray(codes[:, :1], jnp.int32))
+    curr = jnp.concatenate([last_h[:, None], c0_embed], axis=1)
+    got_logits = []
+    for i in range(1, K):
+        proj = nn.linear(ours.params["projection"], curr)
+        dec_h, dec_cache = llama.forward(
+            ours.params["decoder"], None, dec_cache, dcfg,
+            inputs_embeds=proj, return_hidden=True)
+        w_i = ours.params["audio_head"][i - 1]
+        got_logits.append(np.asarray(dec_h[:, -1] @ w_i))
+        if i < K - 1:
+            curr = nn.embedding(
+                ours.params["audio_embeddings"],
+                jnp.asarray(codes[:, i : i + 1], jnp.int32) + i * V)
+    got = np.stack(got_logits, axis=1)
+    np.testing.assert_allclose(got, t_depth_logits, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# GraniteSpeech — conformer CTC encoder + QFormer projector
+# ---------------------------------------------------------------------------
+
+
+def test_granite_encoder_projector_torch_parity():
+    """Our block-attention conformer encoder (mid-layer CTC softmax
+    reinjection) and windowed QFormer projector vs transformers
+    GraniteSpeech modules (reference: GraniteSpeech.swift:67-496)."""
+    from transformers import Blip2QFormerConfig
+    from transformers.models.granite_speech import (
+        GraniteSpeechConfig, GraniteSpeechCTCEncoder,
+        GraniteSpeechEncoderConfig)
+    from transformers.models.granite_speech.modeling_granite_speech import (
+        GraniteSpeechEncoderProjector)
+
+    from tpu_audio.core import loading
+    from tpu_audio.models.stt import granite as G
+
+    enc_cfg = GraniteSpeechEncoderConfig(
+        input_dim=40, num_layers=2, hidden_dim=32, feedforward_mult=2,
+        num_heads=4, dim_head=8, output_dim=12, context_size=8,
+        conv_kernel_size=3, conv_expansion_factor=2, dropout=0.0)
+    proj_cfg = Blip2QFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, encoder_hidden_size=32, vocab_size=30,
+        cross_attention_frequency=1)
+    full_cfg = GraniteSpeechConfig(
+        encoder_config=enc_cfg.to_dict(), projector_config=proj_cfg.to_dict(),
+        text_config={"model_type": "granite", "hidden_size": 16,
+                     "num_hidden_layers": 1, "num_attention_heads": 2,
+                     "intermediate_size": 32, "vocab_size": 60},
+        downsample_rate=2, window_size=4)
+    torch.manual_seed(5)
+    t_enc = GraniteSpeechCTCEncoder(enc_cfg).eval()
+    t_proj = GraniteSpeechEncoderProjector(full_cfg).eval()
+
+    flat = {}
+    for k, v in t_enc.state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        flat["encoder." + k] = v.detach().numpy()
+    for k, v in t_proj.state_dict().items():
+        flat["projector." + k] = v.detach().numpy()
+        if k == "query":
+            flat["projector.query"] = v.detach().numpy()[0]
+    # word-embedding rows of the qformer are unused by the projector path
+    flat = {k: v for k, v in flat.items() if "word_embedding" not in k
+            and "position_embedding" not in k}
+    params = jax.tree.map(jnp.asarray, loading.unflatten(G.sanitize(flat)))
+
+    our_enc_cfg = G.GraniteEncoderConfig.from_dict(enc_cfg.to_dict())
+    our_cfg = G.GraniteConfig.from_dict({
+        "encoder_config": enc_cfg.to_dict(),
+        "projector_config": proj_cfg.to_dict(),
+        "text_config": {}, "downsample_rate": 2, "window_size": 4})
+
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, 16, 40)).astype(np.float32)
+    with torch.no_grad():
+        t_h = t_enc(torch.from_numpy(feats)).numpy()
+        t_out = t_proj(torch.from_numpy(t_h)).numpy()
+
+    h = G.encoder_forward(params, jnp.asarray(feats),
+                          jnp.asarray([16]), our_enc_cfg)
+    np.testing.assert_allclose(np.asarray(h), t_h, atol=3e-5)
+    out = G.projector_forward(params, h, our_cfg)
+    np.testing.assert_allclose(np.asarray(out), t_out, atol=3e-5)
