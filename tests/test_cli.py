@@ -126,3 +126,38 @@ def test_sts_cli_stream_mode(tmp_path):
     assert rc in (0, None)
     y, _ = load_audio(str(out))
     assert len(y) > 0
+
+
+def test_sts_cli_lfm_chat(tmp_path):
+    """sts CLI LFM2.5-Audio chat turn: wav in -> text + audio reply
+    (mlx-audio-swift-sts App.swift LFM chat flags)."""
+    from fixtures import make_lfm_audio_fixture
+
+    from tpu_audio.cli import sts as sts_cli
+    from tpu_audio.core.audio_io import save_wav
+
+    d = make_lfm_audio_fixture(tmp_path / "lfm")
+    rng = np.random.default_rng(2)
+    wav_path = tmp_path / "q.wav"
+    save_wav(str(wav_path), (rng.standard_normal(3200) * 0.1
+                             ).astype(np.float32), 16000)
+    out = tmp_path / "reply.wav"
+    txt = tmp_path / "reply.txt"
+    rc = sts_cli.main([str(wav_path), "--model", str(d),
+                       "--system", "sys", "--max-new-tokens", "4",
+                       "--temperature", "0", "-o", str(out),
+                       "--output-text", str(txt)])
+    assert rc in (0, None)
+    assert txt.exists()
+
+
+def test_sts_cli_lfm_chat_text_only(tmp_path):
+    from fixtures import make_lfm_audio_fixture
+
+    from tpu_audio.cli import sts as sts_cli
+
+    d = make_lfm_audio_fixture(tmp_path / "lfm")
+    rc = sts_cli.main(["--model", str(d), "--text", "hi there",
+                       "--text-only", "--max-new-tokens", "3",
+                       "--temperature", "0"])
+    assert rc in (0, None)

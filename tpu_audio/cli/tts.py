@@ -19,6 +19,8 @@ def main(argv=None):
     parser.add_argument("text")
     parser.add_argument("--model", required=True)
     parser.add_argument("--voice", default=None)
+    parser.add_argument("--language", default=None,
+                        help="language hint forwarded to the model")
     parser.add_argument("--ref-audio", default=None, help="reference wav for cloning")
     parser.add_argument("--ref-text", default=None, help="transcript of --ref-audio")
     parser.add_argument("--codec", default=None, help="codec dir/repo override")
@@ -92,7 +94,8 @@ def main(argv=None):
         with StreamingWAVWriter(args.output, model.sample_rate) as writer:
             for ev in model.generate_stream(
                 args.text, voice=args.voice, ref_audio=ref_audio,
-                ref_text=args.ref_text, generation_parameters=params,
+                ref_text=args.ref_text, language=args.language,
+                generation_parameters=params,
             ):
                 if ev.kind == AudioGenerationKind.AUDIO:
                     if ttfb is None:
@@ -113,7 +116,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         audio = model.generate(
             args.text, voice=args.voice, ref_audio=ref_audio,
-            ref_text=args.ref_text, generation_parameters=params,
+            ref_text=args.ref_text, language=args.language,
+            generation_parameters=params,
         )
         wall = time.perf_counter() - t0
         save_wav(args.output, np.asarray(audio), model.sample_rate)
