@@ -699,3 +699,120 @@ def test_granite_encoder_projector_torch_parity():
     np.testing.assert_allclose(np.asarray(h), t_h, atol=3e-5)
     out = G.projector_forward(params, h, our_cfg)
     np.testing.assert_allclose(np.asarray(out), t_out, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Parakeet FastConformer + CTC head vs transformers ParakeetForCTC
+# ---------------------------------------------------------------------------
+
+
+def _tiny_parakeet_hf():
+    from transformers import (ParakeetCTCConfig, ParakeetEncoderConfig,
+                              ParakeetForCTC)
+
+    ec = ParakeetEncoderConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_kernel_size=9, subsampling_factor=4,
+        subsampling_conv_channels=8, num_mel_bins=16,
+        dropout=0.0, dropout_positions=0.0, layerdrop=0.0,
+        activation_dropout=0.0, attention_dropout=0.0, scale_input=False)
+    cfg = ParakeetCTCConfig.from_encoder_config(ec, vocab_size=17,
+                                                pad_token_id=16)
+    torch.manual_seed(11)
+    return ParakeetForCTC(cfg).eval(), ec
+
+
+def _export_parakeet(m, ec, d):
+    """HF torch state dict -> the NeMo/MLX-community checkpoint layout
+    our loader's ``sanitize`` expects (ParakeetModel.swift weight names)."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    w = {}
+    # dw_striding subsampling: torch conv2d [O,I,H,W] -> MLX [O,H,W,I];
+    # HF layers indices {0, 2, 3} == NeMo conv-list indices for factor 4
+    for idx in (0, 2, 3):
+        w[f"encoder.pre_encode.conv.{idx}.weight"] = sd[
+            f"encoder.subsampling.layers.{idx}.weight"].transpose(0, 2, 3, 1)
+        w[f"encoder.pre_encode.conv.{idx}.bias"] = sd[
+            f"encoder.subsampling.layers.{idx}.bias"]
+    w["encoder.pre_encode.out.weight"] = sd["encoder.subsampling.linear.weight"]
+    w["encoder.pre_encode.out.bias"] = sd["encoder.subsampling.linear.bias"]
+
+    attn_map = {"q_proj": "linear_q", "k_proj": "linear_k",
+                "v_proj": "linear_v", "o_proj": "linear_out",
+                "relative_k_proj": "linear_pos"}
+    for i in range(ec.num_hidden_layers):
+        hb, b = f"encoder.layers.{i}", f"encoder.layers.{i}"
+        for ff in ("feed_forward1", "feed_forward2"):
+            for lin in ("linear1", "linear2"):
+                for p in ("weight", "bias"):
+                    w[f"{b}.{ff}.{lin}.{p}"] = sd[f"{hb}.{ff}.{lin}.{p}"]
+        for nrm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                    "norm_feed_forward2", "norm_out"):
+            for p in ("weight", "bias"):
+                w[f"{b}.{nrm}.{p}"] = sd[f"{hb}.{nrm}.{p}"]
+        for hf_name, nemo_name in attn_map.items():
+            w[f"{b}.self_attn.{nemo_name}.weight"] = sd[
+                f"{hb}.self_attn.{hf_name}.weight"]
+            hf_bias = f"{hb}.self_attn.{hf_name}.bias"
+            if hf_bias in sd:
+                w[f"{b}.self_attn.{nemo_name}.bias"] = sd[hf_bias]
+        w[f"{b}.self_attn.pos_bias_u"] = sd[f"{hb}.self_attn.bias_u"]
+        w[f"{b}.self_attn.pos_bias_v"] = sd[f"{hb}.self_attn.bias_v"]
+        # conv module: torch conv1d [O,I,K] -> MLX [O,K,I]; HF "norm" ==
+        # NeMo "batch_norm" (running stats included)
+        for cv in ("pointwise_conv1", "depthwise_conv", "pointwise_conv2"):
+            w[f"{b}.conv.{cv}.weight"] = sd[
+                f"{hb}.conv.{cv}.weight"].transpose(0, 2, 1)
+            w[f"{b}.conv.{cv}.bias"] = sd[f"{hb}.conv.{cv}.bias"]
+        for p in ("weight", "bias", "running_mean", "running_var"):
+            w[f"{b}.conv.batch_norm.{p}"] = sd[f"{hb}.conv.norm.{p}"]
+    # CTC head: torch conv1d [V,D,1] -> MLX [V,1,D], NeMo decoder_layers.0
+    w["ctc_decoder.decoder_layers.0.weight"] = sd["ctc_head.weight"].transpose(0, 2, 1)
+    w["ctc_decoder.decoder_layers.0.bias"] = sd["ctc_head.bias"]
+
+    vocab = [("▁" if i % 3 == 0 else "") + chr(ord("a") + i)
+             for i in range(16)]
+    cfg = {
+        "model_type": "parakeet",
+        "target": "nemo.collections.asr.models.EncDecCTCModelBPE",
+        "preprocessor": {
+            "sample_rate": 16000, "normalize": "per_feature",
+            "window_size": 0.025, "window_stride": 0.01, "window": "hann",
+            "features": ec.num_mel_bins, "n_fft": 512, "preemph": 0.97,
+        },
+        "encoder": {
+            "feat_in": ec.num_mel_bins, "n_layers": ec.num_hidden_layers,
+            "d_model": ec.hidden_size, "n_heads": ec.num_attention_heads,
+            "ff_expansion_factor": ec.intermediate_size // ec.hidden_size,
+            "subsampling_factor": ec.subsampling_factor,
+            "self_attention_model": "rel_pos", "subsampling": "dw_striding",
+            "conv_kernel_size": ec.conv_kernel_size,
+            "subsampling_conv_channels": ec.subsampling_conv_channels,
+            "xscaling": bool(ec.scale_input),
+        },
+        "decoder": {"vocabulary": vocab},
+        "decoding": {"greedy": {"max_symbols": 10}},
+    }
+    return _save(d, w, cfg)
+
+
+def test_parakeet_torch_parity(tmp_path):
+    """FastConformer encoder (dw_striding subsample, rel-pos attention,
+    conv module with batch norm) + NeMo CTC head vs HF ParakeetForCTC
+    (reference: ParakeetModel.swift / NemoAttention.swift)."""
+    from tpu_audio.models.stt.parakeet import Parakeet
+
+    m, ec = _tiny_parakeet_hf()
+    d = _export_parakeet(m, ec, tmp_path / "parakeet")
+    ours = Parakeet.from_pretrained(str(d), dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, 50, 16)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_logits = m(input_features=torch.from_numpy(mel)).logits.numpy()
+
+    feats, out_len = ours._encode(ours.params, jnp.asarray(mel),
+                                  jnp.asarray([50]))
+    logits = np.asarray(ours._ctc_head(ours.params, feats))
+    assert logits.shape == t_logits.shape
+    np.testing.assert_allclose(logits, t_logits, atol=5e-5, rtol=1e-4)
