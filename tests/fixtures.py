@@ -865,8 +865,12 @@ def make_qwen3_asr_fixture(path: Path) -> Path:
     from tokenizers.models import WordLevel
     from tokenizers.pre_tokenizers import Whitespace
 
-    vocab_map = {f"w{i}": i for i in range(66)}  # no id holes before specials
-    vocab_map.update({"hello": 60, "system": 61, "user": 62, "assistant": 63})
+    # ids must be collision-free: the tokenizers WordLevel reverse map drops
+    # one of two tokens sharing an id NONDETERMINISTICALLY per load (Rust
+    # HashMap order), which made prompt encodings flip across processes
+    vocab_map = {f"w{i}": i for i in range(60)}  # no id holes before specials
+    vocab_map.update({"hello": 60, "system": 61, "user": 62, "assistant": 63,
+                      "w64": 64, "w65": 65})
     specials = ["<|im_start|>", "<|im_end|>", "<|audio_start|>",
                 "<|audio_end|>", "<|audio_pad|>", "<asr_text>"]
     for j, s in enumerate(specials):
@@ -3680,7 +3684,8 @@ def make_fish_speech_fixture(path: Path) -> Path:
     })
     (path / "config.json").write_text(json.dumps(codec_cfg))
 
-    vocab_map = {f"w{i}": i for i in range(60)}
+    vocab_map = {f"w{i}": i for i in range(60) if i not in (50, 51, 52)}
+    # collision-free ids (see make_qwen3_asr_fixture note)
     vocab_map.update({"hello": 50, "world": 51, "speech": 52})
     specials = ["<|im_start|>", "<|im_end|>", "<|voice|>", "<|speaker:0|>"]
     for j, s in enumerate(specials):
@@ -4281,8 +4286,8 @@ def make_chatterbox_fixture(path: Path) -> Path:
     }
     (path / "config.json").write_text(json.dumps(cfg))
 
-    vocab_map = {f"w{i}": i for i in range(36)}
-    vocab_map.update({"hello": 30, "world": 31})
+    vocab_map = {f"w{i}": i for i in range(36) if i not in (30, 31)}
+    vocab_map.update({"hello": 30, "world": 31})  # collision-free ids
     tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
     tok.pre_tokenizer = Whitespace()
     tok.save(str(path / "tokenizer.json"))
@@ -4587,9 +4592,10 @@ def make_lfm_audio_fixture(path: Path) -> Path:
                         "num_kv_heads": DKV},
     }))
 
-    vocab_map = {f"w{i}": i for i in range(140)}
+    vocab_map = {f"w{i}": i for i in range(140)
+                 if i not in (50, 51, 52, 53)}
     vocab_map.update({"hello": 50, "system": 51, "user": 52,
-                      "assistant": 53})
+                      "assistant": 53})  # collision-free ids
     specials = ["<|im_start|>", "<|im_end|>"]
     for j, s in enumerate(specials):
         vocab_map[s] = 140 + j
@@ -4707,8 +4713,8 @@ def make_sam_audio_fixture(path: Path) -> Path:
         "audio_codec": codec_cfg,
     }))
 
-    vocab_map = {f"w{i}": i for i in range(60)}
-    vocab_map.update({"speech": 40, "music": 41, "noise": 42})
+    vocab_map = {f"w{i}": i for i in range(60) if i not in (40, 41, 42)}
+    vocab_map.update({"speech": 40, "music": 41, "noise": 42})  # no id dupes
     tok = Tokenizer(WordLevel(vocab_map, unk_token="w0"))
     tok.pre_tokenizer = Whitespace()
     tok.save(str(path / "tokenizer.json"))

@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
@@ -123,13 +124,10 @@ def compute():  # noqa: C901 — one entry per model family, linear script
 
     m = Qwen3ASR.from_pretrained(
         str(F.make_qwen3_asr_fixture(tmp / "qwen3_asr")))
-    # Pin the audio-tower features, not decoded text: the modulo fixture
-    # gives the tiny LM exactly-tied logits whose greedy argmax flips with
-    # XLA CPU reduction order across compilations (verified: same process
-    # deterministic, fresh compile can flip w0<->w11). Float features are
-    # tolerance-compared and pre-argmax, so they are a stable pin.
     mel, _ = m.preprocess_audio(_noise(7, 16000))
     g["qwen3_asr_audio_feats"] = vec(m.encode_audio(mel))
+    out = m.generate(_noise(7, 16000))
+    g["qwen3_asr_text_bytes"] = ids(list(out.text.encode()))
 
     from tpu_audio.models.stt.sensevoice import SenseVoice
 
@@ -268,6 +266,12 @@ def compute():  # noqa: C901 — one entry per model family, linear script
     g["moss_tts_full_delay_ids"] = ids(outputs[0][1])
 
     m = load_tts(str(F.make_fish_speech_fixture(tmp / "fish_tts")))
+    from tpu_audio.models.tts.fish_speech import embed_grid
+
+    grid = m.build_prompt_grid("hello world")
+    g["fish_speech_prompt_grid"] = ids(grid)
+    g["fish_speech_embed"] = vec(
+        embed_grid(m.params, jnp.asarray(grid[None]), m.config))
     gp = AudioGenerateParameters(max_tokens=6, temperature=0.0, seed=0)
     g["fish_speech_generate"] = vec(
         m.generate("hello world", generation_parameters=gp))

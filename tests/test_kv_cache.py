@@ -233,3 +233,24 @@ def test_hybrid_prefill_longer_than_quant_tail():
     with pytest.raises(ValueError, match="dense prefix"):
         kv_cache.update_cache(bad, 0, jnp.zeros((1, 4, 10, 8)),
                               jnp.zeros((1, 4, 10, 8)))
+
+
+def test_whisper_kv8_pallas_kernel_parity(tmp_path, monkeypatch):
+    """kv_bits=8 routed through the fused Pallas dequant+attention kernel
+    (interpret mode on CPU) gives the same greedy transcript as the dense
+    decode — the integration path `_decode_loop -> decoder_step(cross_mode=
+    "pallas")` that runs compiled on TPU."""
+    from tpu_audio.core.generation import STTGenerateParameters
+    from tpu_audio.models.stt import load_model
+
+    monkeypatch.setenv("TPU_AUDIO_PALLAS_KV", "interpret")
+    # head_dim must be >= 32 for the kernel's int8 tiling gate
+    d = make_whisper_fixture(tmp_path / "w", d_model=64, heads=2)
+    model = load_model(str(d))
+    model.tokenizer = FakeWhisperTokenizer(vocab=model.config.vocab_size)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    base = model.generate(audio, STTGenerateParameters(max_tokens=12))
+    quant = model.generate(audio, STTGenerateParameters(max_tokens=12,
+                                                        kv_bits=8))
+    assert quant.text == base.text

@@ -23,7 +23,8 @@ FAMILIES = [
     "silero_probs", "sortformer_speaker_probs", "fsmn_scores",
     "smart_turn_probability", "mossformer2_enhance", "sam_audio_target",
     "ecapa_lid_scores", "byt5_g2p_hello", "whisper_text_bytes",
-    "parakeet_text_bytes", "qwen3_asr_audio_feats", "sensevoice_text_bytes",
+    "parakeet_text_bytes", "qwen3_asr_audio_feats", "qwen3_asr_text_bytes",
+    "sensevoice_text_bytes",
     "canary_text_bytes", "nemotron_text_bytes", "llama_tts_generate",
     "soprano_generate", "kokoro_generate", "kitten_generate", "csm_generate",
     "glm_asr_text_bytes", "granite_text_bytes", "voxtral_text_bytes",
@@ -31,7 +32,8 @@ FAMILIES = [
     "moss_diarize_text_bytes", "qwen3_aligner_starts", "qwen3_tts_generate",
     "pocket_tts_generate", "moss_tts_codes", "moss_tts_full_generate",
     "moss_tts_full_delay_ids",
-    "fish_speech_generate", "indextts_generate", "chatterbox_generate",
+    "fish_speech_prompt_grid", "fish_speech_embed", "fish_speech_generate",
+    "indextts_generate", "chatterbox_generate",
     "echo_tts_generate", "irodori_generate", "omnivoice_generate",
     "lfm_audio_text_tokens",
 ]

@@ -263,13 +263,20 @@ def _cross_kv(params, enc_out, cfg: WhisperConfig):
 
 
 def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
-                 cfg: WhisperConfig):
+                 cfg: WhisperConfig, cross_mode: str | None = None,
+                 cross_valid=None, pallas_interpret: bool = False):
     """One decode step: tokens [B, T] at positions pos..pos+T.
     Returns (logits [B, T, V], new cache).
 
     The layer body is ``lax.scan``ed over the stacked layer axis; the KV
     cache's layer-stacked buffers ride the scan as xs/ys so each layer
-    writes its own slice."""
+    writes its own slice.
+
+    ``cross_mode``: "dense" (bf16 [L,B,H,S,Dh] K/V), "quant" (6-tuple of
+    quantized arrays, XLA dequant), or "pallas" (transposed int8 layout
+    for the fused ops/pallas_kv_attention kernel; requires B=1, T=1 and
+    ``cross_valid`` [1] int32). Auto-detected from the tuple shape when
+    None (backwards compatible)."""
     p = params["model"]["decoder"]
     n_heads = cfg.decoder_attention_heads
     b, t = tokens.shape
@@ -282,10 +289,12 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
     hd = d // n_heads
     mask = kv_cache.attention_mask(cache, t)
     offset = cache.offset
-    quant_cross = isinstance(cross_k, tuple)
+    if cross_mode is None:
+        cross_mode = "quant" if isinstance(cross_k, tuple) else "dense"
 
     cache_xs, cache_update, cache_fold = kv_cache.make_layer_updater(cache)
-    cross_xs = (cross_k + cross_v) if quant_cross else (cross_k, cross_v)
+    cross_xs = (tuple(cross_k) + tuple(cross_v)
+                if cross_mode != "dense" else (cross_k, cross_v))
 
     def layer(x, xs):
         lp, cross_l, cache_l = xs
@@ -302,12 +311,20 @@ def decoder_step(params, tokens, pos, cache: kv_cache.KVCache, cross_k, cross_v,
         h = nn.layer_norm(lp["encoder_attn_layer_norm"], x)
         cp = lp["encoder_attn"]
         q = nn.linear(cp["q_proj"], h).reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-        if quant_cross:  # quantized cross KV (kv_bits=8/4)
+        if cross_mode == "pallas":  # fused int8 dequant+attention kernel
+            from tpu_audio.ops import pallas_kv_attention as pk
+
+            o = pk.decode_attention_int8(
+                q[0], *cross_l, cross_valid,
+                sm_scale=1.0 / math.sqrt(hd),
+                interpret=pallas_interpret)[None].astype(x.dtype)
+        elif cross_mode == "quant":  # quantized cross KV, XLA dequant
             ck = kv_cache._dequantize(cross_l[0], cross_l[1], cross_l[2], x.dtype)
             cv = kv_cache._dequantize(cross_l[3], cross_l[4], cross_l[5], x.dtype)
+            o = nn.sdpa(q, ck, cv)
         else:
             ck, cv = cross_l
-        o = nn.sdpa(q, ck, cv)
+            o = nn.sdpa(q, ck, cv)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.linear(cp["out_proj"], o)
 
@@ -746,6 +763,22 @@ class Whisper:
         return tokenizer.id_to_language[int(lang_ids[best])], float(lang_probs[best])
 
 
+def _pallas_kv_enabled() -> tuple[bool, bool]:
+    """(enabled, interpret): ``TPU_AUDIO_PALLAS_KV`` = ``0`` disables,
+    ``interpret`` forces the kernel in interpreter mode (CPU testing);
+    default is on whenever the backend is a TPU."""
+    import os
+
+    v = os.environ.get("TPU_AUDIO_PALLAS_KV", "auto")
+    if v == "0":
+        return False, False
+    if v == "interpret":
+        return True, True
+    from tpu_audio.ops import pallas_kv_attention as pk
+
+    return pk.is_tpu(), False
+
+
 def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
                  begin, temperature, rng, *, max_total: int, cfg: WhisperConfig,
                  kv_bits: int | None = None, kv_group_size: int = 64,
@@ -754,10 +787,13 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
     through the single-token step) + AR decode with fused suppression and
     sampling + on-device EOT stop. ``kv_bits=8/4`` stores the self-attention
     KV cache AND the cross-attention K/V quantized per-head-group
-    (int8 symmetric / packed-int4 affine; Generation.swift:14-19 knobs) —
-    a memory-footprint option for long transcripts / batched decode
-    (measured RTF-neutral on v5e: XLA materializes the dequantized KV before
-    the attention matmul). ``quantized_kv_start>0`` keeps positions below it
+    (int8 symmetric / packed-int4 affine; Generation.swift:14-19 knobs).
+    With ``kv_bits=8`` on TPU the cross-attention runs through the fused
+    Pallas dequant+attention kernel (ops/pallas_kv_attention.py) — int8
+    cross-KV is then ~1.8x FASTER than dense bf16 (0.51 vs 0.93 ms/token
+    measured at large-v3 shapes on v5e); the XLA fallback path (4-bit, CPU,
+    batched) materializes the dequantized KV and is a memory-footprint
+    option only. ``quantized_kv_start>0`` keeps positions below it
     full precision (hybrid cache); the loop is single-token throughout, so
     any split point is safe."""
     kv_cache.validate_kv_bits(kv_bits)
@@ -765,13 +801,31 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
     n_heads = cfg.decoder_attention_heads
     head_dim = cfg.d_model // n_heads
     cross_k, cross_v = _cross_kv(params, enc_out, cfg)
+    cross_mode = "dense"
+    cross_valid = None
+    pallas_interp = False
     if kv_bits:
+        from tpu_audio.ops import pallas_kv_attention as pk
+
         n_groups = head_dim // min(kv_group_size, head_dim)
-        quantize = jax.vmap(functools.partial(kv_cache._quantize,
-                                              n_groups=n_groups,
-                                              bits=kv_bits))
-        cross_k = quantize(cross_k)
-        cross_v = quantize(cross_v)
+        use_pallas, pallas_interp = _pallas_kv_enabled()
+        if use_pallas and b == 1 and pk.supported(n_heads, head_dim, kv_bits):
+            # transposed int8 layout for the fused kernel: 4.2x faster
+            # than the XLA dequant path, 1.8x faster than dense bf16
+            # (ops/pallas_kv_attention.py docstring, measured v5e)
+            qt = jax.vmap(functools.partial(pk.quantize_kv_transposed,
+                                            n_groups=n_groups))
+            cross_k = qt(cross_k[:, 0])
+            cross_v = qt(cross_v[:, 0])
+            cross_mode = "pallas"
+            cross_valid = jnp.asarray([enc_out.shape[1]], jnp.int32)
+        else:
+            quantize = jax.vmap(functools.partial(kv_cache._quantize,
+                                                  n_groups=n_groups,
+                                                  bits=kv_bits))
+            cross_k = quantize(cross_k)
+            cross_v = quantize(cross_v)
+            cross_mode = "quant"
         cache = kv_cache.make_cache_for(
             cfg.decoder_layers, b, n_heads, head_dim, max_total,
             enc_out.dtype, kv_bits=kv_bits, kv_group_size=kv_group_size,
@@ -793,7 +847,10 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
     def body(carry):
         tokens, i, cache, finished, rng = carry
         tok = jax.lax.dynamic_slice(tokens, (i,), (1,))[None]  # [1,1]
-        logits, cache = decoder_step(params, tok, i, cache, cross_k, cross_v, cfg)
+        logits, cache = decoder_step(params, tok, i, cache, cross_k, cross_v,
+                                     cfg, cross_mode=cross_mode,
+                                     cross_valid=cross_valid,
+                                     pallas_interpret=pallas_interp)
         logits = logits[:, -1].astype(jnp.float32)  # [B, V]
         is_gen = i >= prompt_len - 1
         is_first = i == prompt_len - 1
