@@ -40,10 +40,15 @@ def _enable_compile_cache():
 
 def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
                       repeats: int = 3, kv_bits: int | None = None,
-                      w8_decoder: bool = False) -> dict:
+                      w8_decoder: bool = False,
+                      dense_self: bool = False) -> dict:
     """``w8_decoder`` quantizes the decoder stack (incl. the tied
     embedding head) to per-channel int8 for the native MXU path — the
-    224-token decode loop is HBM-bound on decoder weight reads."""
+    224-token decode loop is HBM-bound on decoder weight reads.
+    ``dense_self`` sets ``quantized_kv_start=max_total`` so the
+    self-attention cache stays full precision while the cross-KV runs
+    int8 through the fused Pallas kernel (mode token ``kv8d``) — the
+    fastest whisper config measured (RTF 0.0339 vs 0.0379 bf16 on v5e)."""
     import jax
     import jax.numpy as jnp
 
@@ -93,6 +98,7 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
             jnp.int32(-1),  # unmatched EOT -> full-length decode
             jnp.asarray(suppress), jnp.asarray(begin),
             jnp.float32(0.0), key, max_total=max_total, kv_bits=kv_bits,
+            quantized_kv_start=max_total if dense_self else 0,
         )
         return tokens.block_until_ready(), int(count)
 
@@ -112,6 +118,7 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     return {
         "metric": f"whisper_{size}_rtf_30s_{decode_tokens}tok"
                   + ("_kv8" if kv_bits == 8 else "")
+                  + ("d" if dense_self else "")
                   + ("_w8" if w8_decoder else ""),
         "value": round(rtf, 5),
         "unit": "rtf",
@@ -458,7 +465,8 @@ def bench_all() -> dict:
 def main():
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    kv_bits = 8 if "kv8" in sys.argv[2:] else None
+    kv_bits = 8 if any(a.startswith("kv8") for a in sys.argv[2:]) else None
+    dense_self = "kv8d" in sys.argv[2:]
     qbits = (4 if "q4" in sys.argv[2:] else
              8 if "q8" in sys.argv[2:] else
              -8 if "w8" in sys.argv[2:] else None)
@@ -474,7 +482,8 @@ def main():
         result = bench_deepfilternet()
     else:
         result = bench_whisper_rtf(mode, kv_bits=kv_bits,
-                                   w8_decoder="w8" in sys.argv[2:])
+                                   w8_decoder="w8" in sys.argv[2:],
+                                   dense_self=dense_self)
     print(json.dumps(result))
 
 
