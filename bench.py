@@ -17,6 +17,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -136,7 +137,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
 def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
                    lm_dims: dict | None = None,
                    snac_dims: dict | None = None,
-                   quantize_bits: int | None = None) -> dict:
+                   quantize_bits: int | None = None,
+                   band_head: bool = False) -> dict:
     """Streaming TTS time-to-first-audio: Orpheus-3B-shaped llama decode
     + real-size SNAC 24k decode of the first 4 frames.
 
@@ -197,11 +199,23 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     prompt[0, -8:] = np.arange(8) + 100
     n_frames = chunk_tokens // 7
 
+    band_params = None
+    if band_head:
+        # audio-band decode head: 7*4096 audio rows + EOS instead of the
+        # full 156940-row lm_head (the deployment fast path in llama_tts)
+        from tpu_audio.core import quant
+
+        offset, eos = 128266, 128258
+        rows = np.concatenate([offset + np.arange(7 * 4096), [eos]])
+        band_params = quant.slice_rows(
+            params.get("lm_head") or params["model"]["embed_tokens"],
+            rows.astype(np.int32))
+
     # ONE jitted graph: prefill + chunk_tokens-step decode + SNAC decode.
     # A single device call = single tunnel round-trip; no host syncs
     # between the LM chunk and the codec.
     @jax.jit
-    def first_chunk(p, snac_p, prompt_ids, rng):
+    def first_chunk(p, band_params, snac_p, prompt_ids, rng):
         cache = llama.make_cache(cfg, 1, bucket + chunk_tokens + 2,
                                  jnp.bfloat16)
         _, cache = llama.forward(p, prompt_ids[:, :-1], cache, cfg)
@@ -209,12 +223,23 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
 
         def body(c, _):
             tokens_c, cache, last, rng = c
-            logits, cache = llama.forward(p, last[:, None], cache, cfg)
-            logits = logits[:, -1].astype(jnp.float32)
+            if band_params is not None:
+                from tpu_audio.core import nn as _nn
+
+                hidden, cache = llama.forward(p, last[:, None], cache, cfg,
+                                              return_hidden=True)
+                logits = _nn.linear(band_params,
+                                    hidden[:, -1]).astype(jnp.float32)
+            else:
+                logits, cache = llama.forward(p, last[:, None], cache, cfg)
+                logits = logits[:, -1].astype(jnp.float32)
             rng, sub = jax.random.split(rng)
             nxt = jax.random.categorical(
                 sub, _mask_top_p(logits, sp.top_p) / sp.temperature,
                 axis=-1).astype(jnp.int32)
+            if band_params is not None:
+                nxt = jnp.where(nxt >= 7 * 4096, jnp.int32(128258),
+                                nxt + jnp.int32(128266))
             return (tokens_c, cache, nxt, rng), nxt[0]
 
         (_, cache, _, rng), toks = jax.lax.scan(
@@ -227,8 +252,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
         return snac_decoder(snac.params, z, snac.config, rng=rng)
 
     def run_once(seed):
-        wav = first_chunk(params, snac.params, jnp.asarray(prompt),
-                          jax.random.PRNGKey(seed))
+        wav = first_chunk(params, band_params, snac.params,
+                          jnp.asarray(prompt), jax.random.PRNGKey(seed))
         return np.asarray(wav)
 
     wav = run_once(0)  # warmup/compile
@@ -244,7 +269,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     return {
         "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok"
                   + ("_w8a8" if quantize_bits == -8 else
-                     f"_q{quantize_bits}" if quantize_bits else ""),
+                     f"_q{quantize_bits}" if quantize_bits else "")
+                  + ("_band" if band_head else ""),
         "value": round(ttfb * 1000, 1),
         "unit": "ms",
         "vs_baseline": round(rtx, 3),
@@ -253,6 +279,116 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
             "realtime_x": round(rtx, 2),
             "tokens_per_s": round(chunk_tokens / ttfb, 1),
             "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
+def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
+                         prefix_len: int = 32, talker_dims: dict | None = None,
+                         codec_dims: dict | None = None) -> dict:
+    """Streaming Qwen3-TTS time-to-first-audio (BASELINE config 5 shape):
+    real-default-size talker (20L x 1024) + code-predictor (4L, 16 groups)
+    + real-size 12.5 Hz codec decoder, random weights initialized on device
+    (init trees are shape-verified against ``from_pretrained`` checkpoints
+    in test_qwen3_tts.py::test_init_random_params_matches_loaded_tree).
+
+    One jitted graph = prefill + ``chunk_frames`` macro steps (talker step
+    + 15 code-predictor sub-steps each) + first-chunk codec decode — a
+    single tunnel dispatch, mirroring the streaming_interval=~1 s first
+    chunk (Qwen3TTS.swift:394-420 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.codecs import qwen3_codec as QC
+    from tpu_audio.core import kv_cache, nn
+    from tpu_audio.models import llama
+    from tpu_audio.models.tts import qwen3_tts as QT
+
+    config = QT.Qwen3TTSConfig()
+    if talker_dims:
+        config.talker = QT.TalkerConfig(**talker_dims)
+        config.code_predictor = QT.CodePredictorConfig.from_dict(
+            dict(talker_dims.get("code_predictor_config") or {},
+                 num_code_groups=config.talker.num_code_groups))
+    tcfg, ccfg = config.talker, config.code_predictor
+    params = QT.init_random_params(config, dtype=jnp.bfloat16, on_device=True)
+    params = llama.fuse_projections(params)
+    params["code_predictor"] = llama.fuse_projections(params["code_predictor"])
+    codec_cfg = QC.Qwen3CodecDecoderConfig(**(codec_dims or {}))
+    codec_params = QC.init_random_params(codec_cfg, on_device=True)
+
+    G = tcfg.num_code_groups
+    temp, top_k = 0.9, 50
+
+    @jax.jit
+    def first_chunk(p, cp, rng):
+        rng, sub = jax.random.split(rng)
+        embeds = jax.random.normal(
+            sub, (1, prefix_len, tcfg.hidden_size), jnp.bfloat16) * 0.1
+        rng, sub = jax.random.split(rng)
+        pad_embed = jax.random.normal(
+            sub, (1, 1, tcfg.hidden_size), jnp.bfloat16) * 0.1
+        cache = kv_cache.init_cache(
+            tcfg.num_hidden_layers, 1, tcfg.num_key_value_heads,
+            tcfg.head_dim, prefix_len + chunk_frames + 2, jnp.bfloat16)
+        _, _, cache = QT.talker_forward(p, embeds[:, :-1], cache, tcfg)
+
+        def body(carry, _):
+            emb, cache, rng = carry
+            logits, hidden, cache = QT.talker_forward(p, emb, cache, tcfg)
+            rng, sub = jax.random.split(rng)
+            c0 = QT._sample(sub, logits[:, -1], temp, top_k, 1.0)
+            cpp = p["code_predictor"]
+            cp_cache = kv_cache.init_cache(
+                ccfg.num_hidden_layers, 1, ccfg.num_key_value_heads,
+                ccfg.head_dim, G + 2, jnp.bfloat16)
+            c0_embed = nn.embedding(p["model"]["codec_embedding"],
+                                    c0[:, None]).astype(jnp.bfloat16)
+            codes = [c0]
+            code_input = jnp.concatenate([hidden[:, -1:], c0_embed], axis=1)
+            embed_sum = c0_embed
+            for g in range(G - 1):
+                cp_logits, cp_cache = QT.code_predictor_forward(
+                    cpp, code_input, cp_cache, g, ccfg)
+                rng, sub = jax.random.split(rng)
+                cg = QT._sample(sub, cp_logits[:, -1], temp, top_k, 1.0)
+                codes.append(cg)
+                g_embed = nn.embedding(
+                    cpp["model"]["codec_embedding"][str(g)],
+                    cg[:, None]).astype(jnp.bfloat16)
+                embed_sum = embed_sum + g_embed
+                code_input = g_embed
+            return (pad_embed + embed_sum, cache, rng), jnp.stack(codes, 1)[0]
+
+        (_, cache, rng), codes = jax.lax.scan(
+            body, (embeds[:, -1:], cache, rng), None, length=chunk_frames)
+        codes = (codes.T[None] % codec_cfg.codebook_size)  # [1, G, T]
+        return QC.decoder_forward(cp, codes, codec_cfg)
+
+    def run_once(seed):
+        return np.asarray(first_chunk(params, codec_params,
+                                      jax.random.PRNGKey(seed)))
+
+    wav = run_once(0)  # warmup/compile
+    audio_s = wav.size / codec_cfg.sampling_rate
+
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        run_once(r + 1)
+        times.append(time.perf_counter() - t0)
+    ttfb = min(times)
+    rtx = audio_s / ttfb
+    return {
+        "metric": f"qwen3tts_ttfb_{chunk_frames}frames",
+        "value": round(ttfb * 1000, 1),
+        "unit": "ms",
+        "vs_baseline": round(rtx, 3),
+        "detail": {
+            "first_audio_s": round(audio_s, 3),
+            "realtime_x": round(rtx, 2),
+            "frames_per_s": round(chunk_frames / ttfb, 1),
+            "device": str(jax.devices()[0]),
         },
     }
 
@@ -445,6 +581,8 @@ def bench_all() -> dict:
     also = []
     for name, fn in [
         ("tts", bench_tts_ttfb),
+        ("tts_band", functools.partial(bench_tts_ttfb, band_head=True)),
+        ("qwen3tts", bench_qwen3_tts_ttfb),
         ("vad", bench_vad_diarization),
         ("parakeet", bench_parakeet_batch),
         ("dfn", bench_deepfilternet),
@@ -473,7 +611,10 @@ def main():
     if mode == "all":
         result = bench_all()
     elif mode == "tts":
-        result = bench_tts_ttfb(quantize_bits=qbits)
+        result = bench_tts_ttfb(quantize_bits=qbits,
+                                band_head="band" in sys.argv[2:])
+    elif mode == "qwen3tts":
+        result = bench_qwen3_tts_ttfb()
     elif mode == "vad":
         result = bench_vad_diarization()
     elif mode == "parakeet":

@@ -204,3 +204,52 @@ def test_vyvo_qwen3_variant(tmp_path, snac):
                                      repetition_penalty=1.0)
     audio = model.generate("hello", generation_parameters=params)
     assert audio.shape == (2 * 4 * snac.config.hop_length,)
+
+
+def test_band_head_logits_match_full_slice(tts, tmp_path):
+    """The audio-band decode head must produce exactly the full head's
+    logits at the band rows (7*codebook_size audio tokens + end_of_speech),
+    and its sampled indices must map back to the same token ids a
+    band-masked full head would pick."""
+    # fresh instances: earlier tests swap the module fixture's _step_fn for
+    # a scripted one
+    full = LlamaTTS(tts.config, dict(tts.params), tts.tokenizer, tts.codec,
+                    tts.tokens, dtype=jnp.float32)
+    band = LlamaTTS(tts.config, dict(tts.params), tts.tokenizer, tts.codec,
+                    tts.tokens, dtype=jnp.float32, audio_band_head=True)
+    T = tts.tokens
+    rows = np.concatenate([
+        T.audio_token_offset + np.arange(7 * T.codebook_size),
+        [T.end_of_speech]]).astype(np.int32)
+
+    ids = jnp.asarray([[T.start_of_human, 5, T.end_of_human]], jnp.int32)
+    cache_a = llama.make_cache(tts.config, 1, 16, jnp.float32)
+    full_logits, _ = full._step_fn(full.params, ids, cache_a)
+    cache_b = llama.make_cache(tts.config, 1, 16, jnp.float32)
+    band_logits, _ = band._step_fn(band.params, ids, cache_b)
+    np.testing.assert_allclose(np.asarray(band_logits),
+                               np.asarray(full_logits)[:, rows], atol=1e-6)
+
+    # greedy pick through the band head == full-head argmax over the band
+    idx = int(jnp.argmax(band_logits, -1)[0])
+    mapped = int(band._token_map(jnp.asarray([idx], jnp.int32))[0])
+    want = int(rows[np.argmax(np.asarray(full_logits)[0, rows])])
+    assert mapped == want
+
+
+def test_band_head_generate_emits_only_band_tokens(tmp_path, snac):
+    path = make_llama_tts_fixture(tmp_path / "orpheus_band")
+    model = load_model(str(path), dtype=jnp.float32, audio_band_head=True)
+    model.codec = snac
+    T = model.tokens
+    params = model.default_generation_parameters()
+    params.max_tokens = 16
+    params.seed = 0
+    for kind, payload in (
+            (e.kind, e) for e in model.generate_stream("hi",
+                generation_parameters=params)):
+        if kind == AudioGenerationKind.TOKEN:
+            tok = payload.token
+            assert (T.audio_token_offset <= tok
+                    < T.audio_token_offset + 7 * T.codebook_size
+                    or tok == T.end_of_speech), tok

@@ -168,3 +168,28 @@ def test_ref_context_cached(icl_model):
     ctx1 = icl_model._reference_audio_context(a)
     ctx2 = icl_model._reference_audio_context(a)
     assert ctx1 is ctx2
+
+
+def test_init_random_params_matches_loaded_tree(model):
+    """The benchmark random initializers must produce byte-for-byte the same
+    tree structure and leaf shapes as ``from_pretrained`` builds from a real
+    checkpoint — so on-device random-weight benches run the same graphs."""
+    import jax
+
+    from tpu_audio.codecs import qwen3_codec
+    from tpu_audio.models import llama
+    from tpu_audio.models.tts import qwen3_tts
+
+    rand = qwen3_tts.init_random_params(model.config, dtype=jnp.float32)
+    rand = llama.fuse_projections(rand)
+    rand["code_predictor"] = llama.fuse_projections(rand["code_predictor"])
+    a = jax.tree.map(lambda x: tuple(x.shape), model.params)
+    b = jax.tree.map(lambda x: tuple(x.shape), rand)
+    assert jax.tree.structure(a) == jax.tree.structure(b)
+    assert a == b
+
+    rd = qwen3_codec.init_random_params(model.codec.config)
+    ca = jax.tree.map(lambda x: tuple(x.shape), model.codec.params)
+    cb = jax.tree.map(lambda x: tuple(x.shape), rd)
+    assert jax.tree.structure(ca) == jax.tree.structure(cb)
+    assert ca == cb

@@ -46,6 +46,11 @@ def main(argv=None):
                         help="post-load-quantize a full-precision LM: 4/8 = "
                              "MLX grouped-affine, w8a8 = per-channel int8 "
                              "for the native MXU path (llama-family TTS)")
+    parser.add_argument("--band-head", action="store_true",
+                        help="decode with the lm_head sliced to the audio "
+                             "token band + EOS (Orpheus-family): ~1 ms/token "
+                             "less HBM traffic; outputs stay in-band by "
+                             "construction")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -57,6 +62,8 @@ def main(argv=None):
     kwargs = {}
     if args.codec:
         kwargs["snac_repo"] = args.codec
+    if args.band_head:
+        kwargs["audio_band_head"] = True
     if args.quantize:
         kwargs["quantize_bits"] = (args.quantize if args.quantize == "w8a8"
                                    else int(args.quantize))
@@ -69,6 +76,11 @@ def main(argv=None):
                 "--quantize is supported by the llama-family TTS models "
                 "(Orpheus/llama_tts, VyvoTTS/qwen3, Qwen3TTS); this model "
                 "does not take it") from e
+        if ("unexpected keyword argument" in str(e)
+                and "audio_band_head" in str(e)):
+            raise SystemExit(
+                "--band-head is supported by the Orpheus-family models "
+                "(llama_tts); this model does not take it") from e
         raise
     if args.raw_ipa and hasattr(model, "text_processor"):
         # PassthroughProcessor equivalent (App.swift:93)

@@ -346,6 +346,120 @@ def init_streaming_state(cfg: Qwen3CodecDecoderConfig, batch: int = 1,
             "resunits": resunits, "cache": cache}
 
 
+def init_random_params(cfg: Qwen3CodecDecoderConfig, seed: int = 0,
+                       dtype=jnp.float32, on_device: bool = False) -> dict:
+    """Random decoder params in the post-load tree layout, for benchmarks
+    (key set mirrors the HF speech_tokenizer export; see
+    tests/fixtures.make_qwen3_tts_fixture speech-tokenizer section).
+    ``on_device=True`` generates with ``jax.random``."""
+    if on_device:
+        holder = [jax.random.PRNGKey(seed + 31)]
+
+        def rand(*shape, scale=0.05):
+            holder[0], sub = jax.random.split(holder[0])
+            return jax.random.normal(sub, shape, dtype) * scale
+    else:
+        nprng = np.random.default_rng(seed + 31)
+
+        def rand(*shape, scale=0.05):
+            return jnp.asarray(
+                nprng.standard_normal(shape, dtype=np.float32) * scale, dtype)
+
+    def lin(o, i, bias=True):
+        p = {"weight": rand(o, i)}
+        if bias:
+            p["bias"] = rand(o, scale=0.01)
+        return p
+
+    def conv(o, i, k, bias=True, transpose=False):
+        p = {"weight": rand(*((i, o, k) if transpose else (o, i, k)))}
+        if bias:
+            p["bias"] = rand(o, scale=0.01)
+        return {"conv": p}
+
+    H, L, CB, CV = (cfg.hidden_size, cfg.latent_dim, cfg.codebook_dim,
+                    cfg.codebook_size)
+    vq_dim = CB // 2
+
+    def rvq(n):
+        return {
+            "vq": {"layers": {str(i): {"codebook": {"embed": rand(CV, vq_dim,
+                                                                  scale=0.5)}}
+                              for i in range(n)}},
+            "output_proj": {"weight": rand(CB, vq_dim, 1)},
+        }
+
+    ns = cfg.num_semantic_quantizers
+    quantizer = {"rvq_first": rvq(ns),
+                 "rvq_rest": rvq(cfg.num_quantizers - ns)}
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype)
+
+    def tf_layer():
+        qd = cfg.num_attention_heads * cfg.head_dim
+        kd = cfg.num_key_value_heads * cfg.head_dim
+        return {
+            "input_layernorm": {"weight": ones(H)},
+            "post_attention_layernorm": {"weight": ones(H)},
+            "self_attn": {"q_proj": lin(qd, H, bias=False),
+                          "k_proj": lin(kd, H, bias=False),
+                          "v_proj": lin(kd, H, bias=False),
+                          "o_proj": lin(H, qd, bias=False)},
+            "self_attn_layer_scale": {
+                "scale": jnp.full((H,), cfg.layer_scale_initial_scale, dtype)},
+            "mlp_layer_scale": {
+                "scale": jnp.full((H,), cfg.layer_scale_initial_scale, dtype)},
+            "mlp": {"gate_proj": lin(cfg.intermediate_size, H, bias=False),
+                    "up_proj": lin(cfg.intermediate_size, H, bias=False),
+                    "down_proj": lin(H, cfg.intermediate_size, bias=False)},
+        }
+
+    pre_transformer = {
+        "input_proj": lin(H, H),
+        "output_proj": lin(L, H),
+        "norm": {"weight": ones(H)},
+        "layers": {str(i): tf_layer() for i in range(cfg.num_hidden_layers)},
+    }
+
+    def snake(c):
+        return {"alpha": jnp.zeros((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+
+    upsample = {}
+    for u, factor in enumerate(cfg.upsampling_ratios):
+        upsample[str(u)] = {
+            "conv_t": conv(L, L, factor, transpose=True),
+            "convnext": {
+                "dwconv": conv(L, 1, 7),  # depthwise: groups == channels
+                "norm": {"weight": ones(L), "bias": jnp.zeros((L,), dtype)},
+                "pwconv1": lin(4 * L, L),
+                "pwconv2": lin(L, 4 * L),
+                "gamma": jnp.full((L,), 1e-6, dtype),
+            },
+        }
+
+    D = cfg.decoder_dim
+    decoder = {"0": conv(D, L, 7)}
+    ch = D
+    for b, rate in enumerate(cfg.upsample_rates):
+        out = ch // 2
+        block = {"0": snake(ch), "1": conv(out, ch, 2 * rate, transpose=True)}
+        for j in range(3):
+            block[str(2 + j)] = {
+                "act1": snake(out), "conv1": conv(out, out, 7),
+                "act2": snake(out), "conv2": conv(out, out, 1),
+            }
+        decoder[str(1 + b)] = {"block": block}
+        ch = out
+    n_blocks = len(cfg.upsample_rates)
+    decoder[str(1 + n_blocks)] = snake(ch)
+    decoder[str(2 + n_blocks)] = conv(1, ch, 7)
+
+    return {"quantizer": quantizer, "pre_conv": conv(H, CB, 3),
+            "pre_transformer": pre_transformer, "upsample": upsample,
+            "decoder": decoder}
+
+
 class Qwen3CodecDecoder:
     """Stateful wrapper: offline ``decode`` + chunked ``streaming`` decode."""
 

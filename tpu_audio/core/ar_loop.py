@@ -25,7 +25,8 @@ __all__ = ["make_decode_chunk", "DecodeState"]
 
 
 def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
-                      history_size: int = 64):
+                      history_size: int = 64,
+                      token_map: Callable | None = None):
     """Build a jitted chunked decoder.
 
     Returns ``decode_chunk(params, cache, last_token[B], tokens_out[N],
@@ -33,6 +34,12 @@ def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
     decodes up to ``tokens_out.shape[0]`` new tokens, stopping early on the
     stop token. ``history`` is a [B, history_size] ring buffer for the
     repetition penalty carried across chunks.
+
+    ``token_map`` (optional) maps each sampled logits-space index to the
+    model's token id before it is emitted / fed back / stop-compared — for
+    restricted output heads whose logits cover only a token sub-band (the
+    repetition history stays in logits space so the penalty indexes the
+    restricted logits correctly).
     """
 
     @functools.partial(jax.jit, donate_argnums=(1, 3, 6))
@@ -95,11 +102,13 @@ def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
                 next_tok = jax.random.categorical(
                     sub, masked / sampling.temperature, axis=-1
                 ).astype(jnp.int32)
-            finished = jnp.all(next_tok == stop_token)
-            tokens = tokens.at[i].set(next_tok[0])
             hist = jax.lax.dynamic_update_slice(
                 hist, next_tok[:, None], (0, hpos % history_size)
             )
+            if token_map is not None:
+                next_tok = token_map(next_tok)
+            finished = jnp.all(next_tok == stop_token)
+            tokens = tokens.at[i].set(next_tok[0])
             return (tokens, i + 1, cache, next_tok, finished, rng, hist, hpos + 1)
 
         init = (tokens_out, jnp.int32(0), cache, last_token,

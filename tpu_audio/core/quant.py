@@ -36,6 +36,7 @@ __all__ = [
     "int8_matmul",
     "is_quantized",
     "QuantizedTensor",
+    "slice_rows",
     "tag_quantized",
 ]
 
@@ -144,6 +145,27 @@ def int8_matmul(x: jnp.ndarray, t: Int8Tensor) -> jnp.ndarray:
                               preferred_element_type=jnp.int32)[:rows]
     y = acc.astype(jnp.float32) * (xs * t.scale[None, :])
     return y.reshape(*lead, t.weight.shape[0]).astype(x.dtype)
+
+
+def slice_rows(p: dict, rows) -> dict:
+    """Slice the output rows of a linear/head param dict (``{"weight": ...}``
+    dense, :class:`QuantizedTensor` or :class:`Int8Tensor`), keeping the
+    packed layout intact — every per-output plane (packed words, scales,
+    biases, word-scale planes, int8 scale) shares the leading O axis."""
+    rows = jnp.asarray(rows, jnp.int32)
+    w = p["weight"]
+    if isinstance(w, Int8Tensor):
+        out = {"weight": Int8Tensor(w.weight[rows], w.scale[rows])}
+    elif isinstance(w, QuantizedTensor):
+        out = {"weight": QuantizedTensor(
+            w.weight[rows], w.scales[rows], w.biases[rows],
+            None if w.scales_w is None else w.scales_w[rows],
+            w.group_size, w.bits)}
+    else:
+        out = {"weight": w[rows]}
+    if "bias" in p:
+        out["bias"] = p["bias"][rows]
+    return out
 
 
 def tag_quantized(params: dict, group_size: int = 64, bits: int = 4,

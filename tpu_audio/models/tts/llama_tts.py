@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.core import hub, loading
+from tpu_audio.core import hub, loading, nn
 from tpu_audio.core.ar_loop import make_decode_chunk
 from tpu_audio.core.generation import (
     AudioGenerateParameters,
@@ -103,13 +103,14 @@ class LlamaTTS:
 
     def __init__(self, config: LlamaTTSConfig, params, tokenizer=None,
                  codec=None, tokens: OrpheusTokens = OrpheusTokens(),
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, audio_band_head: bool = False):
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
         self.codec = codec
         self.tokens = tokens
         self.dtype = dtype
+        self.audio_band_head = bool(audio_band_head)
         cfg = config
 
         def prefill(params, ids, cache):
@@ -117,10 +118,43 @@ class LlamaTTS:
 
         self._prefill = jax.jit(prefill, donate_argnums=(2,))
 
-        def step_fn(params, tok, cache):
-            logits, cache = llama.forward(params, tok, cache, cfg)
-            return logits[:, -1], cache
+        if self.audio_band_head:
+            # Decode-time lm_head restricted to the 7x4096 audio band +
+            # end_of_speech: generation past start_of_speech only ever emits
+            # those ids (parse_output crops everything else,
+            # LlamaTTS.swift:383-434), but the full-vocab head still reads
+            # ~0.96 GB/token at bf16 — 12% of the whole decode step. The
+            # sliced head keeps the packed/quantized layout (quant.slice_rows)
+            # and make_decode_chunk maps sampled band indices back to ids.
+            from tpu_audio.core import quant
 
+            T = tokens
+            band = T.audio_token_offset + np.arange(7 * T.codebook_size)
+            rows = np.concatenate([band, [T.end_of_speech]]).astype(np.int32)
+            head = (params["lm_head"]
+                    if "lm_head" in params and not cfg.tie_word_embeddings
+                    else params["model"]["embed_tokens"])
+            self.params = dict(params)
+            self.params["band_head"] = quant.slice_rows(head, rows)
+            band_size = 7 * T.codebook_size
+
+            def step_fn(params, tok, cache):
+                hidden, cache = llama.forward(params, tok, cache, cfg,
+                                              return_hidden=True)
+                logits = nn.linear(params["band_head"], hidden[:, -1])
+                if cfg.logits_scaling != 1.0:
+                    logits = logits / cfg.logits_scaling
+                return logits, cache
+
+            self._token_map = lambda idx: jnp.where(
+                idx >= band_size, jnp.int32(T.end_of_speech),
+                idx + jnp.int32(T.audio_token_offset))
+        else:
+            def step_fn(params, tok, cache):
+                logits, cache = llama.forward(params, tok, cache, cfg)
+                return logits[:, -1], cache
+
+            self._token_map = None
         self._step_fn = step_fn
         self._decoders: dict = {}
 
@@ -131,7 +165,8 @@ class LlamaTTS:
                         snac_repo: str | None = None,
                         dtype=jnp.bfloat16,
                         quantize_bits: int | str | None = None,
-                        fuse: bool = True) -> "LlamaTTS":
+                        fuse: bool = True,
+                        audio_band_head: bool = False) -> "LlamaTTS":
         """``quantize_bits=4/8`` post-load-quantizes a full-precision
         checkpoint to MLX grouped-affine (reference
         ``quantize(model:filter:)`` semantics); ``quantize_bits="w8a8"``
@@ -202,7 +237,8 @@ class LlamaTTS:
                 audio_token_offset=base,
                 codebook_size=cfg_dict.get("codebook_size", 4096),
             )
-        return cls(config, params, tokenizer, codec, tokens, dtype)
+        return cls(config, params, tokenizer, codec, tokens, dtype,
+                   audio_band_head=audio_band_head)
 
     @property
     def sample_rate(self) -> int:
@@ -266,6 +302,7 @@ class LlamaTTS:
             self._decoders[key] = make_decode_chunk(
                 self._step_fn, sp,
                 history_size=max(params.repetition_context_size, 1),
+                token_map=self._token_map,
             )
         return self._decoders[key]
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 import math
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -224,6 +225,64 @@ def _sample(rng, logits, temperature, top_k, top_p, suppress=None,
     if top_p < 1.0:
         logits = _mask_top_p(logits, top_p)
     return jax.random.categorical(rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+def init_random_params(config: Qwen3TTSConfig, seed: int = 0,
+                       dtype=jnp.bfloat16, on_device: bool = False) -> dict:
+    """Random talker+code-predictor params in the post-load (stacked, unfused)
+    tree layout, for benchmarks — mirrors the checkpoint key set written by
+    the HF export (see tests/fixtures.make_qwen3_tts_fixture) so the bench
+    exercises exactly the graphs ``from_pretrained`` checkpoints run.
+    ``on_device=True`` generates with ``jax.random`` (tunneled backends
+    upload GB-scale host trees too slowly)."""
+    tcfg, ccfg = config.talker, config.code_predictor
+
+    def backbone(llama_cfg, key_seed):
+        # vocab_size=8: embed_tokens/lm_head are discarded (the talker runs
+        # on inputs_embeds), so don't allocate real-vocab tables
+        llama_cfg = dataclasses.replace(llama_cfg, vocab_size=8)
+        p = llama.init_random_params(llama_cfg, seed=key_seed, dtype=dtype,
+                                     on_device=on_device)
+        p["model"].pop("embed_tokens", None)
+        p.pop("lm_head", None)
+        return p
+
+    if on_device:
+        holder = [jax.random.PRNGKey(seed + 7)]
+
+        def rand(*shape):
+            holder[0], sub = jax.random.split(holder[0])
+            return jax.random.normal(sub, shape, dtype) * 0.02
+    else:
+        rng = np.random.default_rng(seed + 7)
+
+        def rand(*shape):
+            return jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32) * 0.02, dtype)
+
+    params = backbone(_talker_llama_cfg(tcfg), seed)
+    V, H, TH = tcfg.vocab_size, tcfg.hidden_size, tcfg.text_hidden_size
+    params["model"]["codec_embedding"] = {"weight": rand(V, H)}
+    params["model"]["text_embedding"] = {"weight": rand(tcfg.text_vocab_size, TH)}
+    params["text_projection"] = {
+        "linear_fc1": {"weight": rand(TH, TH), "bias": rand(TH)},
+        "linear_fc2": {"weight": rand(H, TH), "bias": rand(H)},
+    }
+    params["codec_head"] = {"weight": rand(V, H)}
+
+    cp = backbone(llama.LlamaConfig(
+        hidden_size=ccfg.hidden_size, num_hidden_layers=ccfg.num_hidden_layers,
+        intermediate_size=ccfg.intermediate_size,
+        num_attention_heads=ccfg.num_attention_heads,
+        num_key_value_heads=ccfg.num_key_value_heads, head_dim=ccfg.head_dim,
+        qk_norm=True), seed + 1)
+    G, CV = tcfg.num_code_groups, ccfg.vocab_size
+    cp["model"]["codec_embedding"] = {
+        str(g): {"weight": rand(CV, H)} for g in range(G - 1)}
+    cp["lm_head"] = {
+        str(g): {"weight": rand(CV, ccfg.hidden_size)} for g in range(G - 1)}
+    params["code_predictor"] = cp
+    return params
 
 
 # ---------------------------------------------------------------------------
