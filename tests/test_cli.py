@@ -161,3 +161,42 @@ def test_sts_cli_lfm_chat_text_only(tmp_path):
                        "--text-only", "--max-new-tokens", "3",
                        "--temperature", "0"])
     assert rc in (0, None)
+
+
+def test_warmup_cli_stt_fixture(tmp_path, capsys):
+    """AOT warmup drives the full generate path once and reports timings;
+    --verify re-runs warm (README 'Cold compile and AOT' made actionable)."""
+    import json as _json
+
+    from fixtures import make_cohere_fixture
+    from tpu_audio.cli import warmup
+
+    model_dir = make_cohere_fixture(tmp_path / "cohere")
+    assert warmup.detect_task(str(model_dir)) == "stt"
+    warmup.main(["--model", str(model_dir), "--seconds", "1",
+                 "--cache-dir", str(tmp_path / "cache"), "--verify"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["task"] == "stt"
+    assert out["compile_and_run_s"] > 0
+    assert "warm_run_s" in out
+
+
+def test_warmup_cli_tts_fixture(tmp_path, capsys):
+    import json as _json
+
+    from fixtures import make_llama_tts_fixture, make_snac_fixture
+    from tpu_audio.cli import warmup
+
+    model_dir = make_llama_tts_fixture(tmp_path / "orpheus")
+    make_snac_fixture(model_dir / "snac", vq_strides=(4, 2, 1))
+    # point the checkpoint at its local codec so load_model finds it
+    import json
+
+    cfg = json.loads((model_dir / "config.json").read_text())
+    cfg["snac_repo"] = str(model_dir / "snac")
+    (model_dir / "config.json").write_text(json.dumps(cfg))
+    assert warmup.detect_task(str(model_dir)) == "tts"
+    warmup.main(["--model", str(model_dir), "--max-tokens", "14",
+                 "--cache-dir", str(tmp_path / "cache")])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["task"] == "tts"
