@@ -10,7 +10,13 @@ decode of a 30 s window.
 baseline "faster than real time": the first audio chunk must take less
 wall-clock than its own playback duration. Measures prefill + the first
 28-token LM chunk (Orpheus-3B dims, bf16) + a real-size SNAC decode of
-the resulting 4 frames.
+the resulting 4 frames. Variants: ``tts w8`` (int8 MXU decode),
+``tts band`` (audio-band lm_head).
+
+Other modes: ``qwen3tts`` (talker + code predictor + codec first chunk at
+real default dims), ``vad``, ``parakeet``, ``dfn``, ``lid``, and
+``large-v3 [kv8|kv8d|w8]`` whisper variants. Default ``all`` runs every
+north-star config and folds the rest under ``detail.also``.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -496,6 +502,47 @@ def bench_parakeet_batch(batch: int = 8, audio_seconds: float = 30.0,
     }
 
 
+def bench_lid(audio_seconds: float = 10.0, repeats: int = 5) -> dict:
+    """ECAPA-TDNN voxlingua107-geometry LID latency per 10 s clip
+    (reference: ~15 ms on M1, MLXAudioLID/README.md:7-10). Real dims
+    (channels 1024, res2net scale 8, emb 256, 107 classes ~= the 81 MB
+    checkpoint), random weights through the real from_pretrained path."""
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_ecapa_fixture
+
+    from tpu_audio.models.lid import load_model
+
+    d = Path(tempfile.mkdtemp(prefix="bench_ecapa_"))
+    make_ecapa_fixture(d, CH=1024, EMB=256, HID=512, NCLS=107, MELS=60,
+                       SCALE=8, SE=128)
+    model = load_model(str(d))
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(16000 * audio_seconds))
+             .astype(np.float32) * 0.1)
+    model.predict(audio)  # warmup/compile
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        model.predict(audio)
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1000
+    return {
+        "metric": f"ecapa_lid_{int(audio_seconds)}s_clip",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(15.0 / ms, 3),  # reference M1 ~15 ms
+        "detail": {
+            "clips_per_s": round(1000 / ms, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def bench_deepfilternet(audio_seconds: float = 10.0, repeats: int = 3,
                         dims: dict | None = None) -> dict:
     """Reference-published numbers (BASELINE.md): offline enhance of 10 s
@@ -586,6 +633,7 @@ def bench_all() -> dict:
         ("vad", bench_vad_diarization),
         ("parakeet", bench_parakeet_batch),
         ("dfn", bench_deepfilternet),
+        ("lid", bench_lid),
     ]:
         t0 = time.perf_counter()
         try:
@@ -621,6 +669,8 @@ def main():
         result = bench_parakeet_batch()
     elif mode == "dfn":
         result = bench_deepfilternet()
+    elif mode == "lid":
+        result = bench_lid()
     else:
         result = bench_whisper_rtf(mode, kv_bits=kv_bits,
                                    w8_decoder="w8" in sys.argv[2:],

@@ -1673,18 +1673,21 @@ def make_deepfilternet_fixture(path: Path, C: int = 8, E: int = 8,
     return path
 
 
-def make_ecapa_fixture(path: Path) -> Path:
-    """Tiny ECAPA-TDNN LID checkpoint (SpeechBrain-style nested keys)."""
+def make_ecapa_fixture(path: Path, CH: int = 16, EMB: int = 8, HID: int = 12,
+                       NCLS: int = 5, MELS: int = 60, SCALE: int = 4,
+                       SE: int = 8) -> Path:
+    """Tiny ECAPA-TDNN LID checkpoint (SpeechBrain-style nested keys); pass
+    ``CH=1024, EMB=256, SCALE=8, SE=128, NCLS=107`` for the real
+    voxlingua107 geometry (bench)."""
     from safetensors.numpy import save_file
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    CH, EMB, HID, NCLS, MELS, SCALE = 16, 8, 12, 5, 60, 4
     cfg = {
         "model_type": "ecapa", "input_size": MELS, "channels": CH,
         "embed_dim": EMB, "kernel_sizes": [5, 3, 3, 3, 1],
-        "dilations": [1, 2, 3, 4, 1], "attention_channels": 8,
-        "res2net_scale": SCALE, "se_channels": 8,
+        "dilations": [1, 2, 3, 4, 1], "attention_channels": SE,
+        "res2net_scale": SCALE, "se_channels": SE,
         "num_classes": NCLS, "classifier_hidden_dim": HID,
         "id2label": {str(i): f"lang{i}: Language {i}" for i in range(NCLS)},
     }
@@ -1717,11 +1720,11 @@ def make_ecapa_fixture(path: Path) -> Path:
         for i in range(SCALE - 1):
             tdnn(f"{base}.res2net_block.blocks.{i}", hidden, hidden, 3)
         tdnn(f"{base}.tdnn2", CH, CH, 1)
-        conv(f"{base}.se_block.conv1.conv", 8, CH, 1)
-        conv(f"{base}.se_block.conv2.conv", CH, 8, 1)
+        conv(f"{base}.se_block.conv1.conv", SE, CH, 1)
+        conv(f"{base}.se_block.conv2.conv", CH, SE, 1)
     tdnn(f"{em}.mfa", CH * 3, CH * 3, 1)
-    tdnn(f"{em}.asp.tdnn", 8, CH * 3, 1)
-    conv(f"{em}.asp.conv", CH * 3, 8, 1)
+    tdnn(f"{em}.asp.tdnn", SE, CH * 3, 1)
+    conv(f"{em}.asp.conv", CH * 3, SE, 1)
     bn(f"{em}.asp_bn.norm", CH * 6)
     conv(f"{em}.fc.conv", EMB, CH * 6, 1)
     bn("classifier.norm", EMB)
