@@ -320,6 +320,7 @@ def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
     params = QT.init_random_params(config, dtype=jnp.bfloat16, on_device=True)
     params = llama.fuse_projections(params)
     params["code_predictor"] = llama.fuse_projections(params["code_predictor"])
+    cp_stacked = QT.Qwen3TTS._stack_group_heads(params)
     codec_cfg = QC.Qwen3CodecDecoderConfig(**(codec_dims or {}))
     codec_params = QC.init_random_params(codec_cfg, on_device=True)
 
@@ -339,6 +340,8 @@ def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
             tcfg.head_dim, prefix_len + chunk_frames + 2, jnp.bfloat16)
         _, _, cache = QT.talker_forward(p, embeds[:, :-1], cache, tcfg)
 
+        lm_stack, emb_stack = cp_stacked
+
         def body(carry, _):
             emb, cache, rng = carry
             logits, hidden, cache = QT.talker_forward(p, emb, cache, tcfg)
@@ -350,21 +353,29 @@ def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
                 ccfg.head_dim, G + 2, jnp.bfloat16)
             c0_embed = nn.embedding(p["model"]["codec_embedding"],
                                     c0[:, None]).astype(jnp.bfloat16)
-            codes = [c0]
+            # same shape as the model's macro step: group 0 unrolled (T=2
+            # input), groups 1..G-2 as one scan body (qwen3_tts.py)
             code_input = jnp.concatenate([hidden[:, -1:], c0_embed], axis=1)
-            embed_sum = c0_embed
-            for g in range(G - 1):
-                cp_logits, cp_cache = QT.code_predictor_forward(
-                    cpp, code_input, cp_cache, g, ccfg)
+            h, cp_cache = QT._cp_hidden(cpp, code_input, cp_cache, ccfg)
+            rng, sub = jax.random.split(rng)
+            c1 = QT._sample(sub, h[:, -1] @ lm_stack[0].T.astype(h.dtype),
+                            temp, top_k, 1.0)
+            g1_embed = emb_stack[0][c1][:, None].astype(jnp.bfloat16)
+
+            def group_step(c, g):
+                code_input, cp_cache, rng = c
+                h, cp_cache = QT._cp_hidden(cpp, code_input, cp_cache, ccfg)
                 rng, sub = jax.random.split(rng)
-                cg = QT._sample(sub, cp_logits[:, -1], temp, top_k, 1.0)
-                codes.append(cg)
-                g_embed = nn.embedding(
-                    cpp["model"]["codec_embedding"][str(g)],
-                    cg[:, None]).astype(jnp.bfloat16)
-                embed_sum = embed_sum + g_embed
-                code_input = g_embed
-            return (pad_embed + embed_sum, cache, rng), jnp.stack(codes, 1)[0]
+                cg = QT._sample(sub, h[:, -1] @ lm_stack[g].T.astype(h.dtype),
+                                temp, top_k, 1.0)
+                g_embed = emb_stack[g][cg][:, None].astype(jnp.bfloat16)
+                return (g_embed, cp_cache, rng), (cg, g_embed[:, 0])
+
+            (_, cp_cache, rng), (cgs, g_embeds) = jax.lax.scan(
+                group_step, (g1_embed, cp_cache, rng), jnp.arange(1, G - 1))
+            codes = jnp.concatenate([c0[:, None], c1[:, None], cgs.T], 1)[0]
+            embed_sum = c0_embed + g1_embed + g_embeds.sum(axis=0)[:, None]
+            return (pad_embed + embed_sum, cache, rng), codes
 
         (_, cache, rng), codes = jax.lax.scan(
             body, (embeds[:, -1:], cache, rng), None, length=chunk_frames)
