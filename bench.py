@@ -660,6 +660,20 @@ def bench_all() -> dict:
 
 
 def main():
+    # Watchdog: the tunneled TPU backend can hang on init/compile when the
+    # relay is down; the driver must still get ONE json line. SIGALRM
+    # interrupts even a stuck backend init in the main thread.
+    import signal
+
+    budget = int(os.environ.get("TPU_AUDIO_BENCH_TIMEOUT_S", "3000"))
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f"bench exceeded {budget}s (TPU backend hang?)")
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(budget)
+
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     kv_bits = 8 if any(a.startswith("kv8") for a in sys.argv[2:]) else None
@@ -667,25 +681,34 @@ def main():
     qbits = (4 if "q4" in sys.argv[2:] else
              8 if "q8" in sys.argv[2:] else
              -8 if "w8" in sys.argv[2:] else None)
-    if mode == "all":
-        result = bench_all()
-    elif mode == "tts":
-        result = bench_tts_ttfb(quantize_bits=qbits,
-                                band_head="band" in sys.argv[2:])
-    elif mode == "qwen3tts":
-        result = bench_qwen3_tts_ttfb()
-    elif mode == "vad":
-        result = bench_vad_diarization()
-    elif mode == "parakeet":
-        result = bench_parakeet_batch()
-    elif mode == "dfn":
-        result = bench_deepfilternet()
-    elif mode == "lid":
-        result = bench_lid()
-    else:
-        result = bench_whisper_rtf(mode, kv_bits=kv_bits,
-                                   w8_decoder="w8" in sys.argv[2:],
-                                   dense_self=dense_self)
+    try:
+        if mode == "all":
+            result = bench_all()
+        elif mode == "tts":
+            result = bench_tts_ttfb(quantize_bits=qbits,
+                                    band_head="band" in sys.argv[2:])
+        elif mode == "qwen3tts":
+            result = bench_qwen3_tts_ttfb()
+        elif mode == "vad":
+            result = bench_vad_diarization()
+        elif mode == "parakeet":
+            result = bench_parakeet_batch()
+        elif mode == "dfn":
+            result = bench_deepfilternet()
+        elif mode == "lid":
+            result = bench_lid()
+        else:
+            result = bench_whisper_rtf(mode, kv_bits=kv_bits,
+                                       w8_decoder="w8" in sys.argv[2:],
+                                       dense_self=dense_self)
+    except BaseException as e:  # noqa: BLE001 — always emit a json line
+        result = {
+            "metric": f"{mode}_bench_failed",
+            "value": -1.0,
+            "unit": "error",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(e).__name__}: {e}"},
+        }
     print(json.dumps(result))
 
 
