@@ -74,3 +74,36 @@ def test_player_fades_and_state():
     assert events == [True, False] and done == [1]
     p.stop()
     assert p.scheduled_frames == 0 and not p.is_streaming
+
+
+def test_samples_and_pcm_stream_helpers():
+    """generateSamplesStream / generatePCMBufferStream analogs
+    (MLXAudioTTS/Generation.swift:53,79) over a stubbed generate_stream."""
+    import numpy as np
+
+    from tpu_audio.core.generation import (AudioGeneration, pcm_stream,
+                                           samples_stream)
+
+    class Stub:
+        sample_rate = 16000
+
+        def generate_stream(self, text, **kw):
+            yield AudioGeneration.from_token(3)
+            yield AudioGeneration.from_audio(
+                np.sin(np.arange(1600) * 0.05).astype(np.float32) * 0.5)
+            yield AudioGeneration.from_audio(
+                np.sin(np.arange(800) * 0.05).astype(np.float32) * 0.5)
+            yield AudioGeneration.from_progress(1.0)
+
+    chunks = list(samples_stream(Stub(), "hi"))
+    assert [len(c) for c in chunks] == [1600, 800]
+    assert all(c.dtype == np.float32 for c in chunks)
+
+    pcm = np.concatenate(list(pcm_stream(Stub(), "hi", out_rate=8000)))
+    assert pcm.dtype == np.int16
+    # 2400 samples at 16 kHz -> ~1200 at 8 kHz
+    assert abs(len(pcm) - 1200) <= 8
+    assert np.abs(pcm.astype(np.int32)).max() <= 32767
+
+    same_rate = np.concatenate(list(pcm_stream(Stub(), "hi")))
+    assert len(same_rate) == 2400

@@ -102,6 +102,48 @@ class AudioGeneration:
 AudioGenerationStream = Iterator[AudioGeneration]
 
 
+def samples_stream(model, text: str, **kwargs) -> Iterator[np.ndarray]:
+    """Yield raw float32 sample chunks from ``model.generate_stream`` —
+    the reference's ``generateSamplesStream`` default implementation
+    (MLXAudioTTS/Generation.swift:53): audio events only, tokens/info
+    dropped."""
+    for event in model.generate_stream(text, **kwargs):
+        if event.kind == AudioGenerationKind.AUDIO and event.audio is not None:
+            yield np.asarray(event.audio, np.float32)
+
+
+def pcm_stream(model, text: str, out_rate: int | None = None,
+               dtype=np.int16, **kwargs) -> Iterator[np.ndarray]:
+    """Yield playback-ready PCM chunks — the reference's
+    ``generatePCMBufferStream`` (MLXAudioTTS/Generation.swift:79): model
+    audio resampled to ``out_rate`` through the stateful
+    :class:`~tpu_audio.core.audio_stream.PCMStreamConverter` and
+    quantized to ``dtype`` (int16 by default; pass ``np.float32`` to
+    skip quantization)."""
+    from tpu_audio.core.audio_stream import PCMStreamConverter
+
+    sr = int(getattr(model, "sample_rate", 24000))
+    out_rate = int(out_rate or sr)
+    conv = PCMStreamConverter(out_rate=out_rate) if out_rate != sr else None
+
+    def emit(x: np.ndarray) -> np.ndarray | None:
+        if x.size == 0:
+            return None
+        if dtype == np.int16:
+            return (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return x.astype(dtype)
+
+    for chunk in samples_stream(model, text, **kwargs):
+        out = conv.push(chunk, sr) if conv is not None else chunk
+        pcm = emit(np.asarray(out, np.float32))
+        if pcm is not None:
+            yield pcm
+    if conv is not None:
+        pcm = emit(conv.finish())
+        if pcm is not None:
+            yield pcm
+
+
 @dataclass
 class AudioGenerateParameters:
     """TTS generation parameters (GenerationTypes.swift:108-128)."""
