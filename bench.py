@@ -645,6 +645,9 @@ def bench_all() -> dict:
         ("parakeet", bench_parakeet_batch),
         ("dfn", bench_deepfilternet),
         ("lid", bench_lid),
+        ("whisper_kv8d_w8", functools.partial(
+            bench_whisper_rtf, "large-v3", kv_bits=8, dense_self=True,
+            w8_decoder=True)),
     ]:
         t0 = time.perf_counter()
         try:
