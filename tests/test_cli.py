@@ -200,3 +200,66 @@ def test_warmup_cli_tts_fixture(tmp_path, capsys):
                  "--cache-dir", str(tmp_path / "cache")])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["task"] == "tts"
+
+
+def test_serve_stt_and_tts(tmp_path):
+    """HTTP serving surface: transcription + speech endpoints end-to-end
+    over fixture models on an ephemeral port."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    import numpy as np
+
+    from fixtures import (make_cohere_fixture, make_qwen3_tts_fixture)
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.models.stt import load_model as load_stt
+    from tpu_audio.models.tts import load_model as load_tts
+
+    def start(model, task):
+        srv = build_server(model, task, "fixture", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    stt_srv, stt_url = start(load_stt(str(make_cohere_fixture(tmp_path / "c"))),
+                             "stt")
+    try:
+        with urllib.request.urlopen(f"{stt_url}/healthz") as r:
+            assert _json.loads(r.read())["task"] == "stt"
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes((np.sin(np.arange(16000) * 0.03) * 8000)
+                          .astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{stt_url}/v1/audio/transcriptions", data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req) as r:
+            out = _json.loads(r.read())
+        assert "text" in out and "segments" in out
+    finally:
+        stt_srv.shutdown()
+
+    tts_srv, tts_url = start(
+        load_tts(str(make_qwen3_tts_fixture(tmp_path / "q"))), "tts")
+    try:
+        req = urllib.request.Request(
+            f"{tts_url}/v1/audio/speech",
+            data=_json.dumps({"input": "hello world", "max_tokens": 8,
+                              "seed": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            wav_bytes = r.read()
+        with wave.open(io.BytesIO(wav_bytes)) as w:
+            assert w.getframerate() == 24000
+            assert w.getnframes() > 0
+        # unknown route -> structured 404
+        try:
+            urllib.request.urlopen(f"{tts_url}/nope", data=b"")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        tts_srv.shutdown()

@@ -1,0 +1,179 @@
+"""Inference HTTP server: production serving surface over any model.
+
+New TPU-native surface (the reference is an on-device SDK with no server;
+SURVEY.md §2.0): a dependency-free stdlib HTTP front end over the task
+factories, suitable as the single-chip serving unit behind a load
+balancer. Endpoints follow the OpenAI audio API paths:
+
+- ``POST /v1/audio/transcriptions`` — body = raw WAV bytes
+  (``curl --data-binary @in.wav``); JSON out: text/segments/language +
+  timing. STT models.
+- ``POST /v1/audio/speech`` — JSON body ``{"input": "...", "voice": ...,
+  "max_tokens": ..., "seed": ...}``; WAV bytes out. TTS models.
+- ``POST /v1/audio/enhance`` — raw WAV in, enhanced WAV out. STS
+  enhancement models.
+- ``GET /healthz`` — liveness + model metadata.
+
+Device access is serialized with a lock (one model graph per chip);
+concurrency beyond that belongs to the mesh layer
+(``tpu_audio.parallel.serve.BatchServer``). Start with:
+
+    python -m tpu_audio.cli.serve --model DIR [--task auto] [--port 8080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import tempfile
+import threading
+import time
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ["main", "build_server"]
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = (np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+               * 32767.0).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _load_wav_body(body: bytes, target_sr: int | None):
+    from tpu_audio.core.audio_io import load_audio
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(body)
+        f.flush()
+        return load_audio(f.name, sample_rate=target_sr)
+
+
+def build_server(model, task: str, model_name: str,
+                 host: str = "127.0.0.1", port: int = 8080):
+    """Construct (but don't start) the ThreadingHTTPServer for ``model``."""
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: bytes,
+                  ctype: str = "application/json") -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode())
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "task": task,
+                                 "model": model_name})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            try:
+                if self.path == "/v1/audio/transcriptions" and task == "stt":
+                    audio, _ = _load_wav_body(
+                        self._body(), getattr(model, "sample_rate", 16000))
+                    t0 = time.perf_counter()
+                    with lock:
+                        out = model.generate(audio)
+                    self._json(200, {
+                        "text": out.text,
+                        "language": out.language,
+                        "segments": [
+                            {"text": s.text, "start": s.start, "end": s.end}
+                            for s in (out.segments or [])],
+                        "wall_s": round(time.perf_counter() - t0, 3),
+                    })
+                elif self.path == "/v1/audio/speech" and task == "tts":
+                    req = json.loads(self._body() or b"{}")
+                    params = model.default_generation_parameters()
+                    if req.get("max_tokens"):
+                        params.max_tokens = int(req["max_tokens"])
+                    if req.get("seed") is not None:
+                        params.seed = int(req["seed"])
+                    with lock:
+                        wav = model.generate(
+                            req.get("input", ""), voice=req.get("voice"),
+                            generation_parameters=params)
+                    self._send(200, _wav_bytes(wav, model.sample_rate),
+                               "audio/wav")
+                elif self.path == "/v1/audio/enhance" and task == "sts":
+                    audio, sr = _load_wav_body(
+                        self._body(), getattr(model, "sample_rate", None))
+                    with lock:
+                        out = model.enhance(audio)
+                    self._send(200, _wav_bytes(out, sr), "audio/wav")
+                else:
+                    self._json(404, {"error":
+                                     f"no route {self.path} for task {task}"})
+            except Exception as e:  # noqa: BLE001 — report, don't kill server
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        "tpu-audio-serve", description=__doc__.splitlines()[0])
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--task", default="auto",
+                        choices=("auto", "stt", "tts", "sts"))
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--warmup", action="store_true",
+                        help="precompile steady-state graphs before "
+                             "accepting traffic (cli.warmup)")
+    args = parser.parse_args(argv)
+
+    from tpu_audio.core import hub
+
+    model_dir = hub.resolve_or_download_model(args.model)
+    task = args.task
+    if task == "auto":
+        from tpu_audio.cli.warmup import detect_task
+
+        task = detect_task(model_dir)
+        if task not in ("stt", "tts", "sts"):
+            raise SystemExit("cannot infer a servable task; pass --task")
+
+    import importlib
+
+    model = importlib.import_module(
+        f"tpu_audio.models.{task}").load_model(model_dir)
+    if args.warmup:
+        from tpu_audio.cli import warmup as W
+
+        ns = argparse.Namespace(seconds=30.0, text="Warm up.",
+                                max_tokens=256, verify=False)
+        W._drive(task, model, ns)
+    server = build_server(model, task, args.model, args.host, args.port)
+    print(json.dumps({"serving": args.model, "task": task,
+                      "addr": f"http://{args.host}:{args.port}"}))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
