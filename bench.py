@@ -224,7 +224,10 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     def first_chunk(p, band_params, snac_p, prompt_ids, rng):
         cache = llama.make_cache(cfg, 1, bucket + chunk_tokens + 2,
                                  jnp.bfloat16)
-        _, cache = llama.forward(p, prompt_ids[:, :-1], cache, cfg)
+        # band mode skips the discarded full-vocab prefill logits, matching
+        # the llama_tts prefill path
+        _, cache = llama.forward(p, prompt_ids[:, :-1], cache, cfg,
+                                 return_hidden=band_params is not None)
         tokens = jnp.zeros((chunk_tokens,), jnp.int32)
 
         def body(c, _):

@@ -38,14 +38,14 @@ __all__ = ["main", "build_server"]
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    from tpu_audio.core.audio_io import float_to_pcm16
+
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        pcm = (np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-               * 32767.0).astype("<i2")
-        w.writeframes(pcm.tobytes())
+        w.writeframes(float_to_pcm16(audio).tobytes())
     return buf.getvalue()
 
 
@@ -80,9 +80,12 @@ def build_server(model, task: str, model_name: str,
         def _json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode())
 
-        def _body(self) -> bytes:
-            n = int(self.headers.get("Content-Length") or 0)
-            return self.rfile.read(n)
+        def _body(self) -> bytes | None:
+            """Request body, or None when no Content-Length was sent
+            (chunked encoding would desync the keep-alive connection)."""
+            if self.headers.get("Content-Length") is None:
+                return None
+            return self.rfile.read(int(self.headers["Content-Length"]))
 
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
@@ -93,9 +96,14 @@ def build_server(model, task: str, model_name: str,
 
         def do_POST(self):  # noqa: N802 — http.server API
             try:
+                body = self._body()
+                if body is None:
+                    self.close_connection = True
+                    self._json(411, {"error": "Content-Length required"})
+                    return
                 if self.path == "/v1/audio/transcriptions" and task == "stt":
                     audio, _ = _load_wav_body(
-                        self._body(), getattr(model, "sample_rate", 16000))
+                        body, getattr(model, "sample_rate", 16000))
                     t0 = time.perf_counter()
                     with lock:
                         out = model.generate(audio)
@@ -108,9 +116,9 @@ def build_server(model, task: str, model_name: str,
                         "wall_s": round(time.perf_counter() - t0, 3),
                     })
                 elif self.path == "/v1/audio/speech" and task == "tts":
-                    req = json.loads(self._body() or b"{}")
+                    req = json.loads(body or b"{}")
                     params = model.default_generation_parameters()
-                    if req.get("max_tokens"):
+                    if req.get("max_tokens") is not None:
                         params.max_tokens = int(req["max_tokens"])
                     if req.get("seed") is not None:
                         params.seed = int(req["seed"])
@@ -122,7 +130,7 @@ def build_server(model, task: str, model_name: str,
                                "audio/wav")
                 elif self.path == "/v1/audio/enhance" and task == "sts":
                     audio, sr = _load_wav_body(
-                        self._body(), getattr(model, "sample_rate", None))
+                        body, getattr(model, "sample_rate", None))
                     with lock:
                         out = model.enhance(audio)
                     self._send(200, _wav_bytes(out, sr), "audio/wav")

@@ -102,6 +102,13 @@ def warm_model(model_dir: str, task: str, args) -> dict:
     out = {"task": task, "load_s": round(load_s, 2),
            "compile_and_run_s": round(cold_s, 2)}
     if args.verify:
+        # drop the in-process executable cache so the verify run exercises
+        # the PERSISTENT cache deserialization path — the thing a shipped
+        # container will actually hit (a read-only/failed cache dir would
+        # otherwise go unnoticed behind the in-memory hit)
+        import jax
+
+        jax.clear_caches()
         t2 = time.perf_counter()
         _drive(task, model, args)
         out["warm_run_s"] = round(time.perf_counter() - t2, 2)

@@ -115,14 +115,21 @@ def load_audio(
     return np.ascontiguousarray(x, np.float32), sr
 
 
+def float_to_pcm16(audio: np.ndarray) -> np.ndarray:
+    """float [-1, 1] -> little-endian int16, the one conversion every
+    writer shares (save_wav, the HTTP server, pcm_stream) so outputs are
+    byte-identical across surfaces."""
+    return np.round(np.clip(np.asarray(audio), -1.0, 1.0)
+                    * 32767.0).astype("<i2")
+
+
 def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write float32 audio ([-1, 1], shape [T] or [T, C]) as 16-bit PCM WAV
     (reference AudioUtils.writeWavFile, AudioUtils.swift:31)."""
     audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[:, None]
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = np.round(pcm * 32767.0).astype("<i2")
+    pcm = float_to_pcm16(audio)
     with wave.open(os.fspath(path), "wb") as w:
         w.setnchannels(audio.shape[1])
         w.setsampwidth(2)

@@ -130,7 +130,9 @@ def pcm_stream(model, text: str, out_rate: int | None = None,
         if x.size == 0:
             return None
         if dtype == np.int16:
-            return (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+            from tpu_audio.core.audio_io import float_to_pcm16
+
+            return float_to_pcm16(x)
         return x.astype(dtype)
 
     for chunk in samples_stream(model, text, **kwargs):

@@ -114,7 +114,11 @@ class LlamaTTS:
         cfg = config
 
         def prefill(params, ids, cache):
-            return llama.forward(params, ids, cache, cfg)
+            # band mode: hidden states only — the full-vocab logits matmul
+            # over the whole prompt would be discarded anyway (and the
+            # dense lm_head is dropped from the band params tree)
+            return llama.forward(params, ids, cache, cfg,
+                                 return_hidden=self.audio_band_head)
 
         self._prefill = jax.jit(prefill, donate_argnums=(2,))
 
@@ -131,11 +135,21 @@ class LlamaTTS:
             T = tokens
             band = T.audio_token_offset + np.arange(7 * T.codebook_size)
             rows = np.concatenate([band, [T.end_of_speech]]).astype(np.int32)
+            if cfg.vocab_size <= int(rows.max()):
+                # jnp gather clamps out-of-range rows silently — fail fast
+                raise ValueError(
+                    f"audio_band_head needs vocab_size > {int(rows.max())} "
+                    f"(got {cfg.vocab_size}); token table doesn't cover "
+                    f"the audio band")
             head = (params["lm_head"]
                     if "lm_head" in params and not cfg.tie_word_embeddings
                     else params["model"]["embed_tokens"])
             self.params = dict(params)
             self.params["band_head"] = quant.slice_rows(head, rows)
+            if "lm_head" in self.params and not cfg.tie_word_embeddings:
+                # the sliced head fully replaces it in decode, and band-mode
+                # prefill returns hidden states only — drop ~1 GB of HBM
+                del self.params["lm_head"]
             band_size = 7 * T.codebook_size
 
             def step_fn(params, tok, cache):

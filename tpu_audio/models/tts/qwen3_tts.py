@@ -319,10 +319,12 @@ class Qwen3TTS:
         # copies — ~7x smaller macro-step graph (minutes off the cold
         # compile), bit-identical sampling. Quantized checkpoints keep the
         # per-group dict path (QuantizedTensor leaves don't stack).
-        self._cp_stacked = self._stack_group_heads(params)
+        self._cp_stacked = self._stack_group_heads(
+            params, num_code_groups=tcfg.num_code_groups)
 
     @staticmethod
-    def _stack_group_heads(params) -> tuple | None:
+    def _stack_group_heads(params, num_code_groups: int | None = None
+                           ) -> tuple | None:
         cp = params.get("code_predictor") or {}
         lm = cp.get("lm_head")
         ce = (cp.get("model") or {}).get("codec_embedding")
@@ -330,6 +332,14 @@ class Qwen3TTS:
                 and lm and "weight" not in lm):
             return None
         n = len(lm)
+        if num_code_groups is not None and n != num_code_groups - 1:
+            # the dict loop would KeyError at trace time; fail just as
+            # loudly here instead of letting the scan's clamped gather
+            # decode the tail groups with the wrong head
+            raise AudioGenerationError(
+                f"checkpoint has {n} code-predictor heads but config "
+                f"num_code_groups={num_code_groups} needs "
+                f"{num_code_groups - 1}")
         if not all(str(i) in lm and str(i) in ce for i in range(n)):
             return None
         if any(set(lm[str(i)]) != {"weight"} or set(ce[str(i)]) != {"weight"}
