@@ -225,3 +225,36 @@ def test_tensor_parallel_stop_token():
     if len(full) > 1:
         stopped = tp.generate([5, 6], max_new=8, stop_token=full[0])
         assert stopped == []  # crops strictly before the stop token
+
+
+def test_pipeline_parallel_matches_single_device():
+    """GPipe stage pipeline (ppermute over the 'stage' axis) is numerically
+    identical to the plain stacked-layer forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_audio.models import llama
+    from tpu_audio.parallel.mesh import make_mesh
+    from tpu_audio.parallel.pipeline import pipeline_forward
+
+    cfg = llama.LlamaConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=8,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, max_position_embeddings=64)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 96, (4, 12)), jnp.int32)
+
+    want, _ = llama.forward(params, tokens, None, cfg)
+
+    mesh = make_mesh(4, axes=("stage",))
+    got = pipeline_forward(params, tokens, cfg, mesh, n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # 8 stages x 4 microbatches, batch not equal to microbatches
+    mesh8 = make_mesh(8, axes=("stage",))
+    got8 = pipeline_forward(params, tokens, cfg, mesh8, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -190,6 +190,71 @@ def _rope_tables(cfg: LlamaConfig, positions: jnp.ndarray):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def layer_forward(x, lp, cfg: LlamaConfig, cos, sin, *, mask=None,
+                  attn_mask=None, causal: bool = True, kv_update=None):
+    """One decoder layer on ``x [B, T, D]``; ``kv_update(k, v)`` (optional)
+    returns the full-capacity K/V views for attention and stashes the cache
+    write. Shared by :func:`forward` and the pipeline-parallel stage
+    runner (parallel/pipeline.py)."""
+    b, t = x.shape[:2]
+    n_heads, n_kv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.resolved_head_dim)
+    h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    ap = lp["self_attn"]
+    if "qkv_proj" in ap:
+        qkv = nn.linear(ap["qkv_proj"], h)
+        nq, nk = n_heads * hd, n_kv * hd
+        q = qkv[..., :nq].reshape(b, t, n_heads, hd)
+        k = qkv[..., nq:nq + nk].reshape(b, t, n_kv, hd)
+        v = qkv[..., nq + nk:].reshape(b, t, n_kv, hd)
+    else:
+        q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
+        k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
+        v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
+    if cfg.qk_norm:
+        q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps)
+        k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q = nn.apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
+    k = nn.apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
+    if kv_update is not None:
+        k_full, v_full = kv_update(k, v)
+        o = nn.sdpa(q, k_full, v_full, mask=mask,
+                    scale=cfg.attention_multiplier)
+    else:
+        o = nn.sdpa(q, k, v, mask=attn_mask,
+                    is_causal=causal and attn_mask is None,
+                    scale=cfg.attention_multiplier)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
+    x = x + nn.linear(ap["o_proj"], o) * cfg.residual_multiplier
+
+    h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    mp = lp["mlp"]
+    if "gate_up_proj" in mp:
+        gu = nn.linear(mp["gate_up_proj"], h)
+        ffn = gu.shape[-1] // 2
+        act = nn.silu(gu[..., :ffn]) * gu[..., ffn:]
+    else:
+        act = nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(
+            mp["up_proj"], h)
+    x = x + nn.linear(mp["down_proj"], act) * cfg.residual_multiplier
+    return x
+
+
+def layers_apply(layers_stacked, x, cfg: LlamaConfig, cos, sin,
+                 attn_mask=None, causal: bool = True):
+    """Cache-less scan over a stacked ``[L, ...]`` layer tree — the
+    building block a pipeline stage runs over its local layer slice."""
+    def layer(x, lp):
+        return layer_forward(x, lp, cfg, cos, sin, attn_mask=attn_mask,
+                             causal=causal), None
+
+    x, _ = jax.lax.scan(layer, x, layers_stacked)
+    return x
+
+
 def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
             inputs_embeds=None, return_hidden: bool = False,
             attn_mask=None, causal: bool = True):
@@ -226,50 +291,9 @@ def forward(params, tokens, cache: kv_cache.KVCache | None, cfg: LlamaConfig,
     stacked = not _is_per_layer_dict(p["layers"])
 
     def attn_mlp(x, lp, kv_update):
-        """One decoder layer; ``kv_update(k, v)`` returns the full-capacity
-        K/V views for attention (and stashes the cache write)."""
-        h = nn.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        ap = lp["self_attn"]
-        if "qkv_proj" in ap:
-            qkv = nn.linear(ap["qkv_proj"], h)
-            nq, nk = n_heads * hd, n_kv * hd
-            q = qkv[..., :nq].reshape(b, t, n_heads, hd)
-            k = qkv[..., nq:nq + nk].reshape(b, t, n_kv, hd)
-            v = qkv[..., nq + nk:].reshape(b, t, n_kv, hd)
-        else:
-            q = nn.linear(ap["q_proj"], h).reshape(b, t, n_heads, hd)
-            k = nn.linear(ap["k_proj"], h).reshape(b, t, n_kv, hd)
-            v = nn.linear(ap["v_proj"], h).reshape(b, t, n_kv, hd)
-        if cfg.qk_norm:
-            q = nn.rms_norm(ap["q_norm"], q, cfg.rms_norm_eps)
-            k = nn.rms_norm(ap["k_norm"], k, cfg.rms_norm_eps)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        q = nn.apply_rope(q, cos, sin, interleaved=cfg.rope_interleaved)
-        k = nn.apply_rope(k, cos, sin, interleaved=cfg.rope_interleaved)
-        if kv_update is not None:
-            k_full, v_full = kv_update(k, v)
-            o = nn.sdpa(q, k_full, v_full, mask=mask,
-                        scale=cfg.attention_multiplier)
-        else:
-            o = nn.sdpa(q, k, v, mask=attn_mask,
-                        is_causal=causal and attn_mask is None,
-                        scale=cfg.attention_multiplier)
-        o = o.transpose(0, 2, 1, 3).reshape(b, t, n_heads * hd)
-        x = x + nn.linear(ap["o_proj"], o) * cfg.residual_multiplier
-
-        h = nn.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        mp = lp["mlp"]
-        if "gate_up_proj" in mp:
-            gu = nn.linear(mp["gate_up_proj"], h)
-            ffn = gu.shape[-1] // 2
-            act = nn.silu(gu[..., :ffn]) * gu[..., ffn:]
-        else:
-            act = nn.silu(nn.linear(mp["gate_proj"], h)) * nn.linear(
-                mp["up_proj"], h)
-        x = x + nn.linear(mp["down_proj"], act) * cfg.residual_multiplier
-        return x
+        return layer_forward(x, lp, cfg, cos, sin, mask=mask,
+                             attn_mask=attn_mask, causal=causal,
+                             kv_update=kv_update)
 
     if stacked:
         # scan over the stacked layer axis: one compiled layer body
