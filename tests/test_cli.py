@@ -261,5 +261,23 @@ def test_serve_stt_and_tts(tmp_path):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # chunked streaming speech: raw PCM16 frames, nonzero length
+        req = urllib.request.Request(
+            f"{tts_url}/v1/audio/speech/stream",
+            data=_json.dumps({"input": "hello again", "max_tokens": 8,
+                              "seed": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            ctype = r.headers["Content-Type"]
+            assert ctype.startswith("audio/L16")
+            pcm = r.read()  # urllib de-chunks for us
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        # prometheus metrics reflect the traffic above
+        with urllib.request.urlopen(f"{tts_url}/metrics") as r:
+            text = r.read().decode()
+        assert 'tpu_audio_requests_total{route="/v1/audio/speech"} 1' in text
+        assert ('tpu_audio_requests_total{route="/v1/audio/speech/stream"} 1'
+                in text)
+        assert 'tpu_audio_errors_total{route="/nope"} 1' in text
     finally:
         tts_srv.shutdown()

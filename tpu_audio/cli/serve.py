@@ -10,9 +10,15 @@ balancer. Endpoints follow the OpenAI audio API paths:
   timing. STT models.
 - ``POST /v1/audio/speech`` — JSON body ``{"input": "...", "voice": ...,
   "max_tokens": ..., "seed": ...}``; WAV bytes out. TTS models.
+- ``POST /v1/audio/speech/stream`` — same body as /speech; response is
+  **chunked raw PCM16** (``Content-Type: audio/L16; rate=<sr>``): each
+  synthesized audio chunk flushes as soon as the model emits it, so
+  playback can start at time-to-first-chunk instead of full synthesis.
 - ``POST /v1/audio/enhance`` — raw WAV in, enhanced WAV out. STS
   enhancement models.
 - ``GET /healthz`` — liveness + model metadata.
+- ``GET /metrics`` — Prometheus text format: per-route request/error
+  counts and wall-time totals.
 
 Device access is serialized with a lock (one model graph per chip);
 concurrency beyond that belongs to the mesh layer
@@ -58,10 +64,46 @@ def _load_wav_body(body: bytes, target_sr: int | None):
         return load_audio(f.name, sample_rate=target_sr)
 
 
+class _Metrics:
+    """Per-route counters in Prometheus text exposition format."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests: dict[str, int] = {}
+        self.errors: dict[str, int] = {}
+        self.wall: dict[str, float] = {}
+
+    def observe(self, route: str, seconds: float, error: bool) -> None:
+        with self._lock:
+            self.requests[route] = self.requests.get(route, 0) + 1
+            self.wall[route] = self.wall.get(route, 0.0) + seconds
+            if error:
+                self.errors[route] = self.errors.get(route, 0) + 1
+
+    def render(self) -> str:
+        lines = [
+            "# TYPE tpu_audio_requests_total counter",
+            "# TYPE tpu_audio_errors_total counter",
+            "# TYPE tpu_audio_request_seconds_total counter",
+        ]
+        with self._lock:
+            for route, n in sorted(self.requests.items()):
+                lines.append(
+                    f'tpu_audio_requests_total{{route="{route}"}} {n}')
+                lines.append(
+                    f'tpu_audio_request_seconds_total{{route="{route}"}} '
+                    f'{self.wall[route]:.6f}')
+            for route, n in sorted(self.errors.items()):
+                lines.append(
+                    f'tpu_audio_errors_total{{route="{route}"}} {n}')
+        return "\n".join(lines) + "\n"
+
+
 def build_server(model, task: str, model_name: str,
                  host: str = "127.0.0.1", port: int = 8080):
     """Construct (but don't start) the ThreadingHTTPServer for ``model``."""
     lock = threading.Lock()
+    metrics = _Metrics()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -87,18 +129,42 @@ def build_server(model, task: str, model_name: str,
                 return None
             return self.rfile.read(int(self.headers["Content-Length"]))
 
+        def _stream_chunks(self, ctype: str, chunks) -> None:
+            """Chunked transfer encoding: flush each piece as it arrives."""
+            self._streaming = True
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for piece in chunks:
+                data = bytes(piece)
+                if not data:
+                    continue
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "task": task,
                                  "model": model_name})
+            elif self.path == "/metrics":
+                self._send(200, metrics.render().encode(),
+                           "text/plain; version=0.0.4")
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802 — http.server API
+            t_start = time.perf_counter()
+            failed = False
+            self._streaming = False
             try:
                 body = self._body()
                 if body is None:
                     self.close_connection = True
+                    failed = True
                     self._json(411, {"error": "Content-Length required"})
                     return
                 if self.path == "/v1/audio/transcriptions" and task == "stt":
@@ -115,19 +181,38 @@ def build_server(model, task: str, model_name: str,
                             for s in (out.segments or [])],
                         "wall_s": round(time.perf_counter() - t0, 3),
                     })
-                elif self.path == "/v1/audio/speech" and task == "tts":
+                elif (self.path in ("/v1/audio/speech",
+                                    "/v1/audio/speech/stream")
+                      and task == "tts"):
                     req = json.loads(body or b"{}")
                     params = model.default_generation_parameters()
                     if req.get("max_tokens") is not None:
                         params.max_tokens = int(req["max_tokens"])
                     if req.get("seed") is not None:
                         params.seed = int(req["seed"])
-                    with lock:
-                        wav = model.generate(
-                            req.get("input", ""), voice=req.get("voice"),
-                            generation_parameters=params)
-                    self._send(200, _wav_bytes(wav, model.sample_rate),
-                               "audio/wav")
+                    if self.path.endswith("/stream"):
+                        from tpu_audio.core.audio_io import float_to_pcm16
+                        from tpu_audio.core.generation import samples_stream
+
+                        sr = model.sample_rate
+
+                        def pcm_chunks():
+                            with lock:
+                                for chunk in samples_stream(
+                                        model, req.get("input", ""),
+                                        voice=req.get("voice"),
+                                        generation_parameters=params):
+                                    yield float_to_pcm16(chunk).tobytes()
+
+                        self._stream_chunks(f"audio/L16; rate={sr}",
+                                            pcm_chunks())
+                    else:
+                        with lock:
+                            wav = model.generate(
+                                req.get("input", ""), voice=req.get("voice"),
+                                generation_parameters=params)
+                        self._send(200, _wav_bytes(wav, model.sample_rate),
+                                   "audio/wav")
                 elif self.path == "/v1/audio/enhance" and task == "sts":
                     audio, sr = _load_wav_body(
                         body, getattr(model, "sample_rate", None))
@@ -135,10 +220,21 @@ def build_server(model, task: str, model_name: str,
                         out = model.enhance(audio)
                     self._send(200, _wav_bytes(out, sr), "audio/wav")
                 else:
+                    failed = True
                     self._json(404, {"error":
                                      f"no route {self.path} for task {task}"})
             except Exception as e:  # noqa: BLE001 — report, don't kill server
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                failed = True
+                if self._streaming:
+                    # headers already sent: a JSON 500 here would corrupt
+                    # the chunked body — drop the connection instead, which
+                    # the client sees as a truncated (invalid) stream.
+                    self.close_connection = True
+                else:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                metrics.observe(self.path, time.perf_counter() - t_start,
+                                failed)
 
     return ThreadingHTTPServer((host, port), Handler)
 
