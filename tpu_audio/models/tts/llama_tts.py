@@ -121,6 +121,7 @@ class LlamaTTS:
                                  return_hidden=self.audio_band_head)
 
         self._prefill = jax.jit(prefill, donate_argnums=(2,))
+        self._prefill_fn = prefill  # unjitted: parallel.continuous wraps it
 
         if self.audio_band_head:
             # Decode-time lm_head restricted to the 7x4096 audio band +

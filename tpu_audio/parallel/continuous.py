@@ -18,9 +18,9 @@ batching re-designed for XLA's static-shape compilation model):
 - **Per-row caches via vmap**: each lane's cache is an ordinary
   batch=1 :class:`~tpu_audio.core.kv_cache.KVCache` with its own
   traced ``offset``; the engine stacks them on a leading slot axis and
-  ``jax.vmap``s the stock :func:`tpu_audio.models.llama.forward` over
-  it. Per-row offsets/rope/masks fall out for free and the model code
-  is untouched — the batched GEMVs feed the MXU ``slots`` rows at a
+  ``jax.vmap``s the model's single-stream ``step_fn`` over it. Per-row
+  offsets/rope/masks fall out for free and the model code is
+  untouched — the batched GEMVs feed the MXU ``slots`` rows at a
   time, amortizing the HBM weight sweep that dominates single-stream
   decode.
 - **Composition-independent sampling**: each step's RNG key is
@@ -28,6 +28,12 @@ batching re-designed for XLA's static-shape compilation model):
   function of the request — NOT of the slot it landed in or who else
   is in the batch. A request's sampled tokens are bit-reproducible
   whether it runs alone or packed with others (tested).
+- **Same decode semantics as the offline loop**: the per-step pipeline
+  (repetition penalty over a logits-space ring history → sample →
+  record raw index → ``token_map`` to the model's id space → stop
+  compare) mirrors ``core.ar_loop.make_decode_chunk`` exactly, so a
+  model's restricted output head (e.g. the Orpheus audio-band head)
+  and its sampling knobs behave identically under the server.
 
 Reference scope note: the closest reference capability is Parakeet's
 intra-model ``generateBatch`` (ParakeetModel.swift:168-198), which
@@ -39,17 +45,16 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.core import kv_cache
-from tpu_audio.core.sampling import SamplingParams
+from tpu_audio.core.sampling import SamplingParams, apply_repetition_penalty
 from tpu_audio.models import llama
 
-__all__ = ["ContinuousBatcher", "GenRequest"]
+__all__ = ["ContinuousBatcher", "ContinuousTTS", "GenRequest"]
 
 
 @dataclasses.dataclass
@@ -65,18 +70,20 @@ class GenRequest:
 
 
 class _BatchState(NamedTuple):
-    cache: kv_cache.KVCache  # leaves stacked [slots, ...]
-    last: jnp.ndarray        # [slots] int32 — last sampled token per lane
+    cache: object            # per-lane cache pytree, leaves [slots, ...]
+    last: jnp.ndarray        # [slots] int32 — next input token per lane
     active: jnp.ndarray      # [slots] bool
     n_new: jnp.ndarray       # [slots] int32 — tokens sampled so far
     max_new: jnp.ndarray     # [slots] int32 — per-request budget
     seeds: jnp.ndarray       # [slots] int32 — request RNG seeds
+    hist: jnp.ndarray        # [slots, H] int32 — logits-space ring buffer
+    hpos: jnp.ndarray        # [slots] int32 — ring write position
 
 
 def _sample_one(logits: jnp.ndarray, key, s: SamplingParams) -> jnp.ndarray:
     """Sample one token from ``logits [V]`` (same distribution as
-    core.ar_loop's chunked decoder, minus the repetition penalty)."""
-    logits = logits.astype(jnp.float32)
+    core.ar_loop's chunked decoder; the repetition penalty is applied by
+    the caller on the batched logits)."""
     if s.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if s.top_k and s.top_k > 0 and s.min_p == 0.0:
@@ -101,7 +108,7 @@ def _sample_one(logits: jnp.ndarray, key, s: SamplingParams) -> jnp.ndarray:
 
 
 class ContinuousBatcher:
-    """Slot-based continuous batching over a llama-family LM.
+    """Slot-based continuous batching over a single-stream decode step.
 
     >>> eng = ContinuousBatcher(params, cfg, slots=4, max_len=512,
     ...                         stop_token=eos)
@@ -109,29 +116,63 @@ class ContinuousBatcher:
     >>> for request_id, token in eng.run():
     ...     ...                         # tokens stream out as lanes step
 
-    ``params`` is a (stacked-layer) llama parameter tree; ``sampling``
-    selects greedy/temperature/top-k/top-p exactly as the offline
-    decode loop does. ``prefill_buckets`` are the compiled prompt
-    lengths; prompts longer than the largest bucket pad up to the next
-    multiple of it.
+    By default the engine decodes a (stacked-layer) llama parameter
+    tree with the full-vocab head. Custom models plug in via the
+    ``core.ar_loop`` contract:
+
+    - ``step_fn(params, tokens [1, 1], cache) -> (logits [1, V], cache)``
+    - ``prefill_fn(params, ids [1, T], cache) -> (_, cache)``
+    - ``cache_factory(valid_from) ->`` a fresh batch=1 cache
+    - ``token_map``: sampled logits-space index -> model token id
+      (restricted heads); the repetition history stays in logits space.
+
+    ``sampling`` selects greedy/temperature/top-k/top-p/repetition
+    penalty exactly as the offline decode loop does. ``prefill_buckets``
+    are the compiled prompt lengths; prompts longer than the largest
+    bucket pad up to the next multiple of it.
     """
 
-    def __init__(self, params, cfg: llama.LlamaConfig, *, slots: int = 4,
-                 max_len: int = 1024, stop_token: int = -1,
+    def __init__(self, params, cfg: llama.LlamaConfig | None = None, *,
+                 slots: int = 4, max_len: int = 1024, stop_token: int = -1,
                  sampling: SamplingParams | None = None,
                  prefill_buckets: tuple[int, ...] = (32, 64, 128, 256),
-                 seed: int = 0, cache_dtype=None):
+                 seed: int = 0, cache_dtype=None,
+                 step_fn: Callable | None = None,
+                 prefill_fn: Callable | None = None,
+                 cache_factory: Callable | None = None,
+                 token_map: Callable | None = None,
+                 pad_token: int = 0):
         self.params = params
-        self.cfg = cfg
         self.slots = int(slots)
         self.max_len = int(max_len)
         self.stop_token = int(stop_token)
         self.sampling = sampling or SamplingParams(temperature=0.0)
         self.buckets = tuple(sorted(prefill_buckets))
+        self.pad_token = int(pad_token)
+        self.history_size = max(1, self.sampling.repetition_context_size) \
+            if self.sampling.repetition_penalty != 1.0 else 1
         if cache_dtype is None:
             lead = jax.tree.leaves(params)[0]
             cache_dtype = lead.dtype
-        self.cache_dtype = cache_dtype
+
+        if step_fn is None:
+            if cfg is None:
+                raise ValueError("pass cfg for the default llama step")
+
+            def step_fn(params, tok, cache):
+                logits, cache = llama.forward(params, tok, cache, cfg)
+                return logits[:, -1], cache
+
+        if prefill_fn is None:
+            prefill_fn = functools.partial(
+                lambda params, ids, cache, cfg: llama.forward(
+                    params, ids, cache, cfg), cfg=cfg)
+        if cache_factory is None:
+            def cache_factory(valid_from):
+                return llama.make_cache(cfg, 1, self.max_len,
+                                        dtype=cache_dtype,
+                                        valid_from=valid_from)
+        self._cache_factory = cache_factory
         self._base_key = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._pending: list[GenRequest] = []
@@ -140,53 +181,65 @@ class ContinuousBatcher:
         self._state = self._init_state()
 
         sample = functools.partial(_sample_one, s=self.sampling)
+        H = self.history_size
+        penalty = self.sampling.repetition_penalty
 
         def step_key(req_seed, sample_idx):
             return jax.random.fold_in(
                 jax.random.fold_in(self._base_key, req_seed), sample_idx)
 
         def row_step(cache, tok):
-            logits, cache = llama.forward(
-                self.params, tok[None, None], cache, cfg)
-            return logits[0, -1], cache
+            logits, cache = step_fn(self.params, tok[None, None], cache)
+            return logits[0], cache
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def decode_step(state: _BatchState):
             old_offset = state.cache.offset
             logits, cache = jax.vmap(row_step)(state.cache, state.last)
+            logits = logits.astype(jnp.float32)
+            if penalty != 1.0:
+                valid = (
+                    jax.lax.broadcasted_iota(jnp.int32, state.hist.shape, 1)
+                    < jnp.minimum(state.hpos, H)[:, None])
+                logits = apply_repetition_penalty(
+                    logits, state.hist, valid, penalty)
             keys = jax.vmap(step_key)(state.seeds, state.n_new)
-            toks = jax.vmap(sample)(logits, keys)
+            idx = jax.vmap(sample)(logits, keys)
+            rows = jnp.arange(self.slots)
+            slot_pos = state.hpos % H
+            hist = state.hist.at[rows, slot_pos].set(
+                jnp.where(state.active, idx, state.hist[rows, slot_pos]))
+            toks = token_map(idx) if token_map is not None else idx
             toks = jnp.where(state.active, toks, state.last)
             # freeze idle lanes: their garbage KV write landed at the
             # (unattended) old offset; keep it unattended
             offset = jnp.where(state.active, old_offset + 1, old_offset)
             cache = cache._replace(offset=offset)
             n_new = state.n_new + state.active.astype(jnp.int32)
+            hpos = state.hpos + state.active.astype(jnp.int32)
             active = (state.active
                       & (toks != self.stop_token)
                       & (n_new < state.max_new)
                       & (offset < self.max_len))
             return state._replace(cache=cache, last=toks, active=active,
-                                  n_new=n_new), toks
+                                  n_new=n_new, hist=hist, hpos=hpos), toks
 
         self._decode_step = decode_step
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def prefill(tokens, pad: int, req_seed):
-            cache = llama.make_cache(cfg, 1, self.max_len,
-                                     dtype=self.cache_dtype,
-                                     valid_from=0)
-            cache = cache._replace(valid_from=jnp.asarray(pad, jnp.int32))
-            logits, cache = llama.forward(
-                self.params, tokens[None], cache, cfg)
-            tok = sample(logits[0, -1], step_key(req_seed, 0))
-            return cache, tok
+        @jax.jit
+        def prefill(tokens, valid_from):
+            cache = self._cache_factory(0)
+            cache = jax.tree.map(jnp.asarray, cache)
+            cache = cache._replace(
+                valid_from=jnp.asarray(valid_from, jnp.int32))
+            _, cache = prefill_fn(self.params, tokens[None], cache)
+            return cache
 
         self._prefill = prefill
 
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnums=(2,))
-        def insert(state: _BatchState, row_cache, slot: int, tok,
+        def insert(state: _BatchState, row_cache, slot: int, last_tok,
                    max_new, req_seed):
             def put(stacked, row):
                 row = jnp.asarray(row)
@@ -197,30 +250,33 @@ class ContinuousBatcher:
             cache = jax.tree.map(put, state.cache, row_cache)
             return state._replace(
                 cache=cache,
-                last=state.last.at[slot].set(tok),
+                last=state.last.at[slot].set(last_tok),
                 active=state.active.at[slot].set(
-                    (tok != self.stop_token) & (max_new > 1)
-                    & (row_cache.offset < self.max_len)),
-                n_new=state.n_new.at[slot].set(1),
+                    (max_new > 0) & (row_cache.offset < self.max_len)),
+                n_new=state.n_new.at[slot].set(0),
                 max_new=state.max_new.at[slot].set(max_new),
-                seeds=state.seeds.at[slot].set(req_seed))
+                seeds=state.seeds.at[slot].set(req_seed),
+                hist=state.hist.at[slot].set(0),
+                hpos=state.hpos.at[slot].set(0))
 
         self._insert = insert
 
     # -- state ---------------------------------------------------------
 
     def _init_state(self) -> _BatchState:
-        row = llama.make_cache(self.cfg, 1, self.max_len,
-                               dtype=self.cache_dtype)
+        row = jax.tree.map(jnp.asarray, self._cache_factory(0))
         cache = jax.tree.map(
             lambda x: jnp.zeros((self.slots,) + x.shape, x.dtype), row)
-        def zeros():
+
+        def zeros(*shape):
             # distinct buffers: donated states must not alias leaves
-            return jnp.zeros((self.slots,), jnp.int32)
+            return jnp.zeros(shape or (self.slots,), jnp.int32)
 
         return _BatchState(cache=cache, last=zeros(),
                            active=jnp.zeros((self.slots,), bool),
-                           n_new=zeros(), max_new=zeros(), seeds=zeros())
+                           n_new=zeros(), max_new=zeros(), seeds=zeros(),
+                           hist=zeros(self.slots, self.history_size),
+                           hpos=zeros())
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -238,6 +294,8 @@ class ContinuousBatcher:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if prompt.size == 0:
             raise ValueError("empty prompt")
+        if max_new < 1:
+            raise ValueError(f"max_new must be >= 1, got {max_new}")
         padded = self._bucket(prompt.size)
         if padded >= self.max_len:
             raise ValueError(
@@ -253,46 +311,36 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self._pending and all(r is None for r in self._lane)
 
-    def _admit(self) -> list[tuple[int, int]]:
-        """Prefill pending requests into free lanes. Returns
-        ``(request_id, first_token)`` for requests whose first sampled
-        token arrived during admission."""
-        emitted = []
+    def _admit(self) -> None:
+        """Prefill pending requests into free lanes. The prefill covers
+        the padded prompt *minus its last token*; the first decode step
+        feeds that token — identical to the offline chunked loop."""
         for slot in range(self.slots):
             if self._lane[slot] is not None or not self._pending:
                 continue
             req = self._pending.pop(0)
             padded = self._bucket(req.prompt.size)
             pad = padded - req.prompt.size
-            tokens = np.full((padded,), 0, np.int32)
+            tokens = np.full((padded,), self.pad_token, np.int32)
             tokens[pad:] = req.prompt
-            row_cache, tok = self._prefill(jnp.asarray(tokens), pad,
-                                           req.seed)
-            tok_host = int(tok)
-            self._state = self._insert(self._state, row_cache, slot,
-                                       tok, req.max_new, req.seed)
+            row_cache = self._prefill(jnp.asarray(tokens[:-1]), pad)
+            self._state = self._insert(
+                self._state, row_cache, slot,
+                jnp.asarray(req.prompt[-1], jnp.int32), req.max_new,
+                req.seed)
             self._lane[slot] = req
-            if tok_host == self.stop_token:
-                req.done = True
-                self._lane[slot] = None
-            else:
-                req.tokens.append(tok_host)
-                emitted.append((req.request_id, tok_host))
-                if req.max_new <= 1 or padded >= self.max_len:
-                    req.done = True
-                    self._lane[slot] = None
-        return emitted
 
     def step(self) -> list[tuple[int, int]]:
         """Admit pending requests, then run ONE batched decode step.
         Returns the ``(request_id, token)`` pairs emitted this tick."""
-        emitted = self._admit()
+        self._admit()
         if all(r is None for r in self._lane):
-            return emitted
+            return []
         live = [s for s, r in enumerate(self._lane) if r is not None]
         self._state, toks = self._decode_step(self._state)
         toks_host = np.asarray(toks)
         active_host = np.asarray(self._state.active)
+        emitted = []
         for slot in live:
             req = self._lane[slot]
             tok = int(toks_host[slot])
@@ -308,4 +356,120 @@ class ContinuousBatcher:
         """Generator draining the engine: yields ``(request_id, token)``
         until every submitted request is done."""
         while not self.idle:
+            yield from self.step()
+
+
+class ContinuousTTS:
+    """Continuous-batching front end for Orpheus-family TTS serving.
+
+    Wraps a loaded :class:`~tpu_audio.models.tts.llama_tts.LlamaTTS`
+    (or VyvoTTS) model: text requests share the model trunk through a
+    :class:`ContinuousBatcher` (band head, repetition penalty, and stop
+    token all flow through the ``ar_loop`` contract), while each
+    request's SNAC frames decode to waveform host-side as they
+    accumulate — the multi-request analog of ``generate_stream``.
+
+    >>> srv = ContinuousTTS(model, slots=4)
+    >>> r = srv.submit("Hello there.", voice="tara")
+    >>> for request_id, event in srv.run():
+    ...     ...  # AudioGeneration token/audio events per request
+
+    One sampling configuration per server instance (the sampling
+    pipeline is baked into the jitted step); ``max_tokens``/``seed``
+    stay per-request.
+    """
+
+    def __init__(self, model, *, slots: int = 4,
+                 generation_parameters=None, seed: int = 0,
+                 max_len: int | None = None,
+                 prefill_buckets: tuple[int, ...] = (64, 128, 256, 512)):
+        from tpu_audio.core.generation import AudioGenerationError
+
+        if model.tokenizer is None:
+            raise AudioGenerationError("tokenizer not loaded")
+        if model.codec is None:
+            raise AudioGenerationError("SNAC codec not loaded")
+        self.model = model
+        p = generation_parameters or model.default_generation_parameters()
+        self.gen_params = p
+        if max_len is None:
+            max_len = max(prefill_buckets) + p.max_tokens + 1
+        sampling = SamplingParams(
+            temperature=p.temperature, top_p=p.top_p, top_k=p.top_k,
+            repetition_penalty=p.repetition_penalty,
+            repetition_context_size=p.repetition_context_size)
+        self.engine = ContinuousBatcher(
+            model.params, model.config, slots=slots, max_len=max_len,
+            stop_token=model.tokens.end_of_speech, sampling=sampling,
+            prefill_buckets=prefill_buckets, seed=seed,
+            cache_dtype=model.dtype,
+            step_fn=model._step_fn,
+            prefill_fn=model._prefill_fn,
+            cache_factory=lambda valid_from: llama.make_cache(
+                model.config, 1, max_len, dtype=model.dtype,
+                valid_from=valid_from),
+            token_map=model._token_map,
+            pad_token=model.tokens.pad_token)
+        hop = getattr(model.codec, "config", None)
+        samples_per_group = 4 * (hop.hop_length if hop else 512)
+        self.chunk_tokens = 7 * max(
+            1, int(p.streaming_interval * model.sample_rate
+                   / samples_per_group))
+        self._meta: dict[int, dict] = {}
+
+    def submit(self, text: str, voice: str | None = None,
+               ref_audio=None, ref_text: str | None = None,
+               max_tokens: int | None = None, seed: int = 0) -> GenRequest:
+        prompt = self.model.prepare_input_ids(text, voice, ref_audio,
+                                              ref_text)
+        req = self.engine.submit(
+            np.asarray(prompt, np.int32),
+            max_new=max_tokens or self.gen_params.max_tokens, seed=seed)
+        self._meta[req.request_id] = {
+            "prompt": list(prompt), "decoded_samples": 0, "last_decode": 0}
+        return req
+
+    def _audio_delta(self, req: GenRequest) -> np.ndarray | None:
+        """Decode the request's accumulated frames; return new samples."""
+        meta = self._meta[req.request_id]
+        code_list = self.model.parse_output(meta["prompt"] + req.tokens)
+        if len(code_list) < 7:
+            return None
+        from tpu_audio.models.tts.llama_tts import ungroup_codes
+
+        l1, l2, l3 = ungroup_codes(code_list, self.model.tokens.codebook_size)
+        wav = np.asarray(self.model.codec.decode([
+            np.asarray([l1], np.int32), np.asarray([l2], np.int32),
+            np.asarray([l3], np.int32)]))[0]
+        if wav.shape[0] <= meta["decoded_samples"]:
+            return None
+        delta = wav[meta["decoded_samples"]:]
+        meta["decoded_samples"] = wav.shape[0]
+        return delta
+
+    def step(self):
+        """One engine tick. Returns ``(request_id, AudioGeneration)``
+        events: a token event per sampled token plus an audio event per
+        request whose pending frames crossed the streaming interval."""
+        from tpu_audio.core.generation import AudioGeneration
+
+        events = []
+        for rid, tok in self.engine.step():
+            events.append((rid, AudioGeneration.from_token(tok)))
+        for rid, meta in list(self._meta.items()):
+            req = self.engine.requests[rid]
+            fresh = len(req.tokens) - meta["last_decode"]
+            if req.done or fresh >= self.chunk_tokens:
+                meta["last_decode"] = len(req.tokens)
+                delta = self._audio_delta(req)
+                if delta is not None:
+                    events.append((rid, AudioGeneration.from_audio(delta)))
+                if req.done:
+                    del self._meta[rid]
+        return events
+
+    def run(self):
+        """Generator draining the server: yields ``(request_id, event)``
+        until every submitted request has finished (audio flushed)."""
+        while not (self.engine.idle and not self._meta):
             yield from self.step()
