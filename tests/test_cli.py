@@ -281,3 +281,67 @@ def test_serve_stt_and_tts(tmp_path):
         assert 'tpu_audio_errors_total{route="/nope"} 1' in text
     finally:
         tts_srv.shutdown()
+
+
+def test_serve_tts_slots_continuous(tmp_path):
+    """--slots > 1: concurrent speech requests share the trunk through
+    the continuous-batching worker; each connection still gets its own
+    complete WAV / PCM stream."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    from fixtures import make_llama_tts_fixture, make_snac_fixture
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.models.tts import load_model as load_tts
+
+    model_dir = make_llama_tts_fixture(tmp_path / "orpheus")
+    make_snac_fixture(model_dir / "snac", vq_strides=(4, 2, 1))
+    cfg = _json.loads((model_dir / "config.json").read_text())
+    cfg["snac_repo"] = str(model_dir / "snac")
+    (model_dir / "config.json").write_text(_json.dumps(cfg))
+
+    from tpu_audio.core.generation import AudioGenerateParameters
+
+    model = load_tts(str(model_dir), audio_band_head=True)
+    params = AudioGenerateParameters(
+        max_tokens=21, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.3, repetition_context_size=8,
+        streaming_interval=0.02)
+    srv = build_server(model, "tts", "fixture", port=0, slots=2,
+                       generation_parameters=params)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results = {}
+
+        def post(i, path):
+            req = urllib.request.Request(
+                f"{url}{path}",
+                data=_json.dumps({"input": f"hello number {i}",
+                                  "max_tokens": 21, "seed": i}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[i] = (r.headers["Content-Type"], r.read())
+
+        threads = [
+            threading.Thread(target=post, args=(0, "/v1/audio/speech")),
+            threading.Thread(target=post, args=(1, "/v1/audio/speech")),
+            threading.Thread(target=post,
+                             args=(2, "/v1/audio/speech/stream")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive()
+        for i in (0, 1):
+            assert results[i][0] == "audio/wav"
+            with wave.open(io.BytesIO(results[i][1])) as w:
+                assert w.getnframes() > 0
+        assert results[2][0].startswith("audio/L16")
+        assert len(results[2][1]) > 0 and len(results[2][1]) % 2 == 0
+    finally:
+        srv.shutdown()

@@ -247,3 +247,70 @@ def test_continuous_tts_matches_solo_stream(tts_model, band):
     assert audio[r1.request_id] == expected[1][1]
     if band:
         assert audio[r0.request_id] > 0 and audio[r1.request_id] > 0
+
+
+def test_engine_worker_concurrent_callers(tts_model):
+    """TTSEngineWorker multiplexes threaded callers onto one engine:
+    each caller's event stream matches its solo greedy decode, errors
+    surface in the offending caller only, and close() drains cleanly."""
+    import threading
+
+    from tpu_audio.core.generation import (AudioGenerateParameters,
+                                           AudioGenerationKind)
+    from tpu_audio.models.tts.llama_tts import LlamaTTS
+    from tpu_audio.parallel.continuous import TTSEngineWorker
+
+    import jax.numpy as _jnp
+
+    model = LlamaTTS.from_pretrained(str(tts_model), dtype=_jnp.float32,
+                                     audio_band_head=True)
+    params = AudioGenerateParameters(
+        max_tokens=21, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.3, repetition_context_size=8,
+        streaming_interval=0.02)
+    texts = ["hello world", "a much longer second sentence to say"]
+
+    def solo(text):
+        toks, samples = [], 0
+        for ev in model.generate_stream(text,
+                                        generation_parameters=params):
+            if ev.kind == AudioGenerationKind.TOKEN:
+                toks.append(ev.token)
+            elif ev.kind == AudioGenerationKind.AUDIO:
+                samples += len(np.asarray(ev.audio))
+        return toks, samples
+
+    expected = [solo(t) for t in texts]
+
+    worker = TTSEngineWorker(model, slots=2,
+                             generation_parameters=params)
+    results = {}
+
+    def call(i):
+        toks, samples = [], 0
+        for ev in worker.synthesize(texts[i]):
+            if ev.kind == AudioGenerationKind.TOKEN:
+                toks.append(ev.token)
+            elif ev.kind == AudioGenerationKind.AUDIO:
+                samples += len(np.asarray(ev.audio))
+        results[i] = (toks, samples)
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(texts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    assert results[0] == expected[0]
+    assert results[1] == expected[1]
+    assert results[0][1] > 0  # band head guarantees audio
+
+    # a rejected request raises in its own caller, engine stays up
+    with pytest.raises(ValueError):
+        list(worker.synthesize(texts[0], max_tokens=-1))
+    for ev in worker.synthesize(texts[0]):
+        pass
+    worker.close()
+    with pytest.raises(RuntimeError):
+        next(worker.synthesize("after close"))

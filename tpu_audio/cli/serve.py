@@ -21,7 +21,10 @@ balancer. Endpoints follow the OpenAI audio API paths:
   counts and wall-time totals.
 
 Device access is serialized with a lock (one model graph per chip);
-concurrency beyond that belongs to the mesh layer
+``--slots N`` upgrades TTS serving to continuous batching — concurrent
+speech requests decode together in one jitted ``[slots, ...]`` step
+(``tpu_audio.parallel.continuous.TTSEngineWorker``) instead of queueing
+on the lock. Scale-out beyond one chip belongs to the mesh layer
 (``tpu_audio.parallel.serve.BatchServer``). Start with:
 
     python -m tpu_audio.cli.serve --model DIR [--task auto] [--port 8080]
@@ -100,10 +103,26 @@ class _Metrics:
 
 
 def build_server(model, task: str, model_name: str,
-                 host: str = "127.0.0.1", port: int = 8080):
-    """Construct (but don't start) the ThreadingHTTPServer for ``model``."""
+                 host: str = "127.0.0.1", port: int = 8080,
+                 slots: int = 1, generation_parameters=None):
+    """Construct (but don't start) the ThreadingHTTPServer for ``model``.
+
+    ``slots > 1`` on a TTS task routes the speech endpoints through a
+    shared :class:`~tpu_audio.parallel.continuous.TTSEngineWorker`:
+    concurrent requests decode together in one continuously-batched
+    jitted step instead of serializing on the device lock. Sampling
+    parameters are then fixed per server (``max_tokens``/``seed``/
+    ``voice`` stay per-request); the server's jitted graph bakes them in.
+    """
     lock = threading.Lock()
     metrics = _Metrics()
+    worker = None
+    if slots > 1 and task == "tts":
+        from tpu_audio.parallel.continuous import TTSEngineWorker
+
+        worker = TTSEngineWorker(
+            model, slots=slots,
+            generation_parameters=generation_parameters)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -146,6 +165,31 @@ def build_server(model, task: str, model_name: str,
                 self.wfile.flush()
             self.wfile.write(b"0\r\n\r\n")
 
+        def _speech_batched(self, req: dict) -> None:
+            """Speech request via the continuous-batching worker: events
+            for this request arrive as the shared engine steps, so many
+            connections synthesize concurrently on one device."""
+            from tpu_audio.core.audio_io import float_to_pcm16
+            from tpu_audio.core.generation import AudioGenerationKind
+
+            events = worker.synthesize(
+                req.get("input", ""), voice=req.get("voice"),
+                max_tokens=(int(req["max_tokens"])
+                            if req.get("max_tokens") is not None else None),
+                seed=int(req.get("seed") or 0))
+            chunks = (np.asarray(ev.audio) for ev in events
+                      if ev.kind == AudioGenerationKind.AUDIO)
+            if self.path.endswith("/stream"):
+                self._stream_chunks(
+                    f"audio/L16; rate={model.sample_rate}",
+                    (float_to_pcm16(c).tobytes() for c in chunks))
+            else:
+                parts = [c for c in chunks if c.size]
+                wav = (np.concatenate(parts) if parts
+                       else np.zeros((0,), np.float32))
+                self._send(200, _wav_bytes(wav, model.sample_rate),
+                           "audio/wav")
+
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "task": task,
@@ -185,6 +229,9 @@ def build_server(model, task: str, model_name: str,
                                     "/v1/audio/speech/stream")
                       and task == "tts"):
                     req = json.loads(body or b"{}")
+                    if worker is not None:
+                        self._speech_batched(req)
+                        return
                     params = model.default_generation_parameters()
                     if req.get("max_tokens") is not None:
                         params.max_tokens = int(req["max_tokens"])
@@ -247,6 +294,10 @@ def main(argv=None) -> None:
                         choices=("auto", "stt", "tts", "sts"))
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--slots", type=int, default=1,
+                        help="continuous-batching decode lanes for TTS "
+                             "(>1 lets concurrent requests share the "
+                             "trunk; sampling params become per-server)")
     parser.add_argument("--warmup", action="store_true",
                         help="precompile steady-state graphs before "
                              "accepting traffic (cli.warmup)")
@@ -273,7 +324,8 @@ def main(argv=None) -> None:
         ns = argparse.Namespace(seconds=30.0, text="Warm up.",
                                 max_tokens=256, verify=False)
         W._drive(task, model, ns)
-    server = build_server(model, task, args.model, args.host, args.port)
+    server = build_server(model, task, args.model, args.host, args.port,
+                          slots=args.slots)
     print(json.dumps({"serving": args.model, "task": task,
                       "addr": f"http://{args.host}:{args.port}"}))
     server.serve_forever()

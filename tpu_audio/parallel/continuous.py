@@ -54,7 +54,8 @@ import numpy as np
 from tpu_audio.core.sampling import SamplingParams, apply_repetition_penalty
 from tpu_audio.models import llama
 
-__all__ = ["ContinuousBatcher", "ContinuousTTS", "GenRequest"]
+__all__ = ["ContinuousBatcher", "ContinuousTTS", "GenRequest",
+           "TTSEngineWorker"]
 
 
 @dataclasses.dataclass
@@ -468,8 +469,107 @@ class ContinuousTTS:
                     del self._meta[rid]
         return events
 
+    def is_finished(self, request_id: int) -> bool:
+        """True once the request's tokens are done AND its audio has been
+        flushed (i.e. no further events will arrive for it)."""
+        req = self.engine.requests.get(request_id)
+        return req is not None and req.done and request_id not in self._meta
+
+    @property
+    def idle(self) -> bool:
+        return self.engine.idle and not self._meta
+
     def run(self):
         """Generator draining the server: yields ``(request_id, event)``
         until every submitted request has finished (audio flushed)."""
-        while not (self.engine.idle and not self._meta):
+        while not self.idle:
             yield from self.step()
+
+
+class TTSEngineWorker:
+    """Thread multiplexing concurrent callers onto one ContinuousTTS.
+
+    The engine is single-threaded by design (one device, one jitted
+    step); this worker owns it on a dedicated thread and gives each
+    caller a blocking event iterator — the glue between a threaded
+    front end (e.g. the HTTP server) and the slot engine:
+
+    >>> worker = TTSEngineWorker(model, slots=4)
+    >>> for event in worker.synthesize("hello"):   # any thread
+    ...     ...                     # AudioGeneration token/audio events
+
+    Requests admit as lanes free up; callers block only on their own
+    queue. ``close()`` stops the thread after in-flight work drains.
+    """
+
+    def __init__(self, model, *, slots: int = 4,
+                 generation_parameters=None, seed: int = 0, **kw):
+        import queue as _queue
+        import threading as _threading
+
+        self._queue_mod = _queue
+        self._srv = ContinuousTTS(
+            model, slots=slots,
+            generation_parameters=generation_parameters, seed=seed, **kw)
+        self._inbox: _queue.Queue = _queue.Queue()
+        self._out: dict[int, _queue.Queue] = {}
+        self._closing = False
+        self._thread = _threading.Thread(target=self._loop, daemon=True,
+                                         name="tts-engine")
+        self._thread.start()
+
+    def synthesize(self, text: str, voice: str | None = None,
+                   ref_audio=None, ref_text: str | None = None,
+                   max_tokens: int | None = None, seed: int = 0):
+        """Submit a request; yields its AudioGeneration events (token +
+        audio) as the shared engine produces them. Raises here if the
+        engine rejected the request (e.g. prompt too long)."""
+        if self._closing:
+            raise RuntimeError("worker is closed")
+        outq = self._queue_mod.Queue()
+        self._inbox.put((text, voice, ref_audio, ref_text, max_tokens,
+                         seed, outq))
+        while True:
+            ev = outq.get()
+            if ev is None:
+                return
+            if isinstance(ev, Exception):
+                raise ev
+            yield ev
+
+    def close(self) -> None:
+        """Drain in-flight requests, then stop the engine thread."""
+        self._closing = True
+        self._inbox.put(None)
+        self._thread.join()
+
+    def _loop(self) -> None:
+        stop = False
+        while not (stop and self._srv.idle and self._inbox.empty()):
+            # drain submissions; block only when the engine has no work
+            block = self._srv.idle and not stop
+            while True:
+                try:
+                    item = self._inbox.get(block=block, timeout=None)
+                except self._queue_mod.Empty:
+                    break
+                block = False
+                if item is None:
+                    stop = True
+                    continue
+                text, voice, ref_audio, ref_text, max_tokens, seed, outq \
+                    = item
+                try:
+                    req = self._srv.submit(text, voice, ref_audio,
+                                           ref_text, max_tokens, seed)
+                    self._out[req.request_id] = outq
+                except Exception as e:  # noqa: BLE001 — caller re-raises
+                    outq.put(e)
+                if self._inbox.empty():
+                    break
+            for rid, ev in self._srv.step():
+                if rid in self._out:
+                    self._out[rid].put(ev)
+            for rid in [r for r in self._out
+                        if self._srv.is_finished(r)]:
+                self._out.pop(rid).put(None)
