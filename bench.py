@@ -292,6 +292,75 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     }
 
 
+def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
+                             ticks: int = 6, lm_dims: dict | None = None
+                             ) -> dict:
+    """Continuous-batching serving throughput on Orpheus-3B-shaped decode.
+
+    Measures aggregate sampled tokens/s with ``slots`` concurrent
+    requests sharing one jitted ``[slots]``-lane decode tick
+    (``parallel/continuous.py``), and the same engine at slots=1 as the
+    single-stream baseline — the serving win is that the batched HBM
+    weight sweep feeds all lanes at once, so aggregate throughput scales
+    near-linearly in slots while per-stream latency stays ~flat. No
+    reference analog (the reference is single-request); baseline is our
+    own single-stream rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.core.sampling import SamplingParams
+    from tpu_audio.models import llama
+    from tpu_audio.parallel.continuous import ContinuousBatcher
+
+    cfg = llama.LlamaConfig(**(lm_dims or dict(
+        vocab_size=156940, hidden_size=3072, num_hidden_layers=28,
+        num_attention_heads=24, num_key_value_heads=8,
+        intermediate_size=8192, max_position_embeddings=4096,
+    )))
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                                      on_device=True)
+    sampling = SamplingParams(temperature=0.6, top_p=0.9, top_k=512)
+    max_new = step_tokens * (ticks + 2)
+    rng = np.random.default_rng(0)
+
+    def measure(n_slots: int) -> float:
+        """Steady-state seconds per tick with every lane occupied."""
+        eng = ContinuousBatcher(
+            params, cfg, slots=n_slots, stop_token=-1, sampling=sampling,
+            max_len=64 + max_new + step_tokens + 2,
+            prefill_buckets=(64,), seed=0, step_tokens=step_tokens)
+        for s in range(n_slots):
+            eng.submit(rng.integers(100, 4000, size=60).astype(np.int32),
+                       max_new=max_new, seed=s)
+        eng.step()  # compile prefill + tick; admits all lanes
+        eng.step()  # steady state
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            eng.step()
+        return (time.perf_counter() - t0) / ticks
+
+    tick_solo = measure(1)
+    tick_batch = measure(slots)
+    tok_s = slots * step_tokens / tick_batch
+    solo_tok_s = step_tokens / tick_solo
+    mult = tok_s / solo_tok_s
+    return {
+        "metric": f"orpheus3b_serving_tok_s_slots{slots}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(mult, 2),  # aggregate vs single-stream
+        "detail": {
+            "single_stream_tok_s": round(solo_tok_s, 1),
+            "throughput_multiple": round(mult, 2),
+            "ms_per_tick_batch": round(tick_batch * 1000, 1),
+            "ms_per_tick_solo": round(tick_solo * 1000, 1),
+            "step_tokens": step_tokens,
+            "per_stream_tok_s_batched": round(tok_s / slots, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
                          prefix_len: int = 32, talker_dims: dict | None = None,
                          codec_dims: dict | None = None) -> dict:
@@ -651,6 +720,7 @@ def bench_all() -> dict:
         ("whisper_kv8d_w8", functools.partial(
             bench_whisper_rtf, "large-v3", kv_bits=8, dense_self=True,
             w8_decoder=True)),
+        ("serve", bench_serving_throughput),
     ]:
         t0 = time.perf_counter()
         try:
@@ -695,6 +765,8 @@ def main():
                                     band_head="band" in sys.argv[2:])
         elif mode == "qwen3tts":
             result = bench_qwen3_tts_ttfb()
+        elif mode == "serve":
+            result = bench_serving_throughput()
         elif mode == "vad":
             result = bench_vad_diarization()
         elif mode == "parakeet":

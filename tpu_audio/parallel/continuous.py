@@ -131,6 +131,16 @@ class ContinuousBatcher:
     penalty exactly as the offline decode loop does. ``prefill_buckets``
     are the compiled prompt lengths; prompts longer than the largest
     bucket pad up to the next multiple of it.
+
+    ``step_tokens=K`` decodes K tokens per jitted tick (a ``lax.scan``
+    inside one graph) instead of one: host dispatch overhead amortizes
+    K-fold, which matters when per-call latency rivals the step compute
+    (the tunneled-TPU dispatch floor is ~3x a 3B-model decode step).
+    Sampled tokens are bit-identical for any K — each request's RNG key
+    depends only on (request seed, sample index) — and lanes that hit
+    their stop mid-chunk freeze for the rest of the tick; admission
+    happens at tick boundaries, so K trades a little admission latency
+    for serving throughput.
     """
 
     def __init__(self, params, cfg: llama.LlamaConfig | None = None, *,
@@ -142,12 +152,15 @@ class ContinuousBatcher:
                  prefill_fn: Callable | None = None,
                  cache_factory: Callable | None = None,
                  token_map: Callable | None = None,
-                 pad_token: int = 0):
+                 pad_token: int = 0, step_tokens: int = 1):
         self.params = params
         self.slots = int(slots)
         self.max_len = int(max_len)
         self.stop_token = int(stop_token)
         self.sampling = sampling or SamplingParams(temperature=0.0)
+        self.step_tokens = int(step_tokens)
+        if self.step_tokens < 1:
+            raise ValueError(f"step_tokens must be >= 1, got {step_tokens}")
         self.buckets = tuple(sorted(prefill_buckets))
         self.pad_token = int(pad_token)
         self.history_size = max(1, self.sampling.repetition_context_size) \
@@ -193,17 +206,17 @@ class ContinuousBatcher:
             logits, cache = step_fn(self.params, tok[None, None], cache)
             return logits[0], cache
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def decode_step(state: _BatchState):
+        def one_step(state: _BatchState, _):
             old_offset = state.cache.offset
+            valid = state.active  # this step's samples count iff live
             logits, cache = jax.vmap(row_step)(state.cache, state.last)
             logits = logits.astype(jnp.float32)
             if penalty != 1.0:
-                valid = (
+                hvalid = (
                     jax.lax.broadcasted_iota(jnp.int32, state.hist.shape, 1)
                     < jnp.minimum(state.hpos, H)[:, None])
                 logits = apply_repetition_penalty(
-                    logits, state.hist, valid, penalty)
+                    logits, state.hist, hvalid, penalty)
             keys = jax.vmap(step_key)(state.seeds, state.n_new)
             idx = jax.vmap(sample)(logits, keys)
             rows = jnp.arange(self.slots)
@@ -223,7 +236,18 @@ class ContinuousBatcher:
                       & (n_new < state.max_new)
                       & (offset < self.max_len))
             return state._replace(cache=cache, last=toks, active=active,
-                                  n_new=n_new, hist=hist, hpos=hpos), toks
+                                  n_new=n_new, hist=hist, hpos=hpos), \
+                (toks, valid)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def decode_step(state: _BatchState):
+            """One tick = ``step_tokens`` scanned decode steps; returns
+            ``toks [K, slots]`` and the per-step liveness mask
+            ``valid [K, slots]`` (a lane's row is garbage once it
+            froze mid-tick)."""
+            state, (toks, valid) = jax.lax.scan(
+                one_step, state, None, length=self.step_tokens)
+            return state, toks, valid
 
         self._decode_step = decode_step
 
@@ -332,23 +356,30 @@ class ContinuousBatcher:
             self._lane[slot] = req
 
     def step(self) -> list[tuple[int, int]]:
-        """Admit pending requests, then run ONE batched decode step.
-        Returns the ``(request_id, token)`` pairs emitted this tick."""
+        """Admit pending requests, then run ONE batched decode tick
+        (``step_tokens`` scanned steps). Returns the ``(request_id,
+        token)`` pairs emitted this tick in per-lane sample order."""
         self._admit()
         if all(r is None for r in self._lane):
             return []
         live = [s for s, r in enumerate(self._lane) if r is not None]
-        self._state, toks = self._decode_step(self._state)
-        toks_host = np.asarray(toks)
+        self._state, toks, valid = self._decode_step(self._state)
+        toks_host = np.asarray(toks)          # [K, slots]
+        valid_host = np.asarray(valid)        # [K, slots]
         active_host = np.asarray(self._state.active)
         emitted = []
+        for k in range(toks_host.shape[0]):
+            for slot in live:
+                if not valid_host[k, slot]:
+                    continue
+                req = self._lane[slot]
+                tok = int(toks_host[k, slot])
+                if tok != self.stop_token:
+                    req.tokens.append(tok)
+                    emitted.append((req.request_id, tok))
         for slot in live:
-            req = self._lane[slot]
-            tok = int(toks_host[slot])
-            if tok != self.stop_token:
-                req.tokens.append(tok)
-                emitted.append((req.request_id, tok))
             if not active_host[slot]:
+                req = self._lane[slot]
                 req.done = True
                 self._lane[slot] = None
         return emitted
@@ -383,7 +414,8 @@ class ContinuousTTS:
     def __init__(self, model, *, slots: int = 4,
                  generation_parameters=None, seed: int = 0,
                  max_len: int | None = None,
-                 prefill_buckets: tuple[int, ...] = (64, 128, 256, 512)):
+                 prefill_buckets: tuple[int, ...] = (64, 128, 256, 512),
+                 step_tokens: int = 7):
         from tpu_audio.core.generation import AudioGenerationError
 
         if model.tokenizer is None:
@@ -410,7 +442,10 @@ class ContinuousTTS:
                 model.config, 1, max_len, dtype=model.dtype,
                 valid_from=valid_from),
             token_map=model._token_map,
-            pad_token=model.tokens.pad_token)
+            pad_token=model.tokens.pad_token,
+            # one SNAC code group per tick: frame-aligned emission with
+            # the dispatch overhead amortized 7x (tokens are K-invariant)
+            step_tokens=step_tokens)
         hop = getattr(model.codec, "config", None)
         samples_per_group = 4 * (hop.hop_length if hop else 512)
         self.chunk_tokens = 7 * max(
