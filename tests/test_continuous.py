@@ -218,6 +218,38 @@ def test_repetition_penalty_matches_offline_loop(tiny):
     assert req.tokens == expect
 
 
+def test_tensor_parallel_params_parity(tiny):
+    """The engine is GSPMD-transparent: Megatron-sharded params over a
+    'model' mesh axis (parallel/mesh.py rules) produce bit-identical
+    tokens to single-device params — XLA inserts the TP collectives
+    inside the same jitted tick (slots x TP serving)."""
+    from tpu_audio.parallel.mesh import (TRANSFORMER_TP_RULES, make_mesh,
+                                         shard_params)
+
+    params, _ = tiny
+    # TP shards attention over heads: use an 8-head variant
+    cfg = llama.LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, intermediate_size=128,
+        num_attention_heads=8, num_key_value_heads=8, vocab_size=96,
+        rope_theta=10000.0, tie_word_embeddings=True)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(8, 96, size=n).astype(np.int32)
+               for n in (5, 11)]
+
+    def run(p):
+        eng = ContinuousBatcher(p, cfg, slots=2, max_len=64,
+                                stop_token=STOP, prefill_buckets=(8, 16),
+                                step_tokens=3)
+        reqs = [eng.submit(q, max_new=10) for q in prompts]
+        list(eng.run())
+        return [r.tokens for r in reqs]
+
+    base = run(params)
+    mesh = make_mesh(8, axes=("model",))
+    assert run(shard_params(params, mesh, TRANSFORMER_TP_RULES)) == base
+
+
 @pytest.fixture(scope="module")
 def tts_model(tmp_path_factory):
     import json

@@ -39,6 +39,13 @@ Reference scope note: the closest reference capability is Parakeet's
 intra-model ``generateBatch`` (ParakeetModel.swift:168-198), which
 batches a *closed* set of utterances; continuous admission is new
 surface for production serving.
+
+Multi-chip: the engine is GSPMD-transparent — pass params sharded
+Megatron-style over a ``model`` mesh axis
+(``parallel.mesh.shard_params`` + ``TRANSFORMER_TP_RULES``) and the
+jitted tick runs slots x TP: XLA inserts the psum collectives and the
+per-lane KV caches shard over the head axis by propagation, with
+bit-identical tokens (tested on the 8-device CPU mesh).
 """
 
 from __future__ import annotations
