@@ -218,6 +218,71 @@ def test_repetition_penalty_matches_offline_loop(tiny):
     assert req.tokens == expect
 
 
+def test_cancel_frees_lane_and_preserves_neighbours(tiny):
+    """Cancelling an in-flight request frees its lane for the next
+    pending one, never disturbs a neighbour's tokens, and cancelling
+    pending/finished/unknown ids behaves sanely."""
+    params, cfg = tiny
+    eng = ContinuousBatcher(params, cfg, slots=2, max_len=64,
+                            stop_token=STOP, prefill_buckets=(8,))
+    prompts = [np.arange(10 + 8 * i, 15 + 8 * i, dtype=np.int32)
+               for i in range(3)]
+    solo = [solo_greedy(params, cfg, p, 12, 8) for p in prompts]
+
+    r0 = eng.submit(prompts[0], max_new=12)
+    r1 = eng.submit(prompts[1], max_new=12)
+    r2 = eng.submit(prompts[2], max_new=12)  # pending (no lane)
+    eng.step(); eng.step()
+    assert eng.cancel(r0.request_id)      # in-flight: lane frees
+    assert r0.done and len(r0.tokens) == 2
+    eng.step()                            # r2 admits into r0's old lane
+    for _ in eng.run():
+        pass
+    assert r1.tokens == solo[1]           # neighbour unaffected
+    assert r2.tokens == solo[2]           # fresh occupant decodes cleanly
+    assert not eng.cancel(r0.request_id)  # already finished
+    assert not eng.cancel(999)            # unknown
+
+    # cancelling a PENDING request dequeues it before it ever runs
+    r3 = eng.submit(prompts[0], max_new=4)
+    r4 = eng.submit(prompts[1], max_new=4)
+    assert eng.cancel(r4.request_id) and r4.done
+    for _ in eng.run():
+        pass
+    assert r3.tokens == solo[0][:4] and r4.tokens == []
+
+
+def test_worker_generator_close_cancels(tts_model):
+    """Abandoning a synthesize() generator (client hang-up) cancels the
+    request inside the engine; the worker keeps serving others."""
+    from tpu_audio.core.generation import (AudioGenerateParameters,
+                                           AudioGenerationKind)
+    from tpu_audio.models.tts.llama_tts import LlamaTTS
+    from tpu_audio.parallel.continuous import TTSEngineWorker
+
+    import jax.numpy as _jnp
+
+    model = LlamaTTS.from_pretrained(str(tts_model), dtype=_jnp.float32,
+                                     audio_band_head=True)
+    params = AudioGenerateParameters(
+        max_tokens=35, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.3, repetition_context_size=8,
+        streaming_interval=0.02)
+    worker = TTSEngineWorker(model, slots=1, generation_parameters=params)
+
+    gen = worker.synthesize("a sentence that will be abandoned")
+    next(gen)          # request is live in the engine
+    gen.close()        # client hangs up
+
+    # the single lane must free: a second request completes fully
+    toks = [ev.token for ev in worker.synthesize("hello world")
+            if ev.kind == AudioGenerationKind.TOKEN]
+    assert len(toks) > 0
+    worker.close()
+    assert worker._srv.idle
+    assert all(r.done for r in worker._srv.engine.requests.values())
+
+
 def test_tensor_parallel_params_parity(tiny):
     """The engine is GSPMD-transparent: Megatron-sharded params over a
     'model' mesh axis (parallel/mesh.py rules) produce bit-identical

@@ -177,18 +177,23 @@ def build_server(model, task: str, model_name: str,
                 max_tokens=(int(req["max_tokens"])
                             if req.get("max_tokens") is not None else None),
                 seed=int(req.get("seed") or 0))
-            chunks = (np.asarray(ev.audio) for ev in events
-                      if ev.kind == AudioGenerationKind.AUDIO)
-            if self.path.endswith("/stream"):
-                self._stream_chunks(
-                    f"audio/L16; rate={model.sample_rate}",
-                    (float_to_pcm16(c).tobytes() for c in chunks))
-            else:
-                parts = [c for c in chunks if c.size]
-                wav = (np.concatenate(parts) if parts
-                       else np.zeros((0,), np.float32))
-                self._send(200, _wav_bytes(wav, model.sample_rate),
-                           "audio/wav")
+            try:
+                chunks = (np.asarray(ev.audio) for ev in events
+                          if ev.kind == AudioGenerationKind.AUDIO)
+                if self.path.endswith("/stream"):
+                    self._stream_chunks(
+                        f"audio/L16; rate={model.sample_rate}",
+                        (float_to_pcm16(c).tobytes() for c in chunks))
+                else:
+                    parts = [c for c in chunks if c.size]
+                    wav = (np.concatenate(parts) if parts
+                           else np.zeros((0,), np.float32))
+                    self._send(200, _wav_bytes(wav, model.sample_rate),
+                               "audio/wav")
+            finally:
+                # a broken client connection mid-stream cancels the
+                # request and frees its decode lane immediately
+                events.close()
 
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":

@@ -343,6 +343,24 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self._pending and all(r is None for r in self._lane)
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort a request: a pending one is dequeued; an in-flight one
+        frees its lane at once (its device flag flips so the next tick
+        spends nothing on it). Returns False for unknown/finished ids.
+        Tokens already sampled stay on the request."""
+        req = self.requests.get(request_id)
+        if req is None or req.done:
+            return False
+        if req in self._pending:
+            self._pending.remove(req)
+        for slot, occupant in enumerate(self._lane):
+            if occupant is req:
+                self._state = self._state._replace(
+                    active=self._state.active.at[slot].set(False))
+                self._lane[slot] = None
+        req.done = True
+        return True
+
     def _admit(self) -> None:
         """Prefill pending requests into free lanes. The prefill covers
         the padded prompt *minus its last token*; the first decode step
@@ -517,6 +535,13 @@ class ContinuousTTS:
         req = self.engine.requests.get(request_id)
         return req is not None and req.done and request_id not in self._meta
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort a request (e.g. the client hung up): frees its decode
+        lane and drops its un-flushed audio."""
+        out = self.engine.cancel(request_id)
+        self._meta.pop(request_id, None)
+        return out
+
     @property
     def idle(self) -> bool:
         return self.engine.idle and not self._meta
@@ -565,19 +590,29 @@ class TTSEngineWorker:
                    max_tokens: int | None = None, seed: int = 0):
         """Submit a request; yields its AudioGeneration events (token +
         audio) as the shared engine produces them. Raises here if the
-        engine rejected the request (e.g. prompt too long)."""
+        engine rejected the request (e.g. prompt too long). Closing the
+        generator early (client hang-up) cancels the request and frees
+        its decode lane."""
         if self._closing:
             raise RuntimeError("worker is closed")
         outq = self._queue_mod.Queue()
-        self._inbox.put((text, voice, ref_audio, ref_text, max_tokens,
-                         seed, outq))
-        while True:
-            ev = outq.get()
-            if ev is None:
-                return
-            if isinstance(ev, Exception):
-                raise ev
-            yield ev
+        self._inbox.put(("submit",
+                         (text, voice, ref_audio, ref_text, max_tokens,
+                          seed), outq))
+        finished = False
+        try:
+            while True:
+                ev = outq.get()
+                if ev is None:
+                    finished = True
+                    return
+                if isinstance(ev, Exception):
+                    finished = True
+                    raise ev
+                yield ev
+        finally:
+            if not finished:
+                self._inbox.put(("cancel", None, outq))
 
     def close(self) -> None:
         """Drain in-flight requests, then stop the engine thread."""
@@ -599,8 +634,16 @@ class TTSEngineWorker:
                 if item is None:
                     stop = True
                     continue
-                text, voice, ref_audio, ref_text, max_tokens, seed, outq \
-                    = item
+                kind, payload, outq = item
+                if kind == "cancel":
+                    # FIFO inbox: the submit for this outq (if any) was
+                    # already processed, so the reverse lookup is exact
+                    for rid, q in list(self._out.items()):
+                        if q is outq:
+                            self._srv.cancel(rid)
+                            del self._out[rid]
+                    continue
+                text, voice, ref_audio, ref_text, max_tokens, seed = payload
                 try:
                     req = self._srv.submit(text, voice, ref_audio,
                                            ref_text, max_tokens, seed)
