@@ -104,7 +104,8 @@ class _Metrics:
 
 def build_server(model, task: str, model_name: str,
                  host: str = "127.0.0.1", port: int = 8080,
-                 slots: int = 1, generation_parameters=None):
+                 slots: int = 1, generation_parameters=None,
+                 step_tokens: int = 7):
     """Construct (but don't start) the ThreadingHTTPServer for ``model``.
 
     ``slots > 1`` on a TTS task routes the speech endpoints through a
@@ -122,7 +123,8 @@ def build_server(model, task: str, model_name: str,
 
         worker = TTSEngineWorker(
             model, slots=slots,
-            generation_parameters=generation_parameters)
+            generation_parameters=generation_parameters,
+            step_tokens=step_tokens)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -303,6 +305,10 @@ def main(argv=None) -> None:
                         help="continuous-batching decode lanes for TTS "
                              "(>1 lets concurrent requests share the "
                              "trunk; sampling params become per-server)")
+    parser.add_argument("--step-tokens", type=int, default=7,
+                        help="decode tokens per jitted tick under "
+                             "--slots (amortizes dispatch overhead; "
+                             "tokens are identical for any value)")
     parser.add_argument("--warmup", action="store_true",
                         help="precompile steady-state graphs before "
                              "accepting traffic (cli.warmup)")
@@ -330,7 +336,7 @@ def main(argv=None) -> None:
                                 max_tokens=256, verify=False)
         W._drive(task, model, ns)
     server = build_server(model, task, args.model, args.host, args.port,
-                          slots=args.slots)
+                          slots=args.slots, step_tokens=args.step_tokens)
     print(json.dumps({"serving": args.model, "task": task,
                       "addr": f"http://{args.host}:{args.port}"}))
     server.serve_forever()
