@@ -239,6 +239,16 @@ def test_serve_stt_and_tts(tmp_path):
         with urllib.request.urlopen(req) as r:
             out = _json.loads(r.read())
         assert "text" in out and "segments" in out
+        # streaming transcription: ndjson token lines + final result
+        req = urllib.request.Request(
+            f"{stt_url}/v1/audio/transcriptions/stream",
+            data=buf.getvalue(), headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [_json.loads(x) for x in r.read().splitlines() if x]
+        assert lines and lines[-1]["type"] == "result"
+        assert "text" in lines[-1] and "segments" in lines[-1]
+        assert all(ev["type"] in ("token", "result") for ev in lines)
     finally:
         stt_srv.shutdown()
 
@@ -272,9 +282,17 @@ def test_serve_stt_and_tts(tmp_path):
             assert ctype.startswith("audio/L16")
             pcm = r.read()  # urllib de-chunks for us
         assert len(pcm) > 0 and len(pcm) % 2 == 0
-        # prometheus metrics reflect the traffic above
-        with urllib.request.urlopen(f"{tts_url}/metrics") as r:
-            text = r.read().decode()
+        # prometheus metrics reflect the traffic above (observed in the
+        # handler's finally AFTER the response body: poll briefly)
+        import time as _time
+
+        for _ in range(50):
+            with urllib.request.urlopen(f"{tts_url}/metrics") as r:
+                text = r.read().decode()
+            if ('tpu_audio_requests_total{route="/v1/audio/speech/stream"} 1'
+                    in text):
+                break
+            _time.sleep(0.1)
         assert 'tpu_audio_requests_total{route="/v1/audio/speech"} 1' in text
         assert ('tpu_audio_requests_total{route="/v1/audio/speech/stream"} 1'
                 in text)

@@ -8,6 +8,10 @@ balancer. Endpoints follow the OpenAI audio API paths:
 - ``POST /v1/audio/transcriptions`` — body = raw WAV bytes
   (``curl --data-binary @in.wav``); JSON out: text/segments/language +
   timing. STT models.
+- ``POST /v1/audio/transcriptions/stream`` — same body; chunked
+  ``application/x-ndjson``: one ``{"type": "token", "text": ...}`` line
+  per transcribed chunk as the model emits it, then a final
+  ``{"type": "result", ...}`` line with text/segments/language.
 - ``POST /v1/audio/speech`` — JSON body ``{"input": "...", "voice": ...,
   "max_tokens": ..., "seed": ...}``; WAV bytes out. TTS models.
 - ``POST /v1/audio/speech/stream`` — same body as /speech; response is
@@ -218,7 +222,28 @@ def build_server(model, task: str, model_name: str,
                     failed = True
                     self._json(411, {"error": "Content-Length required"})
                     return
-                if self.path == "/v1/audio/transcriptions" and task == "stt":
+                if (self.path == "/v1/audio/transcriptions/stream"
+                        and task == "stt"):
+                    audio, _ = _load_wav_body(
+                        body, getattr(model, "sample_rate", 16000))
+
+                    def ndjson():
+                        with lock:
+                            for ev in model.generate_stream(audio):
+                                if ev.get("type") == "result":
+                                    out = ev["output"]
+                                    ev = {"type": "result",
+                                          "text": out.text,
+                                          "language": out.language,
+                                          "segments": [
+                                              {"text": s.text,
+                                               "start": s.start,
+                                               "end": s.end}
+                                              for s in (out.segments or [])]}
+                                yield (json.dumps(ev) + "\n").encode()
+
+                    self._stream_chunks("application/x-ndjson", ndjson())
+                elif self.path == "/v1/audio/transcriptions" and task == "stt":
                     audio, _ = _load_wav_body(
                         body, getattr(model, "sample_rate", 16000))
                     t0 = time.perf_counter()
