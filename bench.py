@@ -757,7 +757,10 @@ def main():
     qbits = (4 if "q4" in sys.argv[2:] else
              8 if "q8" in sys.argv[2:] else
              -8 if "w8" in sys.argv[2:] else None)
+    from tpu_audio.core.profiling import maybe_trace
+
     try:
+      with maybe_trace(f"bench_{mode}"):
         if mode == "all":
             result = bench_all()
         elif mode == "tts":

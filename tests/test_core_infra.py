@@ -206,3 +206,23 @@ def test_dequantize_tree_expands_leaves():
     # 4-bit grouped affine reconstruction error stays small
     err = np.abs(np.asarray(dense["layer"]["weight"]) - w).max()
     assert err < np.abs(w).max() * 0.15
+
+
+def test_maybe_trace_writes_profile(tmp_path, monkeypatch):
+    """TPU_AUDIO_PROFILE=dir captures a jax.profiler trace of the
+    enclosed work; unset, the context is a free no-op."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.core.profiling import maybe_trace
+
+    monkeypatch.delenv("TPU_AUDIO_PROFILE", raising=False)
+    with maybe_trace("noop"):
+        pass  # no env -> no-op
+
+    target = tmp_path / "trace"
+    monkeypatch.setenv("TPU_AUDIO_PROFILE", str(target))
+    with maybe_trace("unit"):
+        jax.jit(lambda x: x * 2)(jnp.ones((8,))).block_until_ready()
+    files = list(target.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace output written"

@@ -60,6 +60,13 @@ def main(argv=None):
         quantized_kv_start=args.quantized_kv_start,
     )
 
+    import contextlib as _ctx
+
+    from tpu_audio.core.profiling import maybe_trace
+
+    _prof = _ctx.ExitStack()  # TPU_AUDIO_PROFILE=dir -> jax.profiler trace
+    _prof.enter_context(maybe_trace("stt_generate"))
+
     if getattr(model, "is_forced_aligner", False):
         # forced aligner: (audio, --text) -> word timestamps
         # (reference App.swift:317-340)
@@ -129,6 +136,7 @@ def main(argv=None):
         print()
     else:
         output = model.generate(audio, params)
+    _prof.close()
 
     if args.format == "txt":
         text = output.text

@@ -98,6 +98,13 @@ def main(argv=None):
     if args.ref_audio:
         ref_audio, _ = load_audio(args.ref_audio, sample_rate=model.sample_rate)
 
+    import contextlib as _ctx
+
+    from tpu_audio.core.profiling import maybe_trace
+
+    _prof = _ctx.ExitStack()  # TPU_AUDIO_PROFILE=dir -> jax.profiler trace
+    _prof.enter_context(maybe_trace("tts_generate"))
+
     if args.stream or args.benchmark:
         t0 = time.perf_counter()
         ttfb = None
@@ -136,6 +143,7 @@ def main(argv=None):
         dur = len(audio) / model.sample_rate
         print(f"[tts] {dur:.2f}s audio in {wall:.2f}s "
               f"(RTFx {dur/wall:.2f}x) -> {args.output}", file=sys.stderr)
+    _prof.close()
 
     if args.timestamps:
         from tpu_audio.core.audio_io import resample_audio
