@@ -253,7 +253,8 @@ def test_serve_stt_and_tts(tmp_path):
         stt_srv.shutdown()
 
     tts_srv, tts_url = start(
-        load_tts(str(make_qwen3_tts_fixture(tmp_path / "q"))), "tts")
+        load_tts(str(make_qwen3_tts_fixture(tmp_path / "q",
+                                            with_icl=True))), "tts")
     try:
         req = urllib.request.Request(
             f"{tts_url}/v1/audio/speech",
@@ -282,6 +283,29 @@ def test_serve_stt_and_tts(tmp_path):
             assert ctype.startswith("audio/L16")
             pcm = r.read()  # urllib de-chunks for us
         assert len(pcm) > 0 and len(pcm) % 2 == 0
+        # voice cloning over HTTP: base64 ref audio + text conditions
+        # the prompt (qwen3 fixture implements ref-audio ICL)
+        import base64
+
+        ref = io.BytesIO()
+        with wave.open(ref, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(24000)
+            w.writeframes((np.sin(np.arange(12000) * 0.02) * 8000)
+                          .astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{tts_url}/v1/audio/speech",
+            data=_json.dumps({
+                "input": "hello world", "max_tokens": 8, "seed": 0,
+                "ref_audio_b64":
+                    base64.b64encode(ref.getvalue()).decode(),
+                "ref_text": "a reference"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            cloned = r.read()
+        with wave.open(io.BytesIO(cloned)) as w:
+            assert w.getnframes() > 0
+        assert cloned != wav_bytes  # conditioning changed the output
+
         # prometheus metrics reflect the traffic above (observed in the
         # handler's finally AFTER the response body: poll briefly)
         import time as _time
@@ -293,7 +317,7 @@ def test_serve_stt_and_tts(tmp_path):
                     in text):
                 break
             _time.sleep(0.1)
-        assert 'tpu_audio_requests_total{route="/v1/audio/speech"} 1' in text
+        assert 'tpu_audio_requests_total{route="/v1/audio/speech"} 2' in text
         assert ('tpu_audio_requests_total{route="/v1/audio/speech/stream"} 1'
                 in text)
         assert 'tpu_audio_errors_total{route="/nope"} 1' in text

@@ -13,7 +13,8 @@ balancer. Endpoints follow the OpenAI audio API paths:
   per transcribed chunk as the model emits it, then a final
   ``{"type": "result", ...}`` line with text/segments/language.
 - ``POST /v1/audio/speech`` — JSON body ``{"input": "...", "voice": ...,
-  "max_tokens": ..., "seed": ...}``; WAV bytes out. TTS models.
+  "max_tokens": ..., "seed": ...}``; WAV bytes out. TTS models. Voice
+  cloning: ``"ref_audio_b64"`` (base64 WAV bytes) + ``"ref_text"``.
 - ``POST /v1/audio/speech/stream`` — same body as /speech; response is
   **chunked raw PCM16** (``Content-Type: audio/L16; rate=<sr>``): each
   synthesized audio chunk flushes as soon as the model emits it, so
@@ -69,6 +70,17 @@ def _load_wav_body(body: bytes, target_sr: int | None):
         f.write(body)
         f.flush()
         return load_audio(f.name, sample_rate=target_sr)
+
+
+def _ref_audio(req: dict, model):
+    """Decode the request's base64-WAV cloning reference, if any."""
+    if not req.get("ref_audio_b64"):
+        return None
+    import base64
+
+    audio, _ = _load_wav_body(base64.b64decode(req["ref_audio_b64"]),
+                              getattr(model, "sample_rate", 24000))
+    return audio
 
 
 class _Metrics:
@@ -180,6 +192,8 @@ def build_server(model, task: str, model_name: str,
 
             events = worker.synthesize(
                 req.get("input", ""), voice=req.get("voice"),
+                ref_audio=_ref_audio(req, model),
+                ref_text=req.get("ref_text"),
                 max_tokens=(int(req["max_tokens"])
                             if req.get("max_tokens") is not None else None),
                 seed=int(req.get("seed") or 0))
@@ -264,6 +278,13 @@ def build_server(model, task: str, model_name: str,
                     if worker is not None:
                         self._speech_batched(req)
                         return
+                    # cloning kwargs only when supplied: models without
+                    # ref-audio support keep their plain signature
+                    clone = {}
+                    ra = _ref_audio(req, model)
+                    if ra is not None:
+                        clone = {"ref_audio": ra,
+                                 "ref_text": req.get("ref_text")}
                     params = model.default_generation_parameters()
                     if req.get("max_tokens") is not None:
                         params.max_tokens = int(req["max_tokens"])
@@ -280,7 +301,8 @@ def build_server(model, task: str, model_name: str,
                                 for chunk in samples_stream(
                                         model, req.get("input", ""),
                                         voice=req.get("voice"),
-                                        generation_parameters=params):
+                                        generation_parameters=params,
+                                        **clone):
                                     yield float_to_pcm16(chunk).tobytes()
 
                         self._stream_chunks(f"audio/L16; rate={sr}",
@@ -289,7 +311,7 @@ def build_server(model, task: str, model_name: str,
                         with lock:
                             wav = model.generate(
                                 req.get("input", ""), voice=req.get("voice"),
-                                generation_parameters=params)
+                                generation_parameters=params, **clone)
                         self._send(200, _wav_bytes(wav, model.sample_rate),
                                    "audio/wav")
                 elif self.path == "/v1/audio/enhance" and task == "sts":
