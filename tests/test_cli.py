@@ -325,6 +325,43 @@ def test_serve_stt_and_tts(tmp_path):
         tts_srv.shutdown()
 
 
+def test_serve_lid(tmp_path):
+    """LID classification endpoint: WAV in, top-k language JSON out."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    import numpy as np
+
+    from fixtures import make_ecapa_fixture
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.models.lid import load_model
+
+    d = tmp_path / "ecapa"
+    make_ecapa_fixture(d)
+    srv = build_server(load_model(str(d)), "lid", "fixture", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes((np.sin(np.arange(16000) * 0.05) * 8000)
+                          .astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{url}/v1/audio/lid?top_k=3", data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req) as r:
+            out = _json.loads(r.read())
+        assert out["language"] and 0.0 <= out["confidence"] <= 1.0
+        assert len(out["top"]) == 3
+        assert out["top"][0]["language"] == out["language"]
+    finally:
+        srv.shutdown()
+
+
 def test_serve_tts_slots_continuous(tmp_path):
     """--slots > 1: concurrent speech requests share the trunk through
     the continuous-batching worker; each connection still gets its own

@@ -21,6 +21,9 @@ balancer. Endpoints follow the OpenAI audio API paths:
   playback can start at time-to-first-chunk instead of full synthesis.
 - ``POST /v1/audio/enhance`` — raw WAV in, enhanced WAV out. STS
   enhancement models.
+- ``POST /v1/audio/lid`` — raw WAV in; JSON
+  ``{"language", "confidence", "top": [{"language", "confidence"}...]}``.
+  LID models (``?top_k=N`` query, default 5).
 - ``GET /healthz`` — liveness + model metadata.
 - ``GET /metrics`` — Prometheus text format: per-route request/error
   counts and wall-time totals.
@@ -314,6 +317,23 @@ def build_server(model, task: str, model_name: str,
                                 generation_parameters=params, **clone)
                         self._send(200, _wav_bytes(wav, model.sample_rate),
                                    "audio/wav")
+                elif self.path.split("?")[0] == "/v1/audio/lid" \
+                        and task == "lid":
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    top_k = int(q.get("top_k", ["5"])[0])
+                    audio, _ = _load_wav_body(
+                        body, getattr(model, "sample_rate", 16000))
+                    with lock:
+                        out = model.predict(audio, top_k=top_k)
+                    self._json(200, {
+                        "language": out.language,
+                        "confidence": round(out.confidence, 6),
+                        "top": [{"language": p.language,
+                                 "confidence": round(p.confidence, 6)}
+                                for p in out.top_languages],
+                    })
                 elif self.path == "/v1/audio/enhance" and task == "sts":
                     audio, sr = _load_wav_body(
                         body, getattr(model, "sample_rate", None))
@@ -345,7 +365,7 @@ def main(argv=None) -> None:
         "tpu-audio-serve", description=__doc__.splitlines()[0])
     parser.add_argument("--model", required=True)
     parser.add_argument("--task", default="auto",
-                        choices=("auto", "stt", "tts", "sts"))
+                        choices=("auto", "stt", "tts", "sts", "lid"))
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--slots", type=int, default=1,
@@ -369,7 +389,7 @@ def main(argv=None) -> None:
         from tpu_audio.cli.warmup import detect_task
 
         task = detect_task(model_dir)
-        if task not in ("stt", "tts", "sts"):
+        if task not in ("stt", "tts", "sts", "lid"):
             raise SystemExit("cannot infer a servable task; pass --task")
 
     import importlib
