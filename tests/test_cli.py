@@ -362,6 +362,47 @@ def test_serve_lid(tmp_path):
         srv.shutdown()
 
 
+def test_serve_codec_roundtrip(tmp_path):
+    """Codec endpoint: WAV in, encode+decode reconstruction WAV out at
+    the codec's sample rate and the input's length."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    import numpy as np
+
+    from fixtures import make_snac_fixture
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.codecs import load_codec
+
+    d = tmp_path / "snac"
+    make_snac_fixture(d, vq_strides=(4, 2, 1))
+    codec = load_codec(str(d))
+    srv = build_server(codec, "codec", "fixture", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        n = codec.sample_rate  # 1 s
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2)
+            w.setframerate(codec.sample_rate)
+            w.writeframes((np.sin(np.arange(n) * 0.05) * 8000)
+                          .astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{url}/v1/audio/codec", data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req) as r:
+            out = r.read()
+        with wave.open(io.BytesIO(out)) as w:
+            assert w.getframerate() == codec.sample_rate
+            assert 0 < w.getnframes() <= n
+    finally:
+        srv.shutdown()
+
+
 def test_serve_tts_slots_continuous(tmp_path):
     """--slots > 1: concurrent speech requests share the trunk through
     the continuous-batching worker; each connection still gets its own

@@ -24,6 +24,8 @@ balancer. Endpoints follow the OpenAI audio API paths:
 - ``POST /v1/audio/lid`` — raw WAV in; JSON
   ``{"language", "confidence", "top": [{"language", "confidence"}...]}``.
   LID models (``?top_k=N`` query, default 5).
+- ``POST /v1/audio/codec`` — raw WAV in, encode+decode reconstruction
+  WAV out (codec repos; the roundtrip the codec CLI performs).
 - ``GET /healthz`` — liveness + model metadata.
 - ``GET /metrics`` — Prometheus text format: per-route request/error
   counts and wall-time totals.
@@ -334,6 +336,15 @@ def build_server(model, task: str, model_name: str,
                                  "confidence": round(p.confidence, 6)}
                                 for p in out.top_languages],
                     })
+                elif self.path == "/v1/audio/codec" and task == "codec":
+                    audio, _ = _load_wav_body(body, model.sample_rate)
+                    with lock:
+                        out = np.asarray(model.decode(model.encode(audio)))
+                    if out.ndim == 3 and out.shape[-1] == 1:
+                        out = out[..., 0]
+                    out = out[0, : len(audio)]
+                    self._send(200, _wav_bytes(out, model.sample_rate),
+                               "audio/wav")
                 elif self.path == "/v1/audio/enhance" and task == "sts":
                     audio, sr = _load_wav_body(
                         body, getattr(model, "sample_rate", None))
@@ -365,7 +376,8 @@ def main(argv=None) -> None:
         "tpu-audio-serve", description=__doc__.splitlines()[0])
     parser.add_argument("--model", required=True)
     parser.add_argument("--task", default="auto",
-                        choices=("auto", "stt", "tts", "sts", "lid"))
+                        choices=("auto", "stt", "tts", "sts", "lid",
+                                 "codec"))
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--slots", type=int, default=1,
@@ -389,13 +401,18 @@ def main(argv=None) -> None:
         from tpu_audio.cli.warmup import detect_task
 
         task = detect_task(model_dir)
-        if task not in ("stt", "tts", "sts", "lid"):
+        if task not in ("stt", "tts", "sts", "lid", "codec"):
             raise SystemExit("cannot infer a servable task; pass --task")
 
-    import importlib
+    if task == "codec":
+        from tpu_audio.codecs import load_codec
 
-    model = importlib.import_module(
-        f"tpu_audio.models.{task}").load_model(model_dir)
+        model = load_codec(model_dir)
+    else:
+        import importlib
+
+        model = importlib.import_module(
+            f"tpu_audio.models.{task}").load_model(model_dir)
     if args.warmup:
         from tpu_audio.cli import warmup as W
 
