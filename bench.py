@@ -48,14 +48,19 @@ def _enable_compile_cache():
 def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
                       repeats: int = 3, kv_bits: int | None = None,
                       w8_decoder: bool = False,
-                      dense_self: bool = False) -> dict:
+                      dense_self: bool = False,
+                      w8_encoder: bool = False) -> dict:
     """``w8_decoder`` quantizes the decoder stack (incl. the tied
     embedding head) to per-channel int8 for the native MXU path — the
     224-token decode loop is HBM-bound on decoder weight reads.
     ``dense_self`` sets ``quantized_kv_start=max_total`` so the
     self-attention cache stays full precision while the cross-KV runs
     int8 through the fused Pallas kernel (mode token ``kv8d``) — the
-    fastest whisper config measured (RTF 0.0339 vs 0.0379 bf16 on v5e)."""
+    fastest whisper config measured (RTF 0.0339 vs 0.0379 bf16 on v5e).
+    ``w8_encoder`` (token ``w8e``) additionally runs the encoder stack's
+    attention/FFN GEMMs in int8 — the 1500-frame encode is MXU
+    compute-bound and v5e's s8 dot has 2x the bf16 peak (convs and
+    position embeddings stay dense)."""
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +88,11 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
 
         params["model"]["decoder"] = quant.quantize_tree(
             params["model"]["decoder"], scheme="w8a8")
+    if w8_encoder:
+        from tpu_audio.core import quant
+
+        params["model"]["encoder"] = quant.quantize_tree(
+            params["model"]["encoder"], scheme="w8a8")
     model = W.Whisper(cfg, params, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -126,7 +136,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
         "metric": f"whisper_{size}_rtf_30s_{decode_tokens}tok"
                   + ("_kv8" if kv_bits == 8 else "")
                   + ("d" if dense_self else "")
-                  + ("_w8" if w8_decoder else ""),
+                  + ("_w8" if w8_decoder else "")
+                  + ("_w8e" if w8_encoder else ""),
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
@@ -781,7 +792,8 @@ def main():
         else:
             result = bench_whisper_rtf(mode, kv_bits=kv_bits,
                                        w8_decoder="w8" in sys.argv[2:],
-                                       dense_self=dense_self)
+                                       dense_self=dense_self,
+                                       w8_encoder="w8e" in sys.argv[2:])
     except BaseException as e:  # noqa: BLE001 — always emit a json line
         result = {
             "metric": f"{mode}_bench_failed",

@@ -258,6 +258,35 @@ def test_w8a8_decoder_logits_close(tiny_model):
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
+def test_w8a8_encoder_hidden_close(tiny_model):
+    """Per-channel int8 encoder GEMMs (bench token ``w8e``) stay close to
+    the dense encoder hidden states; convs/position embeddings remain
+    dense so only the attention/FFN projections carry quant noise."""
+    from tpu_audio.core import quant
+
+    model = tiny_model
+    rngv = np.random.default_rng(0)
+    mel = jnp.asarray(rngv.standard_normal(
+        (1, 2 * model.config.max_source_positions,
+         model.config.num_mel_bins)).astype(np.float32) * 0.1)
+    ref = np.asarray(W.encoder_forward(model.params, mel, model.config),
+                     np.float32)
+
+    qparams = {"model": dict(model.params["model"])}
+    qparams["model"]["encoder"] = quant.quantize_tree(
+        model.params["model"]["encoder"], scheme="w8a8",
+        min_in_features=16, group_size=16)
+    enc = qparams["model"]["encoder"]
+    from tpu_audio.core.quant import Int8Tensor
+
+    assert isinstance(enc["layers"]["fc1"]["weight"], Int8Tensor)
+    assert not isinstance(enc["conv1"]["weight"], Int8Tensor)
+    got = np.asarray(W.encoder_forward(qparams, mel, model.config),
+                     np.float32)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.05
+
+
 def test_tokenizer_autofetch_by_vocab_size(tmp_path, monkeypatch):
     """A tokenizer-less checkpoint resolves its tokenizer from the sibling
     openai repo selected by vocab size (WhisperModel.swift:566-639), via a
