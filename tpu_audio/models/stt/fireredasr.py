@@ -8,10 +8,15 @@ encoder with macaron FFNs THAT CARRY THEIR OWN residuals
 rel-pos attention (layer_norm_q/k/v), double-width GLU conv modules,
 and a 2x2-strided VALID conv subsampler fed 6 extra right-context
 frames. The transformer decoder (scaled embedding + absolute sin/cos
-positions, pre-LN self/cross/MLP) decodes greedily in one jitted
-`lax.while_loop` with KV caches and precomputed cross K/V — the
+positions, pre-LN self/cross/MLP) decodes with KV caches and
+precomputed cross K/V in one jitted `lax.while_loop` — the
 reference re-runs full hidden states per step
-(FireRedASR2Model.swift:437-480).
+(FireRedASR2Model.swift:437-480). The default decode is the
+reference's 3-beam search (beamSearch, FireRedASR2Model.swift:581-737,
+smoothing 1.25 / length penalty 0.6): here the beams ride the batch
+axis and the candidate merge is an on-device top-k, so the whole
+search is one graph with no per-step host sort; `beam_size=1` takes
+the cheaper greedy loop.
 """
 
 from __future__ import annotations
@@ -294,9 +299,111 @@ class FireRedASR2:
         self._loops[max_total] = fn
         return fn
 
+    # beam hyperparameters fixed by the reference's generate call
+    # (FireRedASR2Model.swift:581-588, 821: beamSize 3, softmax
+    # smoothing 1.25, length penalty 0.6, eos penalty 1.0)
+    BEAM_SMOOTHING = 1.25
+    LENGTH_PENALTY = 0.6
+    EOS_PENALTY = 1.0
+
+    def _get_beam_loop(self, max_total: int, beam: int):
+        """Batched beam search as ONE jitted ``lax.while_loop``
+        (FireRedASR2Model.swift:581-737 beamSearch): the B beams ride the
+        decoder's batch axis, the candidate merge is a top-k over the
+        flattened [B*B] (beam x rank) score table, and beam reordering
+        gathers the KV cache on its batch axis — all on device, no
+        per-step host sync (the reference sorts candidates host-side
+        every step)."""
+        key = ("beam", max_total, beam)
+        if key in self._loops:
+            return self._loops[key]
+        cfg = self.config
+        B = beam
+        eos = cfg.eos_id
+        smooth = self.BEAM_SMOOTHING
+        eosp = self.EOS_PENALTY
+
+        def loop(params, cross_k, cross_v):
+            cache = kv_cache.init_cache(
+                cfg.decoder.n_layers, B, cfg.decoder.n_head,
+                cfg.decoder.d_model // cfg.decoder.n_head, max_total,
+                jnp.float32)
+            tokens = jnp.full((B, max_total), eos,
+                              jnp.int32).at[:, 0].set(cfg.sos_id)
+            scores = jnp.full((B,), -jnp.inf, jnp.float32).at[0].set(0.0)
+            conf = jnp.zeros((B, max_total), jnp.float32)
+            finished = jnp.zeros((B,), bool)
+            ck = jnp.repeat(cross_k, B, axis=1)
+            cv = jnp.repeat(cross_v, B, axis=1)
+
+            def cond(c):
+                _, i, _, _, _, finished = c
+                return jnp.logical_and(~jnp.all(finished), i < max_total)
+
+            def body(c):
+                tokens, i, cache, scores, conf, finished = c
+                last = jax.lax.dynamic_slice_in_dim(tokens, i - 1, 1,
+                                                    axis=1)
+                logits, cache = _decoder_step(params, last, cache, ck, cv,
+                                              cfg)
+                step = jnp.log(
+                    jax.nn.softmax(logits.astype(jnp.float32) / smooth,
+                                   axis=-1) + 1e-10)
+                if eosp != 1.0:
+                    step = step.at[:, eos].multiply(eosp)
+                vals, idx = jax.lax.top_k(step, B)       # [B, B]
+                # finished beams carry exactly ONE candidate: themselves
+                # extended by eos at unchanged score (tokenScore 0)
+                rank0 = jnp.arange(B)[None, :] == 0
+                cand_tot = jnp.where(
+                    finished[:, None],
+                    jnp.where(rank0, scores[:, None], -jnp.inf),
+                    scores[:, None] + vals)
+                cand_tok = jnp.where(finished[:, None], eos, idx)
+                cand_ts = jnp.where(finished[:, None], 0.0, vals)
+                sel_tot, sel_flat = jax.lax.top_k(cand_tot.reshape(-1), B)
+                src = sel_flat // B
+                tok_sel = cand_tok.reshape(-1)[sel_flat]
+                ts_sel = cand_ts.reshape(-1)[sel_flat]
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens[src], tok_sel[:, None].astype(jnp.int32), (0, i))
+                conf = jax.lax.dynamic_update_slice(
+                    conf[src], jnp.exp(ts_sel)[:, None], (0, i))
+                cache = cache._replace(k=cache.k[:, src], v=cache.v[:, src])
+                return (tokens, i + 1, cache, sel_tot, conf,
+                        tok_sel == eos)
+
+            tokens, i, _, scores, conf, _ = jax.lax.while_loop(
+                cond, body,
+                (tokens, jnp.int32(1), cache, scores, conf, finished))
+            return tokens, i, scores, conf
+
+        fn = jax.jit(loop)
+        self._loops[key] = fn
+        return fn
+
+    def _beam_decode(self, enc, cross_k, cross_v, max_total: int,
+                     beam: int):
+        """Run the jitted beam loop and pick the best beam with the
+        reference's length-penalty rescoring (host-side finalize,
+        FireRedASR2Model.swift:704-736)."""
+        loop = self._get_beam_loop(max_total, beam)
+        tokens, count, scores, conf = loop(self.params, cross_k, cross_v)
+        toks = np.asarray(tokens)[:, : int(count)]
+        scores = np.asarray(scores, np.float64)
+        # reference counts non-eos over the FULL row incl. the sos slot
+        lengths = (toks != self.config.eos_id).sum(axis=1)
+        if self.LENGTH_PENALTY > 0:
+            scores = scores / ((5.0 + lengths) / 6.0) ** self.LENGTH_PENALTY
+        best = int(scores.argmax())
+        ids = [t for t in toks[best, 1:].tolist() if t != self.config.eos_id]
+        confs = np.asarray(conf)[best, 1 : 1 + len(ids)].tolist()
+        return ids, confs
+
     def generate(self, audio, generation_parameters:
                  STTGenerateParameters | None = None,
-                 sample_rate: int | None = None) -> STTOutput:
+                 sample_rate: int | None = None,
+                 beam_size: int = 3) -> STTOutput:
         gp = generation_parameters or STTGenerateParameters()
         t0 = time.perf_counter()
         wf = np.asarray(audio, np.float32).reshape(-1)
@@ -313,10 +420,14 @@ class FireRedASR2:
         cross_k, cross_v = _cross_kv(self.params, enc, self.config)
         max_total = max(8, min(gp.max_tokens or enc.shape[1],
                                enc.shape[1]) + 1)
-        loop = self._get_loop(max_total)
-        tokens, count = loop(self.params, cross_k, cross_v)
-        ids = [t for t in np.asarray(tokens)[1: int(count)].tolist()
-               if t != self.config.eos_id]
+        if beam_size > 1:
+            ids, _ = self._beam_decode(enc, cross_k, cross_v, max_total,
+                                       beam_size)
+        else:
+            loop = self._get_loop(max_total)
+            tokens, count = loop(self.params, cross_k, cross_v)
+            ids = [t for t in np.asarray(tokens)[1: int(count)].tolist()
+                   if t != self.config.eos_id]
         if self.tokenizer is not None:
             text = self.tokenizer.decode(ids).strip()
         else:
