@@ -362,6 +362,61 @@ def test_serve_lid(tmp_path):
         srv.shutdown()
 
 
+def test_serve_vad(tmp_path):
+    """VAD endpoints: Sortformer returns speaker-labelled diarization,
+    Silero returns plain speech runs — one route, surface-dispatched."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    import numpy as np
+
+    from fixtures import make_silero_fixture, make_sortformer_fixture
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.models.vad import load_model
+
+    def start(model):
+        srv = build_server(model, "vad", "fixture", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def wav_body(seconds=2.0):
+        rng = np.random.default_rng(0)
+        n = int(16000 * seconds)
+        x = np.zeros(n, np.float32)
+        x[n // 4: 3 * n // 4] = (
+            np.sin(np.arange(n // 2) * 0.08)
+            * (0.5 + 0.3 * np.sin(np.arange(n // 2) * 0.004)))
+        x += rng.standard_normal(n).astype(np.float32) * 0.01
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes((x * 20000).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    for fixture, labelled in ((make_sortformer_fixture, True),
+                              (make_silero_fixture, False)):
+        d = tmp_path / fixture.__name__
+        fixture(d)
+        srv, url = start(load_model(str(d)))
+        try:
+            req = urllib.request.Request(
+                f"{url}/v1/audio/vad", data=wav_body(),
+                headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req) as r:
+                out = _json.loads(r.read())
+            assert "segments" in out
+            for s in out["segments"]:
+                assert 0.0 <= s["start"] <= s["end"]
+                assert ("speaker" in s) == labelled
+            if labelled:
+                assert "num_speakers" in out
+        finally:
+            srv.shutdown()
+
+
 def test_serve_codec_roundtrip(tmp_path):
     """Codec endpoint: WAV in, encode+decode reconstruction WAV out at
     the codec's sample rate and the input's length."""

@@ -26,6 +26,10 @@ balancer. Endpoints follow the OpenAI audio API paths:
   LID models (``?top_k=N`` query, default 5).
 - ``POST /v1/audio/codec`` — raw WAV in, encode+decode reconstruction
   WAV out (codec repos; the roundtrip the codec CLI performs).
+- ``POST /v1/audio/vad`` — raw WAV in; JSON speech segments. Sortformer
+  returns speaker-labelled diarization (``{"segments": [{"start",
+  "end", "speaker"}], "num_speakers"}``); Silero/FSMN return plain
+  speech runs.
 - ``GET /healthz`` — liveness + model metadata.
 - ``GET /metrics`` — Prometheus text format: per-route request/error
   counts and wall-time totals.
@@ -336,6 +340,35 @@ def build_server(model, task: str, model_name: str,
                                  "confidence": round(p.confidence, 6)}
                                 for p in out.top_languages],
                     })
+                elif self.path == "/v1/audio/vad" and task == "vad":
+                    audio, _ = _load_wav_body(body, 16000)
+                    with lock:
+                        if hasattr(model, "generate"):  # diarization
+                            out = model.generate(audio)
+                            payload = {
+                                "segments": [
+                                    {"start": round(float(s.start), 3),
+                                     "end": round(float(s.end), 3),
+                                     "speaker": int(s.speaker)}
+                                    for s in out["segments"]],
+                                "num_speakers": out["num_speakers"],
+                            }
+                        elif hasattr(model, "detect"):  # FSMN ms spans
+                            payload = {"segments": [
+                                {"start": round(s / 1000.0, 3),
+                                 "end": round(e / 1000.0, 3)}
+                                for s, e in model.detect(audio, 16000)]}
+                        else:  # Silero-style frame probs -> runs
+                            from tpu_audio.models.vad.segmenter import (
+                                SpeechSegmentConfig, detect_speech_runs)
+
+                            runs = detect_speech_runs(
+                                audio, 16000, model, SpeechSegmentConfig())
+                            payload = {"segments": [
+                                {"start": round(s / 16000.0, 3),
+                                 "end": round(e / 16000.0, 3)}
+                                for s, e in runs]}
+                    self._json(200, payload)
                 elif self.path == "/v1/audio/codec" and task == "codec":
                     audio, _ = _load_wav_body(body, model.sample_rate)
                     with lock:
@@ -377,7 +410,7 @@ def main(argv=None) -> None:
     parser.add_argument("--model", required=True)
     parser.add_argument("--task", default="auto",
                         choices=("auto", "stt", "tts", "sts", "lid",
-                                 "codec"))
+                                 "codec", "vad"))
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--slots", type=int, default=1,
@@ -401,7 +434,7 @@ def main(argv=None) -> None:
         from tpu_audio.cli.warmup import detect_task
 
         task = detect_task(model_dir)
-        if task not in ("stt", "tts", "sts", "lid", "codec"):
+        if task not in ("stt", "tts", "sts", "lid", "codec", "vad"):
             raise SystemExit("cannot infer a servable task; pass --task")
 
     if task == "codec":
