@@ -283,6 +283,39 @@ def test_worker_generator_close_cancels(tts_model):
     assert all(r.done for r in worker._srv.engine.requests.values())
 
 
+def test_worker_engine_death_unblocks_callers(tts_model):
+    """If the engine thread dies mid-step, waiting callers get the
+    failure raised instead of hanging, and the worker refuses new
+    work."""
+    from tpu_audio.core.generation import AudioGenerateParameters
+    from tpu_audio.models.tts.llama_tts import LlamaTTS
+    from tpu_audio.parallel.continuous import TTSEngineWorker
+
+    import jax.numpy as _jnp
+
+    model = LlamaTTS.from_pretrained(str(tts_model), dtype=_jnp.float32)
+    params = AudioGenerateParameters(
+        max_tokens=30, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.0, streaming_interval=0.02)
+    worker = TTSEngineWorker(model, slots=1, generation_parameters=params)
+
+    calls = {"n": 0}
+    orig = worker._srv.step
+
+    def dying_step():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected device failure")
+        return orig()
+
+    worker._srv.step = dying_step
+    with pytest.raises(RuntimeError, match="engine thread died"):
+        for _ in worker.synthesize("this request will see the crash"):
+            pass
+    with pytest.raises(RuntimeError):
+        next(worker.synthesize("rejected after death"))
+
+
 def test_tensor_parallel_params_parity(tiny):
     """The engine is GSPMD-transparent: Megatron-sharded params over a
     'model' mesh axis (parallel/mesh.py rules) produce bit-identical

@@ -41,6 +41,9 @@ def main(argv=None):
                         help="quantize the decode KV cache "
                         "(8=int8 symmetric, 4=packed affine int4)")
     parser.add_argument("--kv-group-size", type=int, default=64)
+    parser.add_argument("--beam-size", type=int, default=None,
+                        help="beam width for AED beam-decode models "
+                             "(FireRedASR2: default 3, 1 = greedy)")
     parser.add_argument("--quantized-kv-start", type=int, default=0,
                         help="keep KV positions below this index full "
                         "precision (Generation.swift quantizedKVStart)")
@@ -58,6 +61,7 @@ def main(argv=None):
         chunk_duration=args.chunk_duration, kv_bits=args.kv_bits,
         kv_group_size=args.kv_group_size,
         quantized_kv_start=args.quantized_kv_start,
+        beam_size=args.beam_size,
     )
 
     import contextlib as _ctx

@@ -178,6 +178,9 @@ class STTGenerateParameters:
     kv_bits: int | None = None
     kv_group_size: int = 64
     quantized_kv_start: int = 0
+    # AED beam decode width where the model supports it (FireRedASR2's
+    # reference default is 3; None = the model's own default)
+    beam_size: int | None = None
     verbose: bool = False
     extra: dict[str, Any] = field(default_factory=dict)
 

@@ -403,8 +403,10 @@ class FireRedASR2:
     def generate(self, audio, generation_parameters:
                  STTGenerateParameters | None = None,
                  sample_rate: int | None = None,
-                 beam_size: int = 3) -> STTOutput:
+                 beam_size: int | None = None) -> STTOutput:
         gp = generation_parameters or STTGenerateParameters()
+        if beam_size is None:
+            beam_size = gp.beam_size if gp.beam_size is not None else 3
         t0 = time.perf_counter()
         wf = np.asarray(audio, np.float32).reshape(-1)
         src = sample_rate or 16000

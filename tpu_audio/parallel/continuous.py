@@ -621,6 +621,22 @@ class TTSEngineWorker:
         self._thread.join()
 
     def _loop(self) -> None:
+        try:
+            self._run_loop()
+        except BaseException as e:  # noqa: BLE001 — engine died: unblock
+            # every waiting caller gets the failure instead of hanging
+            # forever on its queue; subsequent synthesize() calls raise
+            self._closing = True
+            failure = RuntimeError(f"TTS engine thread died: {e!r}")
+            for q in self._out.values():
+                q.put(failure)
+            self._out.clear()
+            while not self._inbox.empty():
+                item = self._inbox.get_nowait()
+                if item is not None and item[0] == "submit":
+                    item[2].put(failure)
+
+    def _run_loop(self) -> None:
         stop = False
         while not (stop and self._srv.idle and self._inbox.empty()):
             # drain submissions; block only when the engine has no work
