@@ -33,6 +33,74 @@ def default_respond(transcript: str) -> str:
     return f"You said: {transcript}"
 
 
+def make_llm_responder(model_dir: str, max_tokens: int = 64,
+                       template: str = "User: {transcript}\nAssistant:"):
+    """A real local-LLM responder over any llama-family chat checkpoint —
+    the analog of SimpleChat's on-device chat model. Greedy decode in one
+    jitted while_loop (prefill bucket + KV cache), tokenizer.json via the
+    tokenizers library."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tokenizers import Tokenizer
+
+    from tpu_audio.core import hub, loading
+    from tpu_audio.models import llama
+
+    d = hub.resolve_or_download_model(model_dir)
+    raw = hub.load_config(d)
+    cfg = llama.LlamaConfig.from_dict(raw)
+    params = loading.load_params(
+        d, sanitize=lambda w: llama.sanitize(w, cfg), dtype=jnp.bfloat16)
+    params = llama.maybe_stack(params)
+    tok = Tokenizer.from_file(str(__import__("pathlib").Path(d)
+                                  / "tokenizer.json"))
+    eos = raw.get("eos_token_id", -1)
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0] if eos else -1
+
+    @jax.jit
+    def decode(params, prompt, n_prompt):
+        max_len = prompt.shape[0] + max_tokens
+        cache = llama.make_cache(cfg, 1, max_len, jnp.bfloat16,
+                                 valid_from=prompt.shape[0] - n_prompt)
+        _, cache = llama.forward(params, prompt[None, :-1], cache, cfg)
+        out = jnp.zeros((max_tokens,), jnp.int32)
+
+        def cond(c):
+            _, i, _, last = c
+            return jnp.logical_and(i < max_tokens, last != eos)
+
+        def body(c):
+            out, i, cache, last = c
+            logits, cache = llama.forward(params, last[None, None], cache,
+                                          cfg)
+            nxt = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(
+                jnp.int32)
+            return out.at[i].set(nxt), i + 1, cache, nxt
+
+        out, count, *_ = jax.lax.while_loop(
+            cond, body, (out, jnp.int32(0), cache, prompt[-1]))
+        return out, count
+
+    bucket = 64
+
+    def respond(transcript: str) -> str:
+        ids = tok.encode(template.format(
+            transcript=transcript.strip())).ids
+        pad = (-len(ids)) % bucket or 0
+        buf = np.zeros((len(ids) + pad,), np.int32)
+        buf[pad:] = ids
+        out, count = decode(params, jnp.asarray(buf),
+                            jnp.int32(len(ids)))
+        reply_ids = [t for t in np.asarray(out)[: int(count)].tolist()
+                     if t != eos]
+        text = tok.decode(reply_ids).strip()
+        return text or default_respond(transcript)
+
+    return respond
+
+
 def run_agent(audio, sample_rate, vad_model, stt_model, tts_model,
               smart_turn=None, respond=default_respond, player_sink=None,
               verbose=True, incomplete_timeout_s=4.0):
@@ -136,6 +204,9 @@ def main(argv=None):
     parser.add_argument("--stt", required=True)
     parser.add_argument("--tts", required=True)
     parser.add_argument("--smart-turn", default=None)
+    parser.add_argument("--llm", default=None,
+                        help="llama-family chat checkpoint for real "
+                             "replies (default: echo responder)")
     parser.add_argument("-o", "--output", default="reply.wav")
     args = parser.parse_args(argv)
 
@@ -153,10 +224,12 @@ def main(argv=None):
 
         smart_turn = SmartTurn.from_pretrained(args.smart_turn)
 
+    respond = (make_llm_responder(args.llm) if args.llm
+               else default_respond)
     audio, sr = load_audio(args.audio)
     with StreamingWAVWriter(args.output, tts.sample_rate) as writer:
         turns = run_agent(audio, sr, vad, stt, tts, smart_turn=smart_turn,
-                          player_sink=writer.append)
+                          respond=respond, player_sink=writer.append)
     print(f"[agent] {len(turns)} turn(s) -> {args.output}", file=sys.stderr)
     return 0
 

@@ -157,3 +157,19 @@ def test_barge_in_truncates_previous_reply(models, monkeypatch):
         assert len(turns[0][2]) < len(long_reply)
         # second reply untouched
         assert len(turns[-1][2]) == len(long_reply)
+
+
+def test_llm_responder(tmp_path):
+    """make_llm_responder loads a llama checkpoint and greedily decodes a
+    non-empty reply in one jitted loop (the SimpleChat local-LLM slot)."""
+    from fixtures import make_llama_tts_fixture
+
+    sys.path.insert(0, "examples")
+    from voice_agent import make_llm_responder
+
+    d = make_llama_tts_fixture(tmp_path / "llm")
+    respond = make_llm_responder(str(d), max_tokens=8)
+    out = respond("hello there")
+    assert isinstance(out, str) and len(out) > 0
+    # deterministic greedy decode
+    assert respond("hello there") == out
