@@ -143,6 +143,7 @@ def build_server(model, task: str, model_name: str,
     lock = threading.Lock()
     metrics = _Metrics()
     worker = None
+    stt_worker = None
     if slots > 1 and task == "tts":
         from tpu_audio.parallel.continuous import TTSEngineWorker
 
@@ -150,6 +151,14 @@ def build_server(model, task: str, model_name: str,
             model, slots=slots,
             generation_parameters=generation_parameters,
             step_tokens=step_tokens)
+    elif slots > 1 and task == "stt":
+        from tpu_audio.models.stt.whisper import Whisper
+
+        if isinstance(model, Whisper):
+            from tpu_audio.parallel.continuous_stt import STTEngineWorker
+
+            stt_worker = STTEngineWorker(model, slots=slots,
+                                         step_tokens=step_tokens)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -270,8 +279,14 @@ def build_server(model, task: str, model_name: str,
                     audio, _ = _load_wav_body(
                         body, getattr(model, "sample_rate", 16000))
                     t0 = time.perf_counter()
-                    with lock:
-                        out = model.generate(audio)
+                    if stt_worker is not None and len(audio) <= 30 * 16000:
+                        # <=30 s whisper requests share the continuously
+                        # batched decode lanes; long-form falls back to
+                        # the chunked offline path under the lock
+                        out = stt_worker.transcribe(audio)
+                    else:
+                        with lock:
+                            out = model.generate(audio)
                     self._json(200, {
                         "text": out.text,
                         "language": out.language,

@@ -75,6 +75,7 @@ class GenRequest:
     seed: int = 0
     tokens: list = dataclasses.field(default_factory=list)
     done: bool = False
+    context: object = None   # per-request conditioning pytree (or None)
 
 
 class _BatchState(NamedTuple):
@@ -86,6 +87,7 @@ class _BatchState(NamedTuple):
     seeds: jnp.ndarray       # [slots] int32 — request RNG seeds
     hist: jnp.ndarray        # [slots, H] int32 — logits-space ring buffer
     hpos: jnp.ndarray        # [slots] int32 — ring write position
+    ctx: object = None       # per-lane conditioning pytree [slots, ...]
 
 
 def _sample_one(logits: jnp.ndarray, key, s: SamplingParams) -> jnp.ndarray:
@@ -134,6 +136,16 @@ class ContinuousBatcher:
     - ``token_map``: sampled logits-space index -> model token id
       (restricted heads); the repetition history stays in logits space.
 
+    Per-request conditioning (encoder-decoder serving): pass
+    ``context_template`` (a pytree of zero arrays shaped like ONE
+    request's conditioning, e.g. whisper's precomputed cross-attention
+    K/V) and supply a matching ``context=`` pytree to :meth:`submit`.
+    ``step_fn``/``prefill_fn`` then take it as a 4th argument and the
+    engine stacks it on the slot axis exactly like the KV cache.
+    ``logits_hook(logits [V], n_new []) -> logits`` applies model logit
+    rules inside the tick (e.g. whisper suppression; ``n_new == 0``
+    marks the first sampled position for begin-suppression).
+
     ``sampling`` selects greedy/temperature/top-k/top-p/repetition
     penalty exactly as the offline decode loop does. ``prefill_buckets``
     are the compiled prompt lengths; prompts longer than the largest
@@ -159,7 +171,9 @@ class ContinuousBatcher:
                  prefill_fn: Callable | None = None,
                  cache_factory: Callable | None = None,
                  token_map: Callable | None = None,
-                 pad_token: int = 0, step_tokens: int = 1):
+                 pad_token: int = 0, step_tokens: int = 1,
+                 context_template=None,
+                 logits_hook: Callable | None = None):
         self.params = params
         self.slots = int(slots)
         self.max_len = int(max_len)
@@ -194,6 +208,7 @@ class ContinuousBatcher:
                                         dtype=cache_dtype,
                                         valid_from=valid_from)
         self._cache_factory = cache_factory
+        self._ctx_template = context_template
         self._base_key = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._pending: list[GenRequest] = []
@@ -204,20 +219,29 @@ class ContinuousBatcher:
         sample = functools.partial(_sample_one, s=self.sampling)
         H = self.history_size
         penalty = self.sampling.repetition_penalty
+        has_ctx = context_template is not None
 
         def step_key(req_seed, sample_idx):
             return jax.random.fold_in(
                 jax.random.fold_in(self._base_key, req_seed), sample_idx)
 
-        def row_step(cache, tok):
-            logits, cache = step_fn(self.params, tok[None, None], cache)
+        def row_step(cache, tok, ctx):
+            if has_ctx:
+                logits, cache = step_fn(self.params, tok[None, None],
+                                        cache, ctx)
+            else:
+                logits, cache = step_fn(self.params, tok[None, None], cache)
             return logits[0], cache
 
         def one_step(state: _BatchState, _):
             old_offset = state.cache.offset
             valid = state.active  # this step's samples count iff live
-            logits, cache = jax.vmap(row_step)(state.cache, state.last)
+            logits, cache = jax.vmap(
+                row_step, in_axes=(0, 0, 0 if has_ctx else None))(
+                state.cache, state.last, state.ctx)
             logits = logits.astype(jnp.float32)
+            if logits_hook is not None:
+                logits = jax.vmap(logits_hook)(logits, state.n_new)
             if penalty != 1.0:
                 hvalid = (
                     jax.lax.broadcasted_iota(jnp.int32, state.hist.shape, 1)
@@ -259,20 +283,23 @@ class ContinuousBatcher:
         self._decode_step = decode_step
 
         @jax.jit
-        def prefill(tokens, valid_from):
+        def prefill(tokens, valid_from, ctx):
             cache = self._cache_factory(0)
             cache = jax.tree.map(jnp.asarray, cache)
             cache = cache._replace(
                 valid_from=jnp.asarray(valid_from, jnp.int32))
-            _, cache = prefill_fn(self.params, tokens[None], cache)
+            if has_ctx:
+                _, cache = prefill_fn(self.params, tokens[None], cache, ctx)
+            else:
+                _, cache = prefill_fn(self.params, tokens[None], cache)
             return cache
 
         self._prefill = prefill
 
         @functools.partial(jax.jit, donate_argnums=(0,),
-                           static_argnums=(2,))
-        def insert(state: _BatchState, row_cache, slot: int, last_tok,
-                   max_new, req_seed):
+                           static_argnums=(3,))
+        def insert(state: _BatchState, row_cache, row_ctx, slot: int,
+                   last_tok, max_new, req_seed):
             def put(stacked, row):
                 row = jnp.asarray(row)
                 return jax.lax.dynamic_update_slice(
@@ -280,8 +307,10 @@ class ContinuousBatcher:
                     (slot,) + (0,) * row.ndim)
 
             cache = jax.tree.map(put, state.cache, row_cache)
+            ctx = (jax.tree.map(put, state.ctx, row_ctx)
+                   if has_ctx else state.ctx)
             return state._replace(
-                cache=cache,
+                cache=cache, ctx=ctx,
                 last=state.last.at[slot].set(last_tok),
                 active=state.active.at[slot].set(
                     (max_new > 0) & (row_cache.offset < self.max_len)),
@@ -297,8 +326,13 @@ class ContinuousBatcher:
 
     def _init_state(self) -> _BatchState:
         row = jax.tree.map(jnp.asarray, self._cache_factory(0))
-        cache = jax.tree.map(
-            lambda x: jnp.zeros((self.slots,) + x.shape, x.dtype), row)
+
+        def stack(x):
+            return jnp.zeros((self.slots,) + x.shape, x.dtype)
+
+        cache = jax.tree.map(stack, row)
+        ctx = (jax.tree.map(stack, self._ctx_template)
+               if self._ctx_template is not None else None)
 
         def zeros(*shape):
             # distinct buffers: donated states must not alias leaves
@@ -308,7 +342,7 @@ class ContinuousBatcher:
                            active=jnp.zeros((self.slots,), bool),
                            n_new=zeros(), max_new=zeros(), seeds=zeros(),
                            hist=zeros(self.slots, self.history_size),
-                           hpos=zeros())
+                           hpos=zeros(), ctx=ctx)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -319,21 +353,29 @@ class ContinuousBatcher:
 
     # -- public API ----------------------------------------------------
 
-    def submit(self, prompt, max_new: int, seed: int = 0) -> GenRequest:
+    def submit(self, prompt, max_new: int, seed: int = 0,
+               context=None) -> GenRequest:
         """Queue a request; it is admitted at the next :meth:`step` with a
         free lane. Returns the live :class:`GenRequest` (its ``tokens``
-        list fills in as the engine runs)."""
+        list fills in as the engine runs). ``context`` is the request's
+        conditioning pytree, required iff the engine was built with a
+        ``context_template``."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if prompt.size == 0:
             raise ValueError("empty prompt")
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
+        if (context is None) != (self._ctx_template is None):
+            raise ValueError(
+                "context must be supplied exactly when the engine has a "
+                "context_template")
         padded = self._bucket(prompt.size)
         if padded >= self.max_len:
             raise ValueError(
                 f"prompt pads to {padded} >= max_len={self.max_len}")
         req = GenRequest(request_id=self._next_id, prompt=prompt,
-                         max_new=int(max_new), seed=int(seed))
+                         max_new=int(max_new), seed=int(seed),
+                         context=context)
         self._next_id += 1
         self._pending.append(req)
         self.requests[req.request_id] = req
@@ -373,11 +415,13 @@ class ContinuousBatcher:
             pad = padded - req.prompt.size
             tokens = np.full((padded,), self.pad_token, np.int32)
             tokens[pad:] = req.prompt
-            row_cache = self._prefill(jnp.asarray(tokens[:-1]), pad)
+            row_cache = self._prefill(jnp.asarray(tokens[:-1]), pad,
+                                      req.context)
             self._state = self._insert(
-                self._state, row_cache, slot,
+                self._state, row_cache, req.context, slot,
                 jnp.asarray(req.prompt[-1], jnp.int32), req.max_new,
                 req.seed)
+            req.context = None  # free host reference; rows live on device
             self._lane[slot] = req
 
     def step(self) -> list[tuple[int, int]]:

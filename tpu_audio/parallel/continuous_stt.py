@@ -1,0 +1,259 @@
+"""Continuous batching for Whisper transcription serving.
+
+New TPU-native surface (the reference is a single-request SDK,
+SURVEY.md §2.0): concurrent transcription requests share ONE jitted
+``[slots]``-lane decode tick through :class:`ContinuousBatcher`'s
+per-request-context extension — each lane carries its own precomputed
+cross-attention K/V (the whisper conditioning, whisper.py:_cross_kv)
+stacked on the slot axis exactly like the KV cache, while whisper's
+suppression rules ride the engine's ``logits_hook`` (begin-suppression
+fires where a lane's ``n_new == 0``).
+
+Design notes vs the offline loop (stt/whisper.py:_decode_loop):
+
+- Whisper's learned decoder positions are NOT shift-invariant, so lanes
+  must not be left-padded: prompts from ``build_prompt_tokens`` have a
+  fixed per-model length (4 multilingual / 2 English-only), which IS the
+  single prefill bucket — pad is always zero and positions match the
+  solo decode exactly (greedy tokens are bit-identical, tested).
+- Encode (30 s mel + encoder) runs per-request at submit time — it is
+  one big MXU-bound dispatch that does not benefit from lane packing —
+  and only the decode loop (HBM-bound on decoder weights, the part that
+  scales with requested tokens) is continuously batched.
+- One language/task PER REQUEST (prompt content varies, length does
+  not); sampling configuration is per engine instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.core import kv_cache
+from tpu_audio.core.generation import STTOutput, STTSegment
+from tpu_audio.core.sampling import SamplingParams
+from tpu_audio.models.stt import whisper as W
+from tpu_audio.parallel.continuous import ContinuousBatcher, GenRequest
+
+__all__ = ["ContinuousSTT", "STTEngineWorker"]
+
+
+@dataclasses.dataclass
+class _Meta:
+    audio_seconds: float
+    t_submit: float
+
+
+class ContinuousSTT:
+    """Slot-based continuous transcription over a loaded Whisper model.
+
+    >>> srv = ContinuousSTT(model, slots=4)
+    >>> r = srv.submit(audio, language="en")
+    >>> srv.drain()
+    >>> srv.result(r.request_id).text
+
+    ``submit`` accepts one <=30 s chunk per request (shorter audio is
+    padded like the offline path; long-form chunking composes on top).
+    """
+
+    def __init__(self, model: "W.Whisper", *, slots: int = 4,
+                 max_tokens: int = 224, step_tokens: int = 8,
+                 temperature: float = 0.0, seed: int = 0):
+        from tpu_audio.core.generation import AudioGenerationError
+
+        if model.tokenizer is None:
+            raise AudioGenerationError("tokenizer not loaded")
+        self.model = model
+        cfg = model.config
+        tok = model.tokenizer
+        nh = cfg.decoder_attention_heads
+        hd = cfg.d_model // nh
+        src = cfg.max_source_positions
+        prompt_len = len(tok.build_prompt_tokens("en"))
+        max_total = prompt_len + max_tokens
+
+        suppress, begin = model._suppress_masks(tok)
+        suppress = jnp.asarray(suppress)
+        begin = jnp.asarray(begin)
+
+        def logits_hook(logits, n_new):
+            logits = logits + suppress
+            return jnp.where(n_new == 0, logits + begin, logits)
+
+        def step_fn(params, tok_ids, cache, ctx):
+            ck, cv = ctx
+            logits, cache = W.decoder_step(
+                params, tok_ids, cache.offset, cache,
+                ck[:, None], cv[:, None], cfg)
+            return logits[:, -1], cache
+
+        def prefill_fn(params, ids, cache, ctx):
+            ck, cv = ctx
+
+            def one(cache, t):
+                _, cache = W.decoder_step(
+                    params, t[None, None], cache.offset, cache,
+                    ck[:, None], cv[:, None], cfg)
+                return cache, None
+
+            cache, _ = jax.lax.scan(one, cache, ids[0])
+            return None, cache
+
+        def cache_factory(valid_from):
+            return kv_cache.init_cache(
+                cfg.decoder_layers, 1, nh, hd, max_total, model.dtype,
+                valid_from=valid_from)
+
+        ctx_template = (
+            jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
+            jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
+        )
+        self.engine = ContinuousBatcher(
+            model.params, slots=slots, max_len=max_total,
+            stop_token=tok.eot,
+            sampling=SamplingParams(temperature=temperature),
+            prefill_buckets=(prompt_len,), seed=seed,
+            cache_dtype=model.dtype, step_fn=step_fn,
+            prefill_fn=prefill_fn, cache_factory=cache_factory,
+            step_tokens=step_tokens, context_template=ctx_template,
+            logits_hook=logits_hook)
+        self.max_tokens = max_tokens
+        self._meta: dict[int, _Meta] = {}
+
+    def submit(self, audio, language: str | None = None,
+               task: str = "transcribe", max_tokens: int | None = None,
+               seed: int = 0) -> GenRequest:
+        """Encode one <=30 s request and queue its decode."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        feats = self.model.encoder_features(audio)
+        enc = self.model._encode(self.model.params, feats)
+        ck, cv = W._cross_kv(self.model.params, enc, self.model.config)
+        prompt = self.model.tokenizer.build_prompt_tokens(language, task)
+        req = self.engine.submit(
+            np.asarray(prompt, np.int32),
+            max_new=max_tokens or self.max_tokens, seed=seed,
+            context=(ck[:, 0], cv[:, 0]))
+        self._meta[req.request_id] = _Meta(
+            audio_seconds=len(audio) / W.SAMPLE_RATE,
+            t_submit=time.perf_counter())
+        return req
+
+    def step(self):
+        """One engine tick -> ``(request_id, token)`` pairs."""
+        return self.engine.step()
+
+    def drain(self):
+        """Run until every submitted request finishes."""
+        for _ in self.engine.run():
+            pass
+
+    def cancel(self, request_id: int) -> bool:
+        self._meta.pop(request_id, None)
+        return self.engine.cancel(request_id)
+
+    def result(self, request_id: int) -> STTOutput:
+        """Decode a finished request's tokens into an STTOutput."""
+        req = self.engine.requests[request_id]
+        if not req.done:
+            raise RuntimeError(f"request {request_id} still decoding")
+        meta = self._meta.pop(request_id, None)
+        text = self.model.tokenizer.decode(req.tokens).strip()
+        wall = (time.perf_counter() - meta.t_submit) if meta else 0.0
+        end = meta.audio_seconds if meta else 0.0
+        return STTOutput(
+            text=text,
+            segments=[STTSegment(text=text, start=0.0, end=end,
+                                 tokens=list(req.tokens))],
+            generation_token_count=len(req.tokens),
+            generation_time=wall, total_time=wall)
+
+
+class STTEngineWorker:
+    """Thread multiplexing concurrent transcription callers onto one
+    :class:`ContinuousSTT` — the STT sibling of
+    :class:`~tpu_audio.parallel.continuous.TTSEngineWorker`:
+
+    >>> worker = STTEngineWorker(model, slots=4)
+    >>> out = worker.transcribe(audio, language="en")   # any thread
+
+    Encodes happen on the engine thread as requests arrive (one device
+    dispatch each); the decode loops of all in-flight requests share the
+    continuously-batched tick."""
+
+    def __init__(self, model, *, slots: int = 4, **kw):
+        import queue as _queue
+        import threading as _threading
+
+        self._queue_mod = _queue
+        self._srv = ContinuousSTT(model, slots=slots, **kw)
+        self._inbox: _queue.Queue = _queue.Queue()
+        self._out: dict[int, object] = {}
+        self._closing = False
+        self._thread = _threading.Thread(target=self._loop, daemon=True,
+                                         name="stt-engine")
+        self._thread.start()
+
+    def transcribe(self, audio, language: str | None = None,
+                   task: str = "transcribe", max_tokens: int | None = None,
+                   seed: int = 0) -> STTOutput:
+        """Blocking: submit and wait for this request's transcription."""
+        if self._closing:
+            raise RuntimeError("worker is closed")
+        outq = self._queue_mod.Queue()
+        self._inbox.put((audio, language, task, max_tokens, seed, outq))
+        out = outq.get()
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def close(self) -> None:
+        self._closing = True
+        self._inbox.put(None)
+        self._thread.join()
+
+    def _loop(self) -> None:
+        try:
+            self._run_loop()
+        except BaseException as e:  # noqa: BLE001 — unblock callers
+            self._closing = True
+            failure = RuntimeError(f"STT engine thread died: {e!r}")
+            for q in self._out.values():
+                q.put(failure)
+            self._out.clear()
+            while not self._inbox.empty():
+                item = self._inbox.get_nowait()
+                if item is not None:
+                    item[-1].put(failure)
+
+    def _run_loop(self) -> None:
+        stop = False
+        while not (stop and self._srv.engine.idle and self._inbox.empty()):
+            block = self._srv.engine.idle and not stop
+            while True:
+                try:
+                    item = self._inbox.get(block=block, timeout=None)
+                except self._queue_mod.Empty:
+                    break
+                block = False
+                if item is None:
+                    stop = True
+                    continue
+                audio, language, task, max_tokens, seed, outq = item
+                try:
+                    req = self._srv.submit(audio, language=language,
+                                           task=task,
+                                           max_tokens=max_tokens,
+                                           seed=seed)
+                    self._out[req.request_id] = outq
+                except Exception as e:  # noqa: BLE001 — caller re-raises
+                    outq.put(e)
+                if self._inbox.empty():
+                    break
+            self._srv.step()
+            for rid in [r for r in self._out
+                        if self._srv.engine.requests[r].done]:
+                self._out.pop(rid).put(self._srv.result(rid))
