@@ -372,6 +372,77 @@ def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
     }
 
 
+def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
+                      ticks: int = 6, size: str = "large-v3") -> dict:
+    """Whisper continuous-serving throughput: aggregate decoded tokens/s
+    with ``slots`` concurrent <=30 s transcriptions sharing the batched
+    decode tick (parallel/continuous_stt.py), vs the same engine at
+    slots=1. Encodes are per-request one-shot dispatches and excluded —
+    the decode loop is what scales with concurrent load."""
+    import jax.numpy as jnp
+
+    from tpu_audio.models.stt import whisper as W
+
+    sizes = {
+        "large-v3": dict(d_model=1280, layers=32, heads=20, ffn=5120,
+                         n_mels=128),
+        "small": dict(d_model=768, layers=12, heads=12, ffn=3072,
+                      n_mels=80),
+    }
+    s = sizes[size]
+    cfg = W.WhisperConfig(
+        num_mel_bins=s["n_mels"], d_model=s["d_model"],
+        encoder_layers=s["layers"], encoder_attention_heads=s["heads"],
+        encoder_ffn_dim=s["ffn"], decoder_layers=s["layers"],
+        decoder_attention_heads=s["heads"], decoder_ffn_dim=s["ffn"],
+        vocab_size=51866, max_target_positions=448,
+    )
+    params = W.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    model = W.Whisper(cfg, params, dtype=jnp.bfloat16)
+    sys.path.insert(0, "tests")
+    from fixtures import FakeWhisperTokenizer
+
+    model.tokenizer = FakeWhisperTokenizer(vocab=cfg.vocab_size)
+    from tpu_audio.parallel.continuous_stt import ContinuousSTT
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(W.CHUNK_LENGTH_SAMPLES).astype(
+        np.float32) * 0.1
+    max_new = step_tokens * (ticks + 2)
+
+    def measure(n_slots: int) -> float:
+        srv = ContinuousSTT(model, slots=n_slots, max_tokens=max_new,
+                            step_tokens=step_tokens)
+        # disable the EOT stop (set before the first tick traces): every
+        # lane must stay live the whole measurement on random weights
+        srv.engine.stop_token = -1
+        for _ in range(n_slots):
+            srv.submit(audio)
+        srv.step(); srv.step()  # compile + steady state
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            srv.step()
+        return (time.perf_counter() - t0) / ticks
+
+    tick_solo = measure(1)
+    tick_batch = measure(slots)
+    tok_s = slots * step_tokens / tick_batch
+    solo_tok_s = step_tokens / tick_solo
+    return {
+        "metric": f"whisper_{size}_serving_tok_s_slots{slots}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / solo_tok_s, 2),
+        "detail": {
+            "single_stream_tok_s": round(solo_tok_s, 1),
+            "ms_per_tick_batch": round(tick_batch * 1000, 1),
+            "ms_per_tick_solo": round(tick_solo * 1000, 1),
+            "step_tokens": step_tokens,
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
                          prefix_len: int = 32, talker_dims: dict | None = None,
                          codec_dims: dict | None = None) -> dict:
@@ -781,6 +852,8 @@ def main():
             result = bench_qwen3_tts_ttfb()
         elif mode == "serve":
             result = bench_serving_throughput()
+        elif mode == "serve_stt":
+            result = bench_serving_stt()
         elif mode == "vad":
             result = bench_vad_diarization()
         elif mode == "parakeet":
