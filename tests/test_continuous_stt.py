@@ -133,3 +133,50 @@ def test_serve_stt_slots(model):
                 toks).strip()
     finally:
         srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def qwen_model(tmp_path_factory):
+    from fixtures import make_qwen3_asr_fixture
+    from tpu_audio.models.stt import load_model
+
+    return load_model(str(make_qwen3_asr_fixture(
+        tmp_path_factory.mktemp("qasr") / "q")), dtype=jnp.float32)
+
+
+def test_continuous_qwen3_asr_matches_offline(qwen_model):
+    """Audio-LLM continuous serving: the merged prompt embeddings ride
+    the lane context and staggered requests reproduce the offline
+    decode_features_tokens greedy output exactly."""
+    from tpu_audio.core.generation import STTGenerateParameters
+    from tpu_audio.parallel.continuous_stt import ContinuousQwen3ASR
+
+    model = qwen_model
+    window_s, max_tokens = 1.0, 8
+    rng = np.random.default_rng(1)
+    clips = [rng.standard_normal(12000).astype(np.float32) * 0.2
+             for _ in range(3)]
+
+    def solo(audio):
+        audio = np.asarray(audio, np.float32)[: int(16000 * window_s)]
+        if len(audio) < int(16000 * window_s):
+            audio = np.pad(audio, (0, int(16000 * window_s) - len(audio)))
+        mel, _ = model.preprocess_audio(audio)
+        feats = model.encode_audio(mel)
+        gen, _ = model.decode_features_tokens(
+            feats, STTGenerateParameters(max_tokens=max_tokens,
+                                         temperature=0.0))
+        return gen
+
+    want = [solo(a) for a in clips]
+
+    srv = ContinuousQwen3ASR(model, slots=2, window_s=window_s,
+                             max_tokens=max_tokens, step_tokens=3)
+    reqs = [srv.submit(a) for a in clips]
+    srv.step()
+    srv.drain()
+    got = [[t for t in srv.engine.requests[r.request_id].tokens
+            if t not in srv.EOS_IDS] for r in reqs]
+    assert got == want
+    out = srv.result(reqs[0].request_id)
+    assert isinstance(out.text, str)

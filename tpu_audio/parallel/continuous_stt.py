@@ -39,7 +39,7 @@ from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models.stt import whisper as W
 from tpu_audio.parallel.continuous import ContinuousBatcher, GenRequest
 
-__all__ = ["ContinuousSTT", "STTEngineWorker"]
+__all__ = ["ContinuousSTT", "ContinuousQwen3ASR", "STTEngineWorker"]
 
 
 @dataclasses.dataclass
@@ -169,6 +169,114 @@ class ContinuousSTT:
             segments=[STTSegment(text=text, start=0.0, end=end,
                                  tokens=list(req.tokens))],
             generation_token_count=len(req.tokens),
+            generation_time=wall, total_time=wall)
+
+
+class ContinuousQwen3ASR:
+    """Continuous batching for Qwen3-ASR — the audio-LLM variant of
+    :class:`ContinuousSTT`: the per-request conditioning is the MERGED
+    PROMPT EMBEDDINGS (text template + spliced audio-tower features,
+    qwen3_asr.py:_merge_audio_features) carried as the lane context, and
+    the prefill runs ``llama.forward(inputs_embeds=ctx)`` — showing the
+    engine contract covers decoder-only audio-LLM STT (GLM/Granite/
+    Cohere share this shape), not just encoder-decoder whisper.
+
+    Every request pads/truncates to a fixed ``window_s`` so the prompt
+    length (audio placeholder count) is one static shape — the single
+    prefill bucket, zero left-pad, positions identical to the offline
+    decode (greedy tokens bit-identical, tested). Language forcing
+    varies the prompt LENGTH in this model, so it is per-engine
+    (None = auto-detect from the decoded output)."""
+
+    EOS_IDS = (151645, 151643)  # im_end, endoftext (qwen3_asr.py)
+
+    def __init__(self, model, *, slots: int = 4, window_s: float = 20.0,
+                 max_tokens: int = 96, step_tokens: int = 8,
+                 temperature: float = 0.0, seed: int = 0,
+                 language: str | None = None):
+        from tpu_audio.models import llama
+        from tpu_audio.models.stt.qwen3_asr import SAMPLE_RATE
+
+        self.model = model
+        self.language = language
+        self.window = int(window_s * SAMPLE_RATE)
+        self._sr = SAMPLE_RATE
+        # fixed window -> constant frame count -> constant prompt length
+        mel, n_audio = model.preprocess_audio(
+            np.zeros((self.window,), np.float32))
+        self._n_audio = n_audio
+        prompt = model.build_prompt(n_audio, language=language)
+        L = len(prompt)
+        tcfg = model.config.text
+        max_total = L + max_tokens + 1
+
+        def step_fn(params, tok, cache, ctx):
+            return model._step_fn(params, tok, cache)
+
+        def prefill_fn(params, ids, cache, ctx):
+            return llama.forward(params, None, cache, tcfg,
+                                 inputs_embeds=ctx[None])
+
+        self.engine = ContinuousBatcher(
+            model.params, slots=slots, max_len=max_total,
+            stop_token=self.EOS_IDS[0],
+            sampling=SamplingParams(temperature=temperature,
+                                    repetition_penalty=1.0),
+            prefill_buckets=(L,), seed=seed, cache_dtype=model.dtype,
+            step_fn=step_fn, prefill_fn=prefill_fn,
+            cache_factory=lambda valid_from: llama.make_cache(
+                tcfg, 1, max_total, model.dtype, valid_from=valid_from),
+            step_tokens=step_tokens,
+            context_template=jnp.zeros(
+                (L - 1, tcfg.hidden_size), model.dtype))
+        self.max_tokens = max_tokens
+        self._meta: dict[int, _Meta] = {}
+
+    def submit(self, audio, max_tokens: int | None = None,
+               seed: int = 0) -> GenRequest:
+        """Encode one fixed-window request and queue its decode."""
+        audio = np.asarray(audio, np.float32).reshape(-1)[: self.window]
+        seconds = len(audio) / self._sr
+        if len(audio) < self.window:
+            audio = np.pad(audio, (0, self.window - len(audio)))
+        mel, n_audio = self.model.preprocess_audio(audio)
+        feats = self.model.encode_audio(mel)
+        ids = np.asarray([self.model.build_prompt(
+            n_audio, language=self.language)], np.int32)
+        embeds = self.model._merge_audio_features(ids, feats)
+        req = self.engine.submit(
+            ids[0], max_new=max_tokens or self.max_tokens, seed=seed,
+            context=jnp.asarray(embeds[0, :-1], self.model.dtype))
+        self._meta[req.request_id] = _Meta(
+            audio_seconds=seconds, t_submit=time.perf_counter())
+        return req
+
+    def step(self):
+        return self.engine.step()
+
+    def drain(self):
+        for _ in self.engine.run():
+            pass
+
+    def cancel(self, request_id: int) -> bool:
+        self._meta.pop(request_id, None)
+        return self.engine.cancel(request_id)
+
+    def result(self, request_id: int) -> STTOutput:
+        req = self.engine.requests[request_id]
+        if not req.done:
+            raise RuntimeError(f"request {request_id} still decoding")
+        meta = self._meta.pop(request_id, None)
+        gen = [t for t in req.tokens if t not in self.EOS_IDS]
+        decoded = self.model.tokenizer.decode(gen, skip_special_tokens=True)
+        lang, text = self.model._parse_output(decoded, self.language)
+        wall = (time.perf_counter() - meta.t_submit) if meta else 0.0
+        end = meta.audio_seconds if meta else 0.0
+        return STTOutput(
+            text=text, language=lang,
+            segments=[STTSegment(text=text, start=0.0, end=end,
+                                 tokens=gen)],
+            generation_token_count=len(gen),
             generation_time=wall, total_time=wall)
 
 
