@@ -180,3 +180,34 @@ def test_continuous_qwen3_asr_matches_offline(qwen_model):
     assert got == want
     out = srv.result(reqs[0].request_id)
     assert isinstance(out.text, str)
+
+
+def test_serve_qwen3_asr_slots(qwen_model):
+    """--slots on a Qwen3-ASR server routes window-sized requests
+    through the audio-LLM continuous engine."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    from tpu_audio.cli.serve import build_server
+
+    srv = build_server(qwen_model, "stt", "fixture", port=0, slots=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(5)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes((rng.standard_normal(16000) * 4000)
+                          .astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{url}/v1/audio/transcriptions", data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = _json.loads(r.read())
+        assert "text" in out and isinstance(out["text"], str)
+    finally:
+        srv.shutdown()

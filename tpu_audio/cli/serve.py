@@ -152,13 +152,17 @@ def build_server(model, task: str, model_name: str,
             generation_parameters=generation_parameters,
             step_tokens=step_tokens)
     elif slots > 1 and task == "stt":
+        from tpu_audio.models.stt.qwen3_asr import Qwen3ASR
         from tpu_audio.models.stt.whisper import Whisper
 
-        if isinstance(model, Whisper):
-            from tpu_audio.parallel.continuous_stt import STTEngineWorker
+        if isinstance(model, (Whisper, Qwen3ASR)):
+            from tpu_audio.parallel.continuous_stt import (
+                ContinuousQwen3ASR, STTEngineWorker)
 
-            stt_worker = STTEngineWorker(model, slots=slots,
-                                         step_tokens=step_tokens)
+            stt_worker = STTEngineWorker(
+                model, slots=slots, step_tokens=step_tokens,
+                engine_cls=(ContinuousQwen3ASR
+                            if isinstance(model, Qwen3ASR) else None))
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -279,8 +283,9 @@ def build_server(model, task: str, model_name: str,
                     audio, _ = _load_wav_body(
                         body, getattr(model, "sample_rate", 16000))
                     t0 = time.perf_counter()
-                    if stt_worker is not None and len(audio) <= 30 * 16000:
-                        # <=30 s whisper requests share the continuously
+                    if (stt_worker is not None
+                            and len(audio) <= stt_worker._srv.window):
+                        # window-sized requests share the continuously
                         # batched decode lanes; long-form falls back to
                         # the chunked offline path under the lock
                         out = stt_worker.transcribe(audio)

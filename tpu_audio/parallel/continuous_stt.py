@@ -122,6 +122,7 @@ class ContinuousSTT:
             step_tokens=step_tokens, context_template=ctx_template,
             logits_hook=logits_hook)
         self.max_tokens = max_tokens
+        self.window = W.CHUNK_LENGTH_SAMPLES  # serving cap per request
         self._meta: dict[int, _Meta] = {}
 
     def submit(self, audio, language: str | None = None,
@@ -232,9 +233,18 @@ class ContinuousQwen3ASR:
         self.max_tokens = max_tokens
         self._meta: dict[int, _Meta] = {}
 
-    def submit(self, audio, max_tokens: int | None = None,
+    def submit(self, audio, language: str | None = None,
+               task: str = "transcribe", max_tokens: int | None = None,
                seed: int = 0) -> GenRequest:
-        """Encode one fixed-window request and queue its decode."""
+        """Encode one fixed-window request and queue its decode.
+        ``language`` forcing is per-engine in this model (it changes the
+        prompt length); a differing per-request value is rejected."""
+        if language is not None and language != self.language:
+            raise ValueError(
+                "Qwen3-ASR language forcing is per-engine; rebuild the "
+                f"engine with language={language!r}")
+        if task != "transcribe":
+            raise ValueError("Qwen3-ASR serves transcription only")
         audio = np.asarray(audio, np.float32).reshape(-1)[: self.window]
         seconds = len(audio) / self._sr
         if len(audio) < self.window:
@@ -290,14 +300,17 @@ class STTEngineWorker:
 
     Encodes happen on the engine thread as requests arrive (one device
     dispatch each); the decode loops of all in-flight requests share the
-    continuously-batched tick."""
+    continuously-batched tick. ``engine_cls`` picks the engine for the
+    model family (:class:`ContinuousSTT` for whisper,
+    :class:`ContinuousQwen3ASR` for the audio-LLM)."""
 
-    def __init__(self, model, *, slots: int = 4, **kw):
+    def __init__(self, model, *, slots: int = 4,
+                 engine_cls=None, **kw):
         import queue as _queue
         import threading as _threading
 
         self._queue_mod = _queue
-        self._srv = ContinuousSTT(model, slots=slots, **kw)
+        self._srv = (engine_cls or ContinuousSTT)(model, slots=slots, **kw)
         self._inbox: _queue.Queue = _queue.Queue()
         self._out: dict[int, object] = {}
         self._closing = False
