@@ -477,5 +477,7 @@ def test_engine_worker_concurrent_callers(tts_model):
     for ev in worker.synthesize(texts[0]):
         pass
     worker.close()
+    # consumed requests are released: no unbounded growth in serving
+    assert worker._srv.engine.requests == {}
     with pytest.raises(RuntimeError):
         next(worker.synthesize("after close"))

@@ -385,6 +385,13 @@ class ContinuousBatcher:
     def idle(self) -> bool:
         return not self._pending and all(r is None for r in self._lane)
 
+    def release(self, request_id: int) -> None:
+        """Forget a finished/cancelled request (long-running servers must
+        release consumed requests or ``requests`` grows unboundedly)."""
+        req = self.requests.get(request_id)
+        if req is not None and req.done:
+            del self.requests[request_id]
+
     def cancel(self, request_id: int) -> bool:
         """Abort a request: a pending one is dequeued; an in-flight one
         frees its lane at once (its device flag flips so the next tick
@@ -701,6 +708,7 @@ class TTSEngineWorker:
                     for rid, q in list(self._out.items()):
                         if q is outq:
                             self._srv.cancel(rid)
+                            self._srv.engine.release(rid)
                             del self._out[rid]
                     continue
                 text, voice, ref_audio, ref_text, max_tokens, seed = payload
@@ -718,3 +726,4 @@ class TTSEngineWorker:
             for rid in [r for r in self._out
                         if self._srv.is_finished(r)]:
                 self._out.pop(rid).put(None)
+                self._srv.engine.release(rid)

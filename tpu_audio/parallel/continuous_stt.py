@@ -378,3 +378,4 @@ class STTEngineWorker:
             for rid in [r for r in self._out
                         if self._srv.engine.requests[r].done]:
                 self._out.pop(rid).put(self._srv.result(rid))
+                self._srv.engine.release(rid)
