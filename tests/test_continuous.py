@@ -414,6 +414,45 @@ def test_continuous_tts_matches_solo_stream(tts_model, band):
         assert audio[r0.request_id] > 0 and audio[r1.request_id] > 0
 
 
+def test_continuous_tts_vyvo_variant(tmp_path):
+    """ContinuousTTS works unchanged for the VyvoTTS (Qwen3-attention)
+    family — the ar_loop contract covers both Orpheus runtimes."""
+    import json
+
+    from fixtures import make_llama_tts_fixture, make_snac_fixture
+    from tpu_audio.core.generation import (AudioGenerateParameters,
+                                           AudioGenerationKind)
+    from tpu_audio.models.tts.qwen3_vyvo import VyvoTTS
+    from tpu_audio.parallel.continuous import ContinuousTTS
+
+    import jax.numpy as _jnp
+
+    model_dir = make_llama_tts_fixture(tmp_path / "vyvo", qwen3=True)
+    make_snac_fixture(model_dir / "snac", vq_strides=(4, 2, 1))
+    cfg = json.loads((model_dir / "config.json").read_text())
+    cfg["snac_repo"] = str(model_dir / "snac")
+    (model_dir / "config.json").write_text(json.dumps(cfg))
+    model = VyvoTTS.from_pretrained(str(model_dir), dtype=_jnp.float32)
+    params = AudioGenerateParameters(
+        max_tokens=21, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.3, repetition_context_size=8,
+        streaming_interval=0.02)
+
+    toks_solo = []
+    for ev in model.generate_stream("hello vyvo",
+                                    generation_parameters=params):
+        if ev.kind == AudioGenerationKind.TOKEN:
+            toks_solo.append(ev.token)
+
+    srv = ContinuousTTS(model, slots=2, generation_parameters=params,
+                        step_tokens=7)
+    r = srv.submit("hello vyvo")
+    srv.submit("a second concurrent vyvo request")
+    for _ in srv.run():
+        pass
+    assert r.tokens == toks_solo
+
+
 def test_engine_worker_concurrent_callers(tts_model):
     """TTSEngineWorker multiplexes threaded callers onto one engine:
     each caller's event stream matches its solo greedy decode, errors
