@@ -55,9 +55,14 @@ def make_llm_responder(model_dir: str, max_tokens: int = 64,
     params = llama.maybe_stack(params)
     tok = Tokenizer.from_file(str(__import__("pathlib").Path(d)
                                   / "tokenizer.json"))
+    # instruct checkpoints list several stop ids (e.g. Llama-3's
+    # [end_of_text, eom, eot]); decode must stop on ANY of them or the
+    # loop runs past the end-of-turn into hallucinated extra turns
     eos = raw.get("eos_token_id", -1)
-    if isinstance(eos, (list, tuple)):
-        eos = eos[0] if eos else -1
+    eos_ids = list(eos) if isinstance(eos, (list, tuple)) else [eos]
+    eos_ids = [int(t) for t in eos_ids] or [-1]
+    eos_arr = jnp.asarray(eos_ids, jnp.int32)
+    eos_set = set(eos_ids)
 
     @jax.jit
     def decode(params, prompt, n_prompt):
@@ -69,7 +74,8 @@ def make_llm_responder(model_dir: str, max_tokens: int = 64,
 
         def cond(c):
             _, i, _, last = c
-            return jnp.logical_and(i < max_tokens, last != eos)
+            return jnp.logical_and(i < max_tokens,
+                                   jnp.all(last != eos_arr))
 
         def body(c):
             out, i, cache, last = c
@@ -94,7 +100,7 @@ def make_llm_responder(model_dir: str, max_tokens: int = 64,
         out, count = decode(params, jnp.asarray(buf),
                             jnp.int32(len(ids)))
         reply_ids = [t for t in np.asarray(out)[: int(count)].tolist()
-                     if t != eos]
+                     if t not in eos_set]
         text = tok.decode(reply_ids).strip()
         return text or default_respond(transcript)
 

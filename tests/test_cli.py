@@ -320,7 +320,10 @@ def test_serve_stt_and_tts(tmp_path):
         assert 'tpu_audio_requests_total{route="/v1/audio/speech"} 2' in text
         assert ('tpu_audio_requests_total{route="/v1/audio/speech/stream"} 1'
                 in text)
-        assert 'tpu_audio_errors_total{route="/nope"} 1' in text
+        # unknown paths fold into the closed "other" label (no unbounded
+        # label cardinality / exposition injection from scanner paths)
+        assert 'tpu_audio_errors_total{route="other"} 1' in text
+        assert '/nope' not in text
     finally:
         tts_srv.shutdown()
 

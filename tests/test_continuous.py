@@ -178,6 +178,28 @@ def test_submit_validation(tiny):
         eng.submit(np.arange(2, dtype=np.int32), max_new=0)
 
 
+def test_submit_canonicalizes_out_of_int32_ints(tiny):
+    """Client-supplied seed/max_tokens beyond int32 must not raise
+    OverflowError inside the engine tick (which runs on the serving
+    thread, where it would kill the whole worker, not one request)."""
+    params, cfg = tiny
+    eng = ContinuousBatcher(params, cfg, slots=1, max_len=16,
+                            stop_token=STOP,
+                            sampling=SamplingParams(temperature=0.8),
+                            prefill_buckets=(4,))
+    req = eng.submit(np.arange(20, 23, dtype=np.int32),
+                     max_new=10**12, seed=2**33 + 5)
+    for _ in eng.run():
+        pass
+    assert req.done and len(req.tokens) >= 1
+    # canonical seed: 2**33 + 5 ≡ 5 (mod 2**31) — same tokens as seed=5
+    again = eng.submit(np.arange(20, 23, dtype=np.int32),
+                       max_new=10, seed=5)
+    for _ in eng.run():
+        pass
+    assert again.tokens[: len(req.tokens)] == req.tokens[: len(again.tokens)]
+
+
 def test_repetition_penalty_matches_offline_loop(tiny):
     """Greedy + repetition penalty through the engine reproduces the
     offline core.ar_loop chunked decoder token-for-token (same logits
@@ -412,6 +434,51 @@ def test_continuous_tts_matches_solo_stream(tts_model, band):
     assert audio[r1.request_id] == expected[1][1]
     if band:
         assert audio[r0.request_id] > 0 and audio[r1.request_id] > 0
+
+
+def test_continuous_tts_windowed_decode_long_request(tts_model):
+    """Long requests decode a bounded suffix window per flush (O(1) host
+    work instead of O(total)): tokens stay exact, the streamed sample
+    count equals the full decode length, and samples emitted before the
+    window engages are bit-identical to the full-prefix decode."""
+    from tpu_audio.core.generation import (AudioGenerateParameters,
+                                           AudioGenerationKind)
+    from tpu_audio.models.tts.llama_tts import LlamaTTS
+    from tpu_audio.parallel.continuous import ContinuousTTS
+
+    import jax.numpy as _jnp
+
+    model = LlamaTTS.from_pretrained(str(tts_model), dtype=_jnp.float32,
+                                     audio_band_head=True)
+    params = AudioGenerateParameters(
+        max_tokens=70, temperature=0.0, top_p=1.0,
+        repetition_penalty=1.3, repetition_context_size=8,
+        streaming_interval=0.001)  # flush every group
+
+    def collect(srv, text):
+        req = srv.submit(text)
+        chunks = []
+        for rid, ev in srv.run():
+            if ev.kind == AudioGenerationKind.AUDIO:
+                chunks.append(np.asarray(ev.audio))
+        return req.tokens, np.concatenate(chunks)
+
+    full_srv = ContinuousTTS(model, slots=1, generation_parameters=params)
+    tok_full, wav_full = collect(full_srv, "a long windowed test")
+
+    win_srv = ContinuousTTS(model, slots=1, generation_parameters=params)
+    win_srv.decode_window_groups = 4   # force windowing (10 groups total)
+    win_srv._align_groups = 2
+    tok_win, wav_win = collect(win_srv, "a long windowed test")
+
+    assert tok_win == tok_full
+    assert wav_win.shape == wav_full.shape
+    spg = win_srv._spg
+    # flushes happen every group; the first windowed flush starts no
+    # earlier than group 10-4=6, so everything before it decoded with
+    # start=0 (or emitted-clamped starts that still cover it exactly)
+    assert np.array_equal(wav_win[: 2 * spg], wav_full[: 2 * spg])
+    assert np.all(np.isfinite(wav_win))
 
 
 def test_continuous_tts_vyvo_variant(tmp_path):

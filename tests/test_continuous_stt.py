@@ -39,7 +39,8 @@ def solo_tokens(model, audio, language, max_tokens):
         model.params, enc, jnp.asarray(buf), jnp.int32(len(prompt)),
         jnp.int32(model.tokenizer.eot), jnp.asarray(suppress),
         jnp.asarray(begin), jnp.float32(0.0), jax.random.PRNGKey(0),
-        max_total=len(prompt) + max_tokens)
+        max_total=min(model.config.max_target_positions,
+                      len(prompt) + max_tokens))
     out = np.asarray(tokens)[len(prompt): int(count)].tolist()
     return [t for t in out if t != model.tokenizer.eot]
 

@@ -147,7 +147,7 @@ def test_beam_search_matches_host_reference(tmp_path):
     max_total = enc.shape[1] + 1
 
     want = _host_beam_search(model, enc, cross_k, cross_v, max_total, B=3)
-    got, confs = model._beam_decode(enc, cross_k, cross_v, max_total, 3)
+    got, confs = model._beam_decode(cross_k, cross_v, max_total, 3)
     assert got == want
     assert len(confs) == len(got)
     assert all(0.0 <= c <= 1.0 + 1e-6 for c in confs)

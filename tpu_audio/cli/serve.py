@@ -92,8 +92,20 @@ def _ref_audio(req: dict, model):
     return audio
 
 
+_KNOWN_ROUTES = (
+    "/v1/audio/transcriptions", "/v1/audio/transcriptions/stream",
+    "/v1/audio/speech", "/v1/audio/speech/stream", "/v1/audio/enhance",
+    "/v1/audio/lid", "/v1/audio/vad", "/v1/audio/codec",
+    "/healthz", "/metrics",
+)
+
+
 class _Metrics:
-    """Per-route counters in Prometheus text exposition format."""
+    """Per-route counters in Prometheus text exposition format.
+
+    Label values are the closed set of known routes (+ ``other``), never
+    the raw request path: unique scanner paths must not grow the label
+    space unboundedly or inject quotes/newlines into the exposition."""
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -102,6 +114,9 @@ class _Metrics:
         self.wall: dict[str, float] = {}
 
     def observe(self, route: str, seconds: float, error: bool) -> None:
+        route = route.split("?", 1)[0].rstrip("/") or "/"
+        if route not in _KNOWN_ROUTES:
+            route = "other"
         with self._lock:
             self.requests[route] = self.requests.get(route, 0) + 1
             self.wall[route] = self.wall.get(route, 0.0) + seconds

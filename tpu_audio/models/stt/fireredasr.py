@@ -382,7 +382,7 @@ class FireRedASR2:
         self._loops[key] = fn
         return fn
 
-    def _beam_decode(self, enc, cross_k, cross_v, max_total: int,
+    def _beam_decode(self, cross_k, cross_v, max_total: int,
                      beam: int):
         """Run the jitted beam loop and pick the best beam with the
         reference's length-penalty rescoring (host-side finalize,
@@ -423,7 +423,7 @@ class FireRedASR2:
         max_total = max(8, min(gp.max_tokens or enc.shape[1],
                                enc.shape[1]) + 1)
         if beam_size > 1:
-            ids, _ = self._beam_decode(enc, cross_k, cross_v, max_total,
+            ids, _ = self._beam_decode(cross_k, cross_v, max_total,
                                        beam_size)
         else:
             loop = self._get_loop(max_total)

@@ -61,8 +61,8 @@ import numpy as np
 from tpu_audio.core.sampling import SamplingParams, apply_repetition_penalty
 from tpu_audio.models import llama
 
-__all__ = ["ContinuousBatcher", "ContinuousTTS", "GenRequest",
-           "TTSEngineWorker"]
+__all__ = ["ContinuousBatcher", "ContinuousTTS", "EngineWorkerBase",
+           "GenRequest", "TTSEngineWorker"]
 
 
 @dataclasses.dataclass
@@ -365,6 +365,13 @@ class ContinuousBatcher:
             raise ValueError("empty prompt")
         if max_new < 1:
             raise ValueError(f"max_new must be >= 1, got {max_new}")
+        # canonicalize into int32 range BEFORE anything reaches a jitted
+        # call: a client-supplied 2**33 seed must not raise OverflowError
+        # inside _admit (which runs on the engine thread, where it would
+        # kill the server loop, not the offending request). max_new is
+        # capped by the cache anyway (one_step: offset < max_len).
+        max_new = min(int(max_new), self.max_len)
+        seed = int(seed) % (2 ** 31)
         if (context is None) != (self._ctx_template is None):
             raise ValueError(
                 "context must be supplied exactly when the engine has a "
@@ -522,11 +529,29 @@ class ContinuousTTS:
             # one SNAC code group per tick: frame-aligned emission with
             # the dispatch overhead amortized 7x (tokens are K-invariant)
             step_tokens=step_tokens)
-        hop = getattr(model.codec, "config", None)
-        samples_per_group = 4 * (hop.hop_length if hop else 512)
+        ccfg = getattr(model.codec, "config", None)
+        samples_per_group = 4 * (ccfg.hop_length if ccfg else 512)
+        self._spg = samples_per_group
         self.chunk_tokens = 7 * max(
             1, int(p.streaming_interval * model.sample_rate
                    / samples_per_group))
+        # bounded SNAC decode window: long requests decode only the
+        # last ~decode_window_s of frames per flush (O(1) per flush
+        # instead of O(total), which would stall every lane's tick as
+        # any one request grows). The window start aligns to the
+        # decoder's local-attention blocks (block-local attention is
+        # then EXACT for the suffix) and the ~7 s of overlap context
+        # absorbs conv edge transients; below the threshold the decode
+        # covers the full prefix, identical to solo generate_stream.
+        decode_window_s = 8.0
+        strides = getattr(ccfg, "vq_strides", None) or [4, 2, 1]
+        latent_per_group = strides[0]
+        attn = getattr(ccfg, "attn_window_size", None)
+        self._align_groups = max(1, (attn or 1) // latent_per_group)
+        chunk_groups = self.chunk_tokens // 7
+        self.decode_window_groups = max(
+            2 * chunk_groups + self._align_groups,
+            int(decode_window_s * model.sample_rate / samples_per_group))
         self._meta: dict[int, dict] = {}
 
     def submit(self, text: str, voice: str | None = None,
@@ -542,21 +567,31 @@ class ContinuousTTS:
         return req
 
     def _audio_delta(self, req: GenRequest) -> np.ndarray | None:
-        """Decode the request's accumulated frames; return new samples."""
+        """Decode the request's pending frames (bounded suffix window,
+        see ``decode_window_groups``); return new samples."""
         meta = self._meta[req.request_id]
         code_list = self.model.parse_output(meta["prompt"] + req.tokens)
-        if len(code_list) < 7:
+        n_groups = len(code_list) // 7
+        if n_groups < 1:
             return None
+        start = 0
+        if n_groups > self.decode_window_groups:
+            start = n_groups - self.decode_window_groups
+            # the window must still cover everything not yet emitted
+            start = min(start, meta["decoded_samples"] // self._spg)
+            start -= start % self._align_groups
         from tpu_audio.models.tts.llama_tts import ungroup_codes
 
-        l1, l2, l3 = ungroup_codes(code_list, self.model.tokens.codebook_size)
+        l1, l2, l3 = ungroup_codes(code_list[start * 7: n_groups * 7],
+                                   self.model.tokens.codebook_size)
         wav = np.asarray(self.model.codec.decode([
             np.asarray([l1], np.int32), np.asarray([l2], np.int32),
             np.asarray([l3], np.int32)]))[0]
-        if wav.shape[0] <= meta["decoded_samples"]:
+        emitted_in_window = meta["decoded_samples"] - start * self._spg
+        if wav.shape[0] <= emitted_in_window:
             return None
-        delta = wav[meta["decoded_samples"]:]
-        meta["decoded_samples"] = wav.shape[0]
+        delta = wav[emitted_in_window:]
+        meta["decoded_samples"] = start * self._spg + wav.shape[0]
         return delta
 
     def step(self):
@@ -604,13 +639,119 @@ class ContinuousTTS:
             yield from self.step()
 
 
-class TTSEngineWorker:
-    """Thread multiplexing concurrent callers onto one ContinuousTTS.
+class EngineWorkerBase:
+    """Owns a slot engine on a dedicated thread; callers on any thread
+    hand work in through an inbox and block only on their own queue.
 
     The engine is single-threaded by design (one device, one jitted
-    step); this worker owns it on a dedicated thread and gives each
-    caller a blocking event iterator — the glue between a threaded
-    front end (e.g. the HTTP server) and the slot engine:
+    step). Subclasses provide the engine-specific pieces: ``_idle``,
+    ``_handle(item)`` (admit one inbox item), ``_service()`` (one engine
+    tick + result delivery) and ``_fail_item`` (route a drained item's
+    failure to its caller).
+
+    Thread-death safety: ``_enqueue`` atomically checks ``_closing``
+    under ``_lock`` against the death handler's drain, so an item either
+    lands before the drain (and gets the failure) or the caller raises —
+    a dying engine can never strand a caller on an unserviced queue.
+    """
+
+    _thread_name = "engine"
+
+    def __init__(self):
+        import queue as _queue
+        import threading as _threading
+
+        self._queue_mod = _queue
+        self._inbox: _queue.Queue = _queue.Queue()
+        self._out: dict[int, _queue.Queue] = {}
+        self._closing = False
+        self._lock = _threading.Lock()
+        self._thread = _threading.Thread(target=self._loop, daemon=True,
+                                         name=self._thread_name)
+        self._thread.start()
+
+    def _enqueue(self, item) -> None:
+        with self._lock:
+            if self._closing:
+                raise RuntimeError("worker is closed")
+            self._inbox.put(item)
+
+    def close(self) -> None:
+        """Drain in-flight requests, then stop the engine thread."""
+        with self._lock:
+            self._closing = True
+            self._inbox.put(None)
+        self._thread.join()
+
+    def _loop(self) -> None:
+        try:
+            self._run_loop()
+        except BaseException as e:  # noqa: BLE001 — engine died: unblock
+            # every waiting caller gets the failure instead of hanging
+            # forever on its queue; subsequent submissions raise
+            failure = RuntimeError(
+                f"{self._thread_name} thread died: {e!r}")
+            with self._lock:
+                self._closing = True
+                for q in self._out.values():
+                    q.put(failure)
+                self._out.clear()
+                while not self._inbox.empty():
+                    item = self._inbox.get_nowait()
+                    if item is not None:
+                        self._fail_item(item, failure)
+
+    def _fail_item(self, item, failure: Exception) -> None:
+        item[-1].put(failure)
+
+    def _run_loop(self) -> None:
+        stop = False
+        while not (stop and self._idle and self._inbox.empty()):
+            # drain submissions; block only when the engine has no work
+            block = self._idle and not stop
+            while True:
+                try:
+                    item = self._inbox.get(block=block, timeout=None)
+                except self._queue_mod.Empty:
+                    break
+                block = False
+                if item is None:
+                    stop = True
+                    continue
+                self._handle(item)
+                if self._inbox.empty():
+                    break
+            self._service()
+
+    # -- subclass hooks --------------------------------------------------
+
+    @property
+    def _idle(self) -> bool:
+        raise NotImplementedError
+
+    def _handle(self, item) -> None:
+        raise NotImplementedError
+
+    def _service(self) -> None:
+        raise NotImplementedError
+
+    def _admit(self, submit, outq) -> None:
+        """Run one engine ``submit`` thunk, registering its out-queue;
+        rejections flow to the caller, and even a thread-killing failure
+        mid-submit still unblocks them before propagating."""
+        try:
+            req = submit()
+            self._out[req.request_id] = outq
+        except Exception as e:  # noqa: BLE001 — caller re-raises
+            outq.put(e)
+        except BaseException as e:
+            outq.put(RuntimeError(
+                f"{self._thread_name} thread died: {e!r}"))
+            raise
+
+
+class TTSEngineWorker(EngineWorkerBase):
+    """Thread multiplexing concurrent callers onto one ContinuousTTS:
 
     >>> worker = TTSEngineWorker(model, slots=4)
     >>> for event in worker.synthesize("hello"):   # any thread
@@ -620,21 +761,14 @@ class TTSEngineWorker:
     queue. ``close()`` stops the thread after in-flight work drains.
     """
 
+    _thread_name = "tts-engine"
+
     def __init__(self, model, *, slots: int = 4,
                  generation_parameters=None, seed: int = 0, **kw):
-        import queue as _queue
-        import threading as _threading
-
-        self._queue_mod = _queue
         self._srv = ContinuousTTS(
             model, slots=slots,
             generation_parameters=generation_parameters, seed=seed, **kw)
-        self._inbox: _queue.Queue = _queue.Queue()
-        self._out: dict[int, _queue.Queue] = {}
-        self._closing = False
-        self._thread = _threading.Thread(target=self._loop, daemon=True,
-                                         name="tts-engine")
-        self._thread.start()
+        super().__init__()
 
     def synthesize(self, text: str, voice: str | None = None,
                    ref_audio=None, ref_text: str | None = None,
@@ -644,12 +778,10 @@ class TTSEngineWorker:
         engine rejected the request (e.g. prompt too long). Closing the
         generator early (client hang-up) cancels the request and frees
         its decode lane."""
-        if self._closing:
-            raise RuntimeError("worker is closed")
         outq = self._queue_mod.Queue()
-        self._inbox.put(("submit",
-                         (text, voice, ref_audio, ref_text, max_tokens,
-                          seed), outq))
+        self._enqueue(("submit",
+                       (text, voice, ref_audio, ref_text, max_tokens,
+                        seed), outq))
         finished = False
         try:
             while True:
@@ -663,67 +795,39 @@ class TTSEngineWorker:
                 yield ev
         finally:
             if not finished:
-                self._inbox.put(("cancel", None, outq))
-
-    def close(self) -> None:
-        """Drain in-flight requests, then stop the engine thread."""
-        self._closing = True
-        self._inbox.put(None)
-        self._thread.join()
-
-    def _loop(self) -> None:
-        try:
-            self._run_loop()
-        except BaseException as e:  # noqa: BLE001 — engine died: unblock
-            # every waiting caller gets the failure instead of hanging
-            # forever on its queue; subsequent synthesize() calls raise
-            self._closing = True
-            failure = RuntimeError(f"TTS engine thread died: {e!r}")
-            for q in self._out.values():
-                q.put(failure)
-            self._out.clear()
-            while not self._inbox.empty():
-                item = self._inbox.get_nowait()
-                if item is not None and item[0] == "submit":
-                    item[2].put(failure)
-
-    def _run_loop(self) -> None:
-        stop = False
-        while not (stop and self._srv.idle and self._inbox.empty()):
-            # drain submissions; block only when the engine has no work
-            block = self._srv.idle and not stop
-            while True:
                 try:
-                    item = self._inbox.get(block=block, timeout=None)
-                except self._queue_mod.Empty:
-                    break
-                block = False
-                if item is None:
-                    stop = True
-                    continue
-                kind, payload, outq = item
-                if kind == "cancel":
-                    # FIFO inbox: the submit for this outq (if any) was
-                    # already processed, so the reverse lookup is exact
-                    for rid, q in list(self._out.items()):
-                        if q is outq:
-                            self._srv.cancel(rid)
-                            self._srv.engine.release(rid)
-                            del self._out[rid]
-                    continue
-                text, voice, ref_audio, ref_text, max_tokens, seed = payload
-                try:
-                    req = self._srv.submit(text, voice, ref_audio,
-                                           ref_text, max_tokens, seed)
-                    self._out[req.request_id] = outq
-                except Exception as e:  # noqa: BLE001 — caller re-raises
-                    outq.put(e)
-                if self._inbox.empty():
-                    break
-            for rid, ev in self._srv.step():
-                if rid in self._out:
-                    self._out[rid].put(ev)
-            for rid in [r for r in self._out
-                        if self._srv.is_finished(r)]:
-                self._out.pop(rid).put(None)
-                self._srv.engine.release(rid)
+                    self._enqueue(("cancel", None, outq))
+                except RuntimeError:
+                    pass  # worker already closed/dead: nothing to cancel
+
+    def _fail_item(self, item, failure: Exception) -> None:
+        if item[0] == "submit":
+            item[2].put(failure)
+
+    @property
+    def _idle(self) -> bool:
+        return self._srv.idle
+
+    def _handle(self, item) -> None:
+        kind, payload, outq = item
+        if kind == "cancel":
+            # FIFO inbox: the submit for this outq (if any) was
+            # already processed, so the reverse lookup is exact
+            for rid, q in list(self._out.items()):
+                if q is outq:
+                    self._srv.cancel(rid)
+                    self._srv.engine.release(rid)
+                    del self._out[rid]
+            return
+        text, voice, ref_audio, ref_text, max_tokens, seed = payload
+        self._admit(lambda: self._srv.submit(text, voice, ref_audio,
+                                             ref_text, max_tokens, seed),
+                    outq)
+
+    def _service(self) -> None:
+        for rid, ev in self._srv.step():
+            if rid in self._out:
+                self._out[rid].put(ev)
+        for rid in [r for r in self._out if self._srv.is_finished(r)]:
+            self._out.pop(rid).put(None)
+            self._srv.engine.release(rid)

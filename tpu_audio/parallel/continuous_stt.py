@@ -37,7 +37,8 @@ from tpu_audio.core import kv_cache
 from tpu_audio.core.generation import STTOutput, STTSegment
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models.stt import whisper as W
-from tpu_audio.parallel.continuous import ContinuousBatcher, GenRequest
+from tpu_audio.parallel.continuous import (ContinuousBatcher,
+                                           EngineWorkerBase, GenRequest)
 
 __all__ = ["ContinuousSTT", "ContinuousQwen3ASR", "STTEngineWorker"]
 
@@ -74,6 +75,10 @@ class ContinuousSTT:
         hd = cfg.d_model // nh
         src = cfg.max_source_positions
         prompt_len = len(tok.build_prompt_tokens("en"))
+        # whisper's decoder positions are a LEARNED table: decoding past
+        # max_target_positions would silently reuse the last row (the
+        # offline loop clamps the same way, stt/whisper.py)
+        max_tokens = min(max_tokens, cfg.max_target_positions - prompt_len)
         max_total = prompt_len + max_tokens
 
         suppress, begin = model._suppress_masks(tok)
@@ -128,16 +133,18 @@ class ContinuousSTT:
     def submit(self, audio, language: str | None = None,
                task: str = "transcribe", max_tokens: int | None = None,
                seed: int = 0) -> GenRequest:
-        """Encode one <=30 s request and queue its decode."""
-        audio = np.asarray(audio, np.float32).reshape(-1)
+        """Encode one <=30 s request and queue its decode. Longer audio
+        is truncated to the 30 s window (the reported segment covers the
+        transcribed span only); long-form chunking composes on top."""
+        audio = np.asarray(audio, np.float32).reshape(-1)[: self.window]
         feats = self.model.encoder_features(audio)
         enc = self.model._encode(self.model.params, feats)
         ck, cv = W._cross_kv(self.model.params, enc, self.model.config)
         prompt = self.model.tokenizer.build_prompt_tokens(language, task)
         req = self.engine.submit(
             np.asarray(prompt, np.int32),
-            max_new=max_tokens or self.max_tokens, seed=seed,
-            context=(ck[:, 0], cv[:, 0]))
+            max_new=min(max_tokens or self.max_tokens, self.max_tokens),
+            seed=seed, context=(ck[:, 0], cv[:, 0]))
         self._meta[req.request_id] = _Meta(
             audio_seconds=len(audio) / W.SAMPLE_RATE,
             t_submit=time.perf_counter())
@@ -290,10 +297,12 @@ class ContinuousQwen3ASR:
             generation_time=wall, total_time=wall)
 
 
-class STTEngineWorker:
+class STTEngineWorker(EngineWorkerBase):
     """Thread multiplexing concurrent transcription callers onto one
     :class:`ContinuousSTT` — the STT sibling of
-    :class:`~tpu_audio.parallel.continuous.TTSEngineWorker`:
+    :class:`~tpu_audio.parallel.continuous.TTSEngineWorker` (both share
+    :class:`~tpu_audio.parallel.continuous.EngineWorkerBase`'s
+    thread/inbox machinery and its death-race guarantees):
 
     >>> worker = STTEngineWorker(model, slots=4)
     >>> out = worker.transcribe(audio, language="en")   # any thread
@@ -304,78 +313,38 @@ class STTEngineWorker:
     model family (:class:`ContinuousSTT` for whisper,
     :class:`ContinuousQwen3ASR` for the audio-LLM)."""
 
+    _thread_name = "stt-engine"
+
     def __init__(self, model, *, slots: int = 4,
                  engine_cls=None, **kw):
-        import queue as _queue
-        import threading as _threading
-
-        self._queue_mod = _queue
         self._srv = (engine_cls or ContinuousSTT)(model, slots=slots, **kw)
-        self._inbox: _queue.Queue = _queue.Queue()
-        self._out: dict[int, object] = {}
-        self._closing = False
-        self._thread = _threading.Thread(target=self._loop, daemon=True,
-                                         name="stt-engine")
-        self._thread.start()
+        super().__init__()
 
     def transcribe(self, audio, language: str | None = None,
                    task: str = "transcribe", max_tokens: int | None = None,
                    seed: int = 0) -> STTOutput:
         """Blocking: submit and wait for this request's transcription."""
-        if self._closing:
-            raise RuntimeError("worker is closed")
         outq = self._queue_mod.Queue()
-        self._inbox.put((audio, language, task, max_tokens, seed, outq))
+        self._enqueue((audio, language, task, max_tokens, seed, outq))
         out = outq.get()
         if isinstance(out, Exception):
             raise out
         return out
 
-    def close(self) -> None:
-        self._closing = True
-        self._inbox.put(None)
-        self._thread.join()
+    @property
+    def _idle(self) -> bool:
+        return self._srv.engine.idle
 
-    def _loop(self) -> None:
-        try:
-            self._run_loop()
-        except BaseException as e:  # noqa: BLE001 — unblock callers
-            self._closing = True
-            failure = RuntimeError(f"STT engine thread died: {e!r}")
-            for q in self._out.values():
-                q.put(failure)
-            self._out.clear()
-            while not self._inbox.empty():
-                item = self._inbox.get_nowait()
-                if item is not None:
-                    item[-1].put(failure)
+    def _handle(self, item) -> None:
+        audio, language, task, max_tokens, seed, outq = item
+        self._admit(lambda: self._srv.submit(audio, language=language,
+                                             task=task,
+                                             max_tokens=max_tokens,
+                                             seed=seed), outq)
 
-    def _run_loop(self) -> None:
-        stop = False
-        while not (stop and self._srv.engine.idle and self._inbox.empty()):
-            block = self._srv.engine.idle and not stop
-            while True:
-                try:
-                    item = self._inbox.get(block=block, timeout=None)
-                except self._queue_mod.Empty:
-                    break
-                block = False
-                if item is None:
-                    stop = True
-                    continue
-                audio, language, task, max_tokens, seed, outq = item
-                try:
-                    req = self._srv.submit(audio, language=language,
-                                           task=task,
-                                           max_tokens=max_tokens,
-                                           seed=seed)
-                    self._out[req.request_id] = outq
-                except Exception as e:  # noqa: BLE001 — caller re-raises
-                    outq.put(e)
-                if self._inbox.empty():
-                    break
-            self._srv.step()
-            for rid in [r for r in self._out
-                        if self._srv.engine.requests[r].done]:
-                self._out.pop(rid).put(self._srv.result(rid))
-                self._srv.engine.release(rid)
+    def _service(self) -> None:
+        self._srv.step()
+        for rid in [r for r in self._out
+                    if self._srv.engine.requests[r].done]:
+            self._out.pop(rid).put(self._srv.result(rid))
+            self._srv.engine.release(rid)
