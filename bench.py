@@ -803,6 +803,7 @@ def bench_all() -> dict:
             bench_whisper_rtf, "large-v3", kv_bits=8, dense_self=True,
             w8_decoder=True)),
         ("serve", bench_serving_throughput),
+        ("serve_stt", bench_serving_stt),
     ]:
         t0 = time.perf_counter()
         try:

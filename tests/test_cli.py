@@ -523,3 +523,43 @@ def test_serve_tts_slots_continuous(tmp_path):
         assert len(results[2][1]) > 0 and len(results[2][1]) % 2 == 0
     finally:
         srv.shutdown()
+
+
+def test_serve_tensor_parallel_helper(tmp_path):
+    """``--tp`` shards the loaded model's params in place over a 'model'
+    mesh axis; generation through the same public path is bit-identical
+    to the single-device server (GSPMD-transparent graphs)."""
+    import json as _json
+
+    import numpy as np
+
+    from fixtures import make_llama_tts_fixture, make_snac_fixture
+    from tpu_audio.cli.serve import apply_tensor_parallel
+    from tpu_audio.models.tts import load_model as load_tts
+
+    d = make_llama_tts_fixture(tmp_path / "m")
+    make_snac_fixture(d / "snac", vq_strides=(4, 2, 1))
+    cfg = _json.loads((d / "config.json").read_text())
+    cfg["snac_repo"] = str(d / "snac")
+    (d / "config.json").write_text(_json.dumps(cfg))
+
+    model = load_tts(str(d))
+    p = model.default_generation_parameters()
+    p.max_tokens, p.seed = 21, 7
+    base = np.asarray(model.generate("tensor parallel",
+                                     generation_parameters=p))
+
+    mesh = apply_tensor_parallel(model, 8)
+    assert mesh.shape == {"model": 8}
+    tp = np.asarray(model.generate("tensor parallel",
+                                   generation_parameters=p))
+    np.testing.assert_array_equal(base, tp)
+
+
+def test_serve_tensor_parallel_rejects_paramless_model(tmp_path):
+    import pytest
+
+    from tpu_audio.cli.serve import apply_tensor_parallel
+
+    with pytest.raises(SystemExit, match="does not expose"):
+        apply_tensor_parallel(object(), 8)

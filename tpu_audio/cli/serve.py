@@ -439,6 +439,27 @@ def build_server(model, task: str, model_name: str,
     return ThreadingHTTPServer((host, port), Handler)
 
 
+def apply_tensor_parallel(model, tp: int):
+    """Shard a loaded model's parameter tree Megatron-style over a
+    ``tp``-device ``model`` mesh axis, in place (``--tp``).
+
+    The serving engines are GSPMD-transparent (parallel/continuous.py):
+    sharded params flow through the SAME jitted prefill/decode graphs and
+    XLA inserts the TP collectives, so tokens are bit-identical to the
+    single-device server (pinned by test_cli.py on the virtual 8-device
+    CPU mesh). Leaves whose sharded dim does not divide ``tp``
+    replicate (parallel/mesh.py:shard_params)."""
+    from tpu_audio.parallel.mesh import (TRANSFORMER_TP_RULES, make_mesh,
+                                         shard_params)
+
+    if not hasattr(model, "params"):
+        raise SystemExit(
+            f"--tp: {type(model).__name__} does not expose a .params tree")
+    mesh = make_mesh(tp, axes=("model",))
+    model.params = shard_params(model.params, mesh, TRANSFORMER_TP_RULES)
+    return mesh
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         "tpu-audio-serve", description=__doc__.splitlines()[0])
@@ -459,6 +480,13 @@ def main(argv=None) -> None:
     parser.add_argument("--warmup", action="store_true",
                         help="precompile steady-state graphs before "
                              "accepting traffic (cli.warmup)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the model's "
+                             "weights Megatron-style over a tp-device "
+                             "'model' mesh axis before serving (GSPMD "
+                             "inserts the collectives inside the same "
+                             "jitted graphs; composes with --slots as "
+                             "slots x TP). Requires tp local devices.")
     args = parser.parse_args(argv)
 
     from tpu_audio.core import hub
@@ -481,6 +509,8 @@ def main(argv=None) -> None:
 
         model = importlib.import_module(
             f"tpu_audio.models.{task}").load_model(model_dir)
+    if args.tp > 1:
+        apply_tensor_parallel(model, args.tp)
     if args.warmup:
         from tpu_audio.cli import warmup as W
 
