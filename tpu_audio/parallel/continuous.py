@@ -225,20 +225,19 @@ class ContinuousBatcher:
             return jax.random.fold_in(
                 jax.random.fold_in(self._base_key, req_seed), sample_idx)
 
-        def row_step(cache, tok, ctx):
+        def row_step(params, cache, tok, ctx):
             if has_ctx:
-                logits, cache = step_fn(self.params, tok[None, None],
-                                        cache, ctx)
+                logits, cache = step_fn(params, tok[None, None], cache, ctx)
             else:
-                logits, cache = step_fn(self.params, tok[None, None], cache)
+                logits, cache = step_fn(params, tok[None, None], cache)
             return logits[0], cache
 
-        def one_step(state: _BatchState, _):
+        def one_step(params, state: _BatchState, _):
             old_offset = state.cache.offset
             valid = state.active  # this step's samples count iff live
             logits, cache = jax.vmap(
-                row_step, in_axes=(0, 0, 0 if has_ctx else None))(
-                state.cache, state.last, state.ctx)
+                row_step, in_axes=(None, 0, 0, 0 if has_ctx else None))(
+                params, state.cache, state.last, state.ctx)
             logits = logits.astype(jnp.float32)
             if logits_hook is not None:
                 logits = jax.vmap(logits_hook)(logits, state.n_new)
@@ -270,28 +269,34 @@ class ContinuousBatcher:
                                   n_new=n_new, hist=hist, hpos=hpos), \
                 (toks, valid)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def decode_step(state: _BatchState):
+        # params ride as a jit ARGUMENT (not a captured closure constant):
+        # capturing a multi-GB tree as lowering constants bloats the
+        # executable/compile cache and can pin a second copy of the
+        # weights in HBM; as arguments they also stay swappable (e.g.
+        # TP-resharded) without retracing through a stale closure.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, state: _BatchState):
             """One tick = ``step_tokens`` scanned decode steps; returns
             ``toks [K, slots]`` and the per-step liveness mask
             ``valid [K, slots]`` (a lane's row is garbage once it
             froze mid-tick)."""
             state, (toks, valid) = jax.lax.scan(
-                one_step, state, None, length=self.step_tokens)
+                functools.partial(one_step, params), state, None,
+                length=self.step_tokens)
             return state, toks, valid
 
         self._decode_step = decode_step
 
         @jax.jit
-        def prefill(tokens, valid_from, ctx):
+        def prefill(params, tokens, valid_from, ctx):
             cache = self._cache_factory(0)
             cache = jax.tree.map(jnp.asarray, cache)
             cache = cache._replace(
                 valid_from=jnp.asarray(valid_from, jnp.int32))
             if has_ctx:
-                _, cache = prefill_fn(self.params, tokens[None], cache, ctx)
+                _, cache = prefill_fn(params, tokens[None], cache, ctx)
             else:
-                _, cache = prefill_fn(self.params, tokens[None], cache)
+                _, cache = prefill_fn(params, tokens[None], cache)
             return cache
 
         self._prefill = prefill
@@ -429,8 +434,8 @@ class ContinuousBatcher:
             pad = padded - req.prompt.size
             tokens = np.full((padded,), self.pad_token, np.int32)
             tokens[pad:] = req.prompt
-            row_cache = self._prefill(jnp.asarray(tokens[:-1]), pad,
-                                      req.context)
+            row_cache = self._prefill(self.params, jnp.asarray(tokens[:-1]),
+                                      pad, req.context)
             self._state = self._insert(
                 self._state, row_cache, req.context, slot,
                 jnp.asarray(req.prompt[-1], jnp.int32), req.max_new,
@@ -446,7 +451,8 @@ class ContinuousBatcher:
         if all(r is None for r in self._lane):
             return []
         live = [s for s, r in enumerate(self._lane) if r is not None]
-        self._state, toks, valid = self._decode_step(self._state)
+        self._state, toks, valid = self._decode_step(self.params,
+                                                     self._state)
         toks_host = np.asarray(toks)          # [K, slots]
         valid_host = np.asarray(valid)        # [K, slots]
         active_host = np.asarray(self._state.active)
