@@ -9,6 +9,8 @@ too late — we must go through jax.config.update.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# fail hub lookups fast instead of attempting network (zero-egress CI)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

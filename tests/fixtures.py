@@ -1419,6 +1419,13 @@ def make_kokoro_fixture(path: Path) -> Path:
     voices.mkdir(exist_ok=True)
     save_file({"voice": modulo_values((8, 2 * S), 29, 0.5)},
               str(voices / "af_heart.safetensors"))
+
+    # Misaki gold lexicon so the English route loads offline through the
+    # real MisakiTextProcessor path; marker-only entries keep the other
+    # generate tests on raw passthrough.
+    (path / "us_gold.json").write_text(json.dumps({
+        "parity": "pˈæɹəti", "check": "ʧˈɛk",
+    }))
     return path
 
 
@@ -3930,6 +3937,9 @@ def make_kitten_fixture(path: Path) -> Path:
     from safetensors.numpy import load_file, save_file
 
     path = make_kokoro_fixture(path)
+    # a real KittenTTS checkpoint ships no Misaki lexicon (the g2p repo is
+    # separate); drop the kokoro fixture's so raw-IPA input passes through
+    (path / "us_gold.json").unlink()
     w = {}
     for k, v in load_file(str(path / "model.safetensors")).items():
         k = k.replace(".alpha1_", ".alpha1.").replace(".alpha2_", ".alpha2.")

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["BigVGAN", "BigVGANConfig", "kaiser_sinc_filter1d"]
 
@@ -244,7 +245,7 @@ class BigVGAN:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sampling_rate
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
+        self._forward = ajit(functools.partial(forward, cfg=config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

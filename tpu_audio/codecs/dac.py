@@ -24,6 +24,7 @@ import numpy as np
 from tpu_audio.codecs import AudioCodecModel
 from tpu_audio.codecs.snac import _fold_weight_norm
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["DescriptDAC", "DescriptDACConfig"]
 
@@ -201,11 +202,11 @@ class DescriptDAC(AudioCodecModel):
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._encode = jax.jit(
+        self._encode = ajit(
             lambda p, x, n: rvq_encode(
                 p, encoder_forward(p, x, config), config, n),
             static_argnums=(2,))
-        self._decode_codes = jax.jit(
+        self._decode_codes = ajit(
             lambda p, c: decoder_forward(
                 p, rvq_from_codes(p, c, config), config))
 

@@ -37,6 +37,7 @@ import numpy as np
 from tpu_audio.codecs import AudioCodecModel
 from tpu_audio.codecs.snac import _fold_weight_norm
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["DACVAE", "DACVAEConfig"]
 
@@ -268,9 +269,9 @@ class DACVAE(AudioCodecModel):
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._encode = jax.jit(functools.partial(encode, cfg=config))
-        self._decode = jax.jit(functools.partial(decode, cfg=config))
-        self._decode_wm = jax.jit(functools.partial(decode_watermarked,
+        self._encode = ajit(functools.partial(encode, cfg=config))
+        self._decode = ajit(functools.partial(decode, cfg=config))
+        self._decode_wm = ajit(functools.partial(decode_watermarked,
                                                     cfg=config))
 
     @classmethod

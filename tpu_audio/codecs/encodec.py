@@ -29,6 +29,7 @@ import numpy as np
 
 from tpu_audio.codecs import AudioCodecModel
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Encodec", "EncodecConfig"]
 
@@ -307,9 +308,9 @@ class Encodec(AudioCodecModel):
         self.sample_rate = config.sampling_rate
         self._enc_layout = encoder_layout(config)
         self._dec_layout = decoder_layout(config)
-        self._encode_frame = jax.jit(self._encode_frame_impl,
+        self._encode_frame = ajit(self._encode_frame_impl,
                                      static_argnums=(2,))
-        self._decode_frame = jax.jit(self._decode_frame_impl)
+        self._decode_frame = ajit(self._decode_frame_impl)
 
     # decoder conv-transpose indices need layout-aware sanitizing, so the
     # class wires it up with the config in hand

@@ -29,6 +29,7 @@ import numpy as np
 from tpu_audio.codecs import AudioCodecModel
 from tpu_audio.codecs.snac import _fold_weight_norm
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["FishS1DAC", "FishS1Config"]
 
@@ -356,9 +357,9 @@ class FishS1DAC(AudioCodecModel):
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._encode = jax.jit(
+        self._encode = ajit(
             lambda p, x: quantize(p, encoder_forward(p, x, config), config))
-        self._decode = jax.jit(
+        self._decode = ajit(
             lambda p, c: decoder_forward(p, dequantize(p, c, config),
                                          config))
 

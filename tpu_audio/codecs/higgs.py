@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["HiggsAudioTokenizer", "HiggsConfig"]
 
@@ -136,7 +137,7 @@ class HiggsAudioTokenizer:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._decode = jax.jit(
+        self._decode = ajit(
             lambda p, c: decoder_forward(
                 p, nn.linear(p["fc2"], rvq_decode(p, c, config)), config))
 

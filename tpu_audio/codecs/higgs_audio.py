@@ -25,6 +25,7 @@ import numpy as np
 
 from tpu_audio.core import hub, loading, nn
 from tpu_audio.models.stt import wav2vec2
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["HiggsAudioTokenizer", "HiggsAudioConfig", "sinc_resample"]
 
@@ -308,8 +309,8 @@ class HiggsAudioTokenizer:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         self.has_semantic = "semantic_model" in params
-        self._encode = jax.jit(self._encode_impl)
-        self._decode = jax.jit(self._decode_impl)
+        self._encode = ajit(self._encode_impl)
+        self._decode = ajit(self._decode_impl)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

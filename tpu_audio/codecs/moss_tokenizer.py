@@ -26,6 +26,7 @@ import numpy as np
 
 from tpu_audio.codecs.snac import _fold_weight_norm
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["MossAudioTokenizer", "MossTokenizerConfig"]
 
@@ -248,8 +249,8 @@ class MossAudioTokenizer:
         self.sample_rate = config.sample_rate
         self.num_quantizers = config.quantizer_kwargs.get(
             "num_quantizers", 32)
-        self._encode = jax.jit(self._encode_impl, static_argnums=(3,))
-        self._decode = jax.jit(self._decode_impl)
+        self._encode = ajit(self._encode_impl, static_argnums=(3,))
+        self._decode = ajit(self._decode_impl)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import kv_cache, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Qwen3CodecDecoderConfig", "Qwen3CodecDecoder"]
 
@@ -469,9 +470,9 @@ class Qwen3CodecDecoder:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sampling_rate
-        self._decode = jax.jit(
+        self._decode = ajit(
             functools.partial(decoder_forward, cfg=config))
-        self._step = jax.jit(
+        self._step = ajit(
             lambda p, codes, state: decoder_forward(p, codes, config, state))
         self._stream_state = None
 
@@ -657,7 +658,7 @@ class Qwen3CodecEncoder:
         self.params = params
         self.valid_num_quantizers = valid_num_quantizers
         self.dtype = dtype
-        self._encode = jax.jit(functools.partial(encode_forward,
+        self._encode = ajit(functools.partial(encode_forward,
                                                  cfg=mimi_config))
 
     @property

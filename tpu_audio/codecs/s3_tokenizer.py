@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["S3TokenizerV2", "S3TokenizerConfig"]
 
@@ -152,7 +153,7 @@ class S3TokenizerV2:
         self.params = params
         self.dtype = dtype
         self.sample_rate = 16000
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
+        self._forward = ajit(functools.partial(forward, cfg=config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

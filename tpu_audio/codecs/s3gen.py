@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import dsp, hub, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = [
     "s3gen_mel_spectrogram", "kaldi_fbank", "campplus_forward",
@@ -871,9 +872,9 @@ class StepAudio2Token2Wav:
         self.conformer_cfg = conformer_cfg or ConformerConfig()
         self.hift_cfg = hift_cfg or HiFTConfig(use_interpolation=True,
                                                edge_pad="repeat")
-        self._encode = jax.jit(functools.partial(
+        self._encode = ajit(functools.partial(
             conformer_encoder_forward, cfg=self.conformer_cfg))
-        self._vocode = jax.jit(functools.partial(hift_forward,
+        self._vocode = ajit(functools.partial(hift_forward,
                                                  cfg=self.hift_cfg))
         self._solvers: dict = {}
 
@@ -917,7 +918,7 @@ class StepAudio2Token2Wav:
 
             return cfm_solve(estimator, z, t_span)
 
-        fn = jax.jit(solve)
+        fn = ajit(solve)
         self._solvers[n_timesteps] = fn
         return fn
 
@@ -1001,9 +1002,9 @@ class S3Token2Mel:
         self.unet_in_channels = unet_in_channels
         self.conformer_cfg = conformer_cfg or ConformerConfig()
         self.hift_cfg = hift_cfg or HiFTConfig()
-        self._encode = jax.jit(functools.partial(
+        self._encode = ajit(functools.partial(
             conformer_encoder_forward, cfg=self.conformer_cfg))
-        self._vocode = jax.jit(functools.partial(hift_forward,
+        self._vocode = ajit(functools.partial(hift_forward,
                                                  cfg=self.hift_cfg))
         self._solvers: dict = {}
 
@@ -1052,7 +1053,7 @@ class S3Token2Mel:
 
                 return cfm_solve(estimator, z, t_span)
 
-        fn = jax.jit(solve)
+        fn = ajit(solve)
         self._solvers[key] = fn
         return fn
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from tpu_audio.codecs import AudioCodecModel
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SNAC", "SNACConfig", "sanitize"]
 
@@ -319,10 +320,10 @@ class SNAC(AudioCodecModel):
         self.sample_rate = config.sampling_rate
         self.dtype = dtype
         cfg = config
-        self._encode_fn = jax.jit(
+        self._encode_fn = ajit(
             lambda p, x: vq_encode(p, encoder_forward(p, x, cfg), cfg)
         )
-        self._decode_fn = jax.jit(
+        self._decode_fn = ajit(
             lambda p, codes, rng: decoder_forward(
                 p, vq_from_codes(p, codes, cfg), cfg, rng
             )

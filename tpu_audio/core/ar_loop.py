@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_audio.core.sampling import SamplingParams, apply_repetition_penalty
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["make_decode_chunk", "DecodeState"]
 
@@ -42,7 +43,7 @@ def make_decode_chunk(step_fn: Callable, sampling: SamplingParams,
     restricted logits correctly).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(1, 3, 6))
+    @functools.partial(ajit, donate_argnums=(1, 3, 6))
     def decode_chunk(params, cache, last_token, tokens_out, rng, stop_token,
                      history, hist_pos):
         chunk = tokens_out.shape[0]

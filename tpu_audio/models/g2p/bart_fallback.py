@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["BartG2PConfig", "BartFallbackNetwork"]
 
@@ -146,7 +147,7 @@ class BartFallbackNetwork:
         self.grapheme_to_token = {c: i for i, c
                                   in enumerate(config.grapheme_chars)}
         self.token_to_phoneme = dict(enumerate(config.phoneme_chars))
-        self._generate = jax.jit(functools.partial(
+        self._generate = ajit(functools.partial(
             _greedy_generate, cfg=config, max_length=max_length))
 
     @classmethod

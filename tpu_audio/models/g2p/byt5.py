@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import hub, kv_cache, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["ByT5G2P", "T5Config", "ByT5Tokenizer"]
 
@@ -247,7 +248,7 @@ class ByT5G2P:
         self.params = params
         self.max_length = max_length
         self.dtype = dtype
-        self._encode = jax.jit(functools.partial(encode, cfg=config))
+        self._encode = ajit(functools.partial(encode, cfg=config))
         self._loops: dict = {}
 
     @classmethod
@@ -290,7 +291,7 @@ class ByT5G2P:
                 cond, body, (tokens, jnp.int32(0), cache, start))
             return tokens, count
 
-        self._loops["loop"] = jax.jit(loop)
+        self._loops["loop"] = ajit(loop)
         return self._loops["loop"]
 
     def convert(self, word: str, language: str) -> str:

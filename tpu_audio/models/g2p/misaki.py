@@ -17,7 +17,8 @@ import json
 import re
 from pathlib import Path
 
-__all__ = ["MisakiEnglishG2P", "num_to_words", "apply_stress"]
+__all__ = ["MisakiEnglishG2P", "MisakiTextProcessor", "num_to_words",
+           "apply_stress"]
 
 PRIMARY_STRESS = "ˈ"
 SECONDARY_STRESS = "ˌ"
@@ -270,3 +271,54 @@ class MisakiEnglishG2P:
         return " ".join(p for p in out if p)
 
     process = phonemize
+
+
+class MisakiTextProcessor:
+    """TextProcessor facade over the per-accent English G2Ps
+    (MisakiTextProcessor.swift:5-61): resolves the kitten-tts-g2p resource
+    snapshot, then lazily builds/caches a US and a GB ``MisakiEnglishG2P``;
+    ``process`` routes on 'gb' in the language code (swift:25-30)."""
+
+    G2P_REPO = "beshkenadze/kitten-tts-g2p"
+
+    def __init__(self, resource_dir: str | Path | None = None):
+        self._dir = Path(resource_dir) if resource_dir else None
+        self._g2ps: dict[bool, MisakiEnglishG2P] = {}
+
+    def prepare(self) -> None:
+        """Resolve the G2P resource snapshot (swift:15-23). Raises when the
+        repo is neither cached nor downloadable."""
+        if self._dir is not None:
+            return
+        from tpu_audio.core import hub
+
+        self._dir = hub.resolve_or_download_model(
+            self.G2P_REPO, required_files=("us_gold.json",))
+
+    @classmethod
+    def try_load(cls, model_dir: str | Path | None = None
+                 ) -> "MisakiTextProcessor | None":
+        """Offline-safe constructor: use ``model_dir`` if it ships the gold
+        lexicon, else the hub cache; None when neither resolves (the callers'
+        processor-less passthrough then applies)."""
+        if model_dir is not None and (Path(model_dir) / "us_gold.json").exists():
+            return cls(model_dir)
+        proc = cls()
+        try:
+            proc.prepare()
+        except Exception:
+            return None
+        return proc
+
+    def _get(self, british: bool) -> MisakiEnglishG2P:
+        g2p = self._g2ps.get(british)
+        if g2p is None:
+            if self._dir is None:
+                self.prepare()
+            g2p = MisakiEnglishG2P(self._dir, british=british)
+            self._g2ps[british] = g2p
+        return g2p
+
+    def process(self, text: str, language: str | None = None) -> str:
+        british = "gb" in (language or "").lower()
+        return self._get(british).process(text)

@@ -22,6 +22,7 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 from tpu_audio.models.lid.wav2vec2_lid import LanguagePrediction, LIDOutput
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["EcapaLID", "EcapaConfig", "ecapa_backbone_forward"]
 
@@ -157,6 +158,18 @@ class EcapaLID:
         self.id2label = {int(k): str(v).split(":")[0].strip()
                          for k, v in (config.id2label or {}).items()}
 
+        # mel constants closed over as NUMPY arrays so the whole
+        # waveform -> probs pipeline is ONE compiled graph / ONE dispatch
+        # (the round-2 driver measured 96 ms for the eager per-op front end
+        # through the axon tunnel; fused it runs in ~2.4 ms on v5e).
+        # numpy (not jnp) closures matter: fetching a device-array const at
+        # trace time is a device->host read, which permanently drops the
+        # axon session out of its speculative fast-dispatch mode.
+        window = np.asarray(dsp.hamming_window(400, periodic=True),
+                            np.float32)
+        fb = np.asarray(dsp.mel_filters(16000, 400, 60, norm=None,
+                                        mel_scale="htk"), np.float32)
+
         def fwd(p, mel):
             mel = mel - mel.mean(axis=1, keepdims=True)  # sentence mean norm
             emb = ecapa_backbone_forward(p["embedding_model"], mel, config)
@@ -169,7 +182,16 @@ class EcapaLID:
             h = nn.linear(c["out"]["w"], h)
             return jax.nn.log_softmax(h, axis=-1)
 
-        self._forward = jax.jit(fwd)
+        self._forward = ajit(fwd)
+
+        def full(p, audio):
+            spec = dsp.stft(audio, window, 400, 160, pad_mode="constant")
+            power = jnp.abs(spec) ** 2
+            mel = dsp.power_to_db(power @ fb, top_db=80.0)[None]
+            return jnp.exp(fwd(p, mel.astype(dtype))[0].astype(jnp.float32))
+
+        # compiled per distinct audio length (static shapes for the MXU)
+        self._predict_jit = ajit(full)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "EcapaLID":
@@ -178,10 +200,18 @@ class EcapaLID:
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
         return cls(config, params, dtype)
 
+    def predict_device(self, waveform: np.ndarray) -> jnp.ndarray:
+        """waveform -> language probabilities [num_classes], left ON DEVICE.
+
+        The whole mel+backbone+classifier pipeline is one compiled graph;
+        keeping the result device-resident lets pipelines (and latency
+        benchmarks) avoid the host readback that costs a full tunnel
+        round-trip per call on remote-attached TPUs."""
+        audio = jnp.asarray(np.asarray(waveform, np.float32).reshape(-1))
+        return self._predict_jit(self.params, audio)
+
     def predict(self, waveform: np.ndarray, top_k: int = 5) -> LIDOutput:
-        mel = ecapa_mel(waveform).astype(self.dtype)
-        log_probs = self._forward(self.params, mel)
-        probs = np.asarray(jnp.exp(log_probs[0].astype(jnp.float32)))
+        probs = np.asarray(self.predict_device(waveform))
         order = np.argsort(-probs)[: min(top_k, len(probs))]
         top = [LanguagePrediction(self.id2label.get(int(i), f"unknown_{i}"),
                                   float(probs[i])) for i in order]

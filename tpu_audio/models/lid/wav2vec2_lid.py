@@ -11,6 +11,7 @@ import numpy as np
 
 from tpu_audio.core import hub, loading, nn
 from tpu_audio.models.stt.wav2vec2 import Wav2Vec2Config, sanitize, trunk_forward
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Wav2Vec2LID", "LIDOutput", "LanguagePrediction"]
 
@@ -42,7 +43,7 @@ class Wav2Vec2LID:
             h = nn.linear(p["projector"], h)
             return nn.linear(p["classifier"], h)
 
-        self._forward = jax.jit(fwd)
+        self._forward = ajit(fwd)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "Wav2Vec2LID":

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["DeepFilterNet", "DeepFilterNetConfig", "DeepFilterNetStreamer",
            "vorbis_window", "erb_band_widths"]
@@ -334,7 +335,7 @@ class DeepFilterNet:
                 fb[start:stop, j] = 1.0 / (stop - start)
             start = stop
         self.erb_fb = params.get("erb_fb", jnp.asarray(fb))
-        self._enhance = jax.jit(self._enhance_impl)
+        self._enhance = ajit(self._enhance_impl)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "DeepFilterNet":
@@ -588,8 +589,8 @@ class DeepFilterNetStreamer:
             if ".convt" in k and k.endswith(".0.weight"):
                 assert model.params[k].shape[2] == 1, (
                     "streaming requires time-pointwise transposed convs")
-        self._step = jax.jit(self._step_impl)
-        self._scan_steps = jax.jit(self._scan_impl)
+        self._step = ajit(self._step_impl)
+        self._scan_steps = ajit(self._scan_impl)
         self.scan_block = 16  # frames per device dispatch in block mode
         self.reset()
 

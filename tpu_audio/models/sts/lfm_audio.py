@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import dsp, hub, kv_cache, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["LFM2Audio", "LFM2AudioConfig", "MODALITY_TEXT",
            "MODALITY_AUDIO_IN", "MODALITY_AUDIO_OUT"]
@@ -678,16 +679,16 @@ class LFM2Audio:
         self.detok_params = detok_params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._encode = jax.jit(lambda p, mel: adapter_forward(
+        self._encode = ajit(lambda p, mel: adapter_forward(
             p["audio_adapter"],
             conformer_forward(p["audio_encoder"], mel, config.encoder)))
-        self._backbone = jax.jit(functools.partial(lfm2_forward,
+        self._backbone = ajit(functools.partial(lfm2_forward,
                                                    cfg=config.lfm))
-        self._frame = jax.jit(self._sample_frame_impl,
+        self._frame = ajit(self._sample_frame_impl,
                               static_argnames=("temperature", "top_k"))
         self._detok = None
         if detok_params is not None:
-            self._detok = jax.jit(functools.partial(
+            self._detok = ajit(functools.partial(
                 detokenizer_forward, cfg=config.detokenizer))
 
     @classmethod

@@ -30,6 +30,7 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 from tpu_audio.core.audio_io import resample_audio
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["MossFormer2SE", "MossFormer2SEConfig"]
 
@@ -291,7 +292,7 @@ class MossFormer2SE:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._mask = jax.jit(functools.partial(mask_net_forward, cfg=config))
+        self._mask = ajit(functools.partial(mask_net_forward, cfg=config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

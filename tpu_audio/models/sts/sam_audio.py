@@ -30,6 +30,7 @@ import numpy as np
 from tpu_audio.codecs.dacvae import DACVAE
 from tpu_audio.core import hub, loading, nn
 from tpu_audio.models.g2p import byt5 as t5
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SAMAudio", "SAMAudioConfig", "SeparationResult"]
 
@@ -411,7 +412,7 @@ class SAMAudio:
 
             return jax.lax.fori_loop(0, n_steps, body, noise)
 
-        fn = jax.jit(solve)
+        fn = ajit(solve)
         self._solvers[key] = fn
         return fn
 

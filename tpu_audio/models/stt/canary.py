@@ -36,6 +36,7 @@ from tpu_audio.core.generation import (
     STTSegment,
 )
 from tpu_audio.models.stt import parakeet
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Canary", "CanaryConfig"]
 
@@ -353,7 +354,7 @@ class Canary:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.sample_rate = config.preprocess.sample_rate
-        self._encode = jax.jit(functools.partial(
+        self._encode = ajit(functools.partial(
             self._encode_impl, cfg=config))
         self._loops: dict = {}
 
@@ -417,7 +418,7 @@ class Canary:
                 cond, body, (tokens, jnp.int32(1), cache, jnp.bool_(False)))
             return tokens, count
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[key] = fn
         return fn
 

@@ -36,6 +36,7 @@ import numpy as np
 from tpu_audio.core import dsp, hub, kv_cache, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
 from tpu_audio.models.stt.parakeet import _rel_pos_encoding, _rel_shift
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["CohereTranscribe", "CohereConfig", "CohereTokenizer"]
 
@@ -106,7 +107,7 @@ class CohereConfig:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_mels"))
+@functools.partial(ajit, static_argnames=("sr", "n_mels"))
 def _cohere_features(audio, sr: int, n_mels: int):
     """Pre-emphasized power-mel with per-bin mean/std normalization ->
     [T, n_mels] (computeFeatures, CohereTranscribeAudio.swift:23-60)."""
@@ -452,10 +453,10 @@ class CohereTranscribe:
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
-        self._encode = jax.jit(
+        self._encode = ajit(
             functools.partial(encoder_forward, cfg=config.encoder))
-        self._prefill = jax.jit(self._prefill_fn, donate_argnums=(2,))
-        self._decode = jax.jit(self._decode_fn, donate_argnums=(2,),
+        self._prefill = ajit(self._prefill_fn, donate_argnums=(2,))
+        self._decode = ajit(self._decode_fn, donate_argnums=(2,),
                                static_argnums=(6,))
 
     @classmethod

@@ -41,6 +41,7 @@ from tpu_audio.core.generation import (
 from tpu_audio.models.stt import parakeet
 from tpu_audio.models.stt.nemotron import _rel_pos_table
 from tpu_audio.models.stt.sensevoice import SenseVoiceConfig, compute_fbank
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["FireRedASR2", "FireRedConfig"]
 
@@ -240,7 +241,7 @@ class FireRedASR2:
         self._fbank_cfg = SenseVoiceConfig(n_mels=config.idim, fs=16000,
                                            frame_length=25, frame_shift=10,
                                            window="hamming")
-        self._encode = jax.jit(functools.partial(encoder_forward, cfg=config))
+        self._encode = ajit(functools.partial(encoder_forward, cfg=config))
         self._loops: dict = {}
 
     @classmethod
@@ -295,7 +296,7 @@ class FireRedASR2:
                 cond, body, (tokens, jnp.int32(1), cache, jnp.bool_(False)))
             return tokens, count
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[max_total] = fn
         return fn
 
@@ -378,7 +379,7 @@ class FireRedASR2:
                 (tokens, jnp.int32(1), cache, scores, conf, finished))
             return tokens, i, scores, conf
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[key] = fn
         return fn
 

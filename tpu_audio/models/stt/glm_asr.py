@@ -35,6 +35,7 @@ from tpu_audio.core.generation import (
     STTSegment,
 )
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["GLMASR", "GLMASRConfig"]
 
@@ -182,7 +183,7 @@ class GLMASR:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.sample_rate = 16000
-        self._encode = jax.jit(functools.partial(audio_encoder_forward,
+        self._encode = ajit(functools.partial(audio_encoder_forward,
                                                  cfg=config))
         self._loops: dict = {}
 
@@ -239,7 +240,7 @@ class GLMASR:
                 cond, body, (tokens, jnp.int32(0), cache, first, finished0))
             return tokens, count
 
-        fn = jax.jit(loop, donate_argnums=(2,))
+        fn = ajit(loop, donate_argnums=(2,))
         self._loops[max_new] = fn
         return fn
 

@@ -35,6 +35,7 @@ from tpu_audio.core.ar_loop import make_decode_chunk
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["GraniteSpeech", "GraniteConfig"]
 
@@ -115,7 +116,7 @@ class GraniteConfig:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@ajit
 def _granite_mel(audio):
     """Max-floored log10 power mel, 2-frame stacked -> [T/2, 160]."""
     x = audio.astype(jnp.float32)
@@ -293,11 +294,11 @@ class GraniteSpeech:
         self.tokenizer = tokenizer
         self.eos_token_id = eos_token_id
         self.dtype = dtype
-        self._encoder = jax.jit(
+        self._encoder = ajit(
             functools.partial(encoder_forward, cfg=config.encoder))
-        self._projector = jax.jit(
+        self._projector = ajit(
             functools.partial(projector_forward, cfg=config))
-        self._prefill = jax.jit(
+        self._prefill = ajit(
             lambda p, embeds, cache: llama.forward(
                 p["language_model"], None, cache, config.text,
                 inputs_embeds=embeds),

@@ -31,6 +31,7 @@ from tpu_audio.core.generation import (
     STTSegment,
 )
 from tpu_audio.models.stt import parakeet
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["LasrCTC", "LasrConfig"]
 
@@ -201,7 +202,7 @@ class LasrCTC:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.sample_rate = 16000
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
+        self._forward = ajit(functools.partial(forward, cfg=config))
         self._pre = parakeet.PreprocessConfig(
             sample_rate=16000, normalize="per_feature", window_size=0.025,
             window_stride=0.01, window="hann",

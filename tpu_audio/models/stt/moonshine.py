@@ -21,6 +21,7 @@ import numpy as np
 
 from tpu_audio.core import hub, kv_cache, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Moonshine", "MoonshineConfig"]
 
@@ -162,8 +163,8 @@ class Moonshine:
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
-        self._encode = jax.jit(functools.partial(encoder_forward, cfg=config))
-        self._step = jax.jit(functools.partial(decoder_step, cfg=config),
+        self._encode = ajit(functools.partial(encoder_forward, cfg=config))
+        self._step = ajit(functools.partial(decoder_step, cfg=config),
                              donate_argnums=(3,))
 
     @classmethod

@@ -39,6 +39,7 @@ from tpu_audio.core.generation import (
 )
 from tpu_audio.models import llama
 from tpu_audio.models.stt import whisper as whisper_mod
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["MossTranscribeDiarize", "MossTranscribeDiarizeConfig"]
 
@@ -167,9 +168,9 @@ class MossTranscribeDiarize:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         self._digit_ids: dict[str, int] = {}
-        self._encode = jax.jit(functools.partial(
+        self._encode = ajit(functools.partial(
             whisper_mod.encoder_forward, cfg=config.audio))
-        self._prefill = jax.jit(
+        self._prefill = ajit(
             lambda p, embeds, cache: llama.forward(
                 p, None, cache, config.text, inputs_embeds=embeds),
             donate_argnums=(2,))
@@ -381,7 +382,7 @@ class MossTranscribeDiarize:
                 (tokens, jnp.int32(0), cache, first, finished0, ring, rng))
             return tokens, count
 
-        fn = jax.jit(loop, donate_argnums=(2,))
+        fn = ajit(loop, donate_argnums=(2,))
         self._loops[key] = fn
         return fn
 

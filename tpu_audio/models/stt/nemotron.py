@@ -40,6 +40,7 @@ from tpu_audio.core.generation import (
     STTSegment,
 )
 from tpu_audio.models.stt import parakeet
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["NemotronASR", "NemotronConfig", "NemotronStreamSession"]
 
@@ -329,7 +330,7 @@ class NemotronASR:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.preprocess.sample_rate
-        self._encode = jax.jit(functools.partial(
+        self._encode = ajit(functools.partial(
             encoder_forward, cfg=config.encoder))
         self._pcfg = config.parakeet_cfg()
         self._decoders: dict = {}
@@ -438,9 +439,9 @@ class NemotronStreamSession:
                            model.dtype)
         self.c = jnp.zeros_like(self.h)
         self.tokens: list[int] = []
-        self._chunk_step = jax.jit(self._chunk_step_impl,
+        self._chunk_step = ajit(self._chunk_step_impl,
                                    static_argnums=(6,))
-        self._rnnt_chunk = jax.jit(self._rnnt_chunk_impl,
+        self._rnnt_chunk = ajit(self._rnnt_chunk_impl,
                                    static_argnums=(5,))
 
     # -- jitted pieces -------------------------------------------------------------

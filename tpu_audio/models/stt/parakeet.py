@@ -39,6 +39,7 @@ import numpy as np
 from tpu_audio.core import dsp, hub, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
 from tpu_audio.models.stt import nemo_alignment
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Parakeet", "ParakeetConfig"]
 
@@ -161,7 +162,7 @@ def _make_window(name: str, win_length: int, n_fft: int) -> np.ndarray:
     return np.pad(base, (left, n_fft - win_length - left))
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "win_len",
+@functools.partial(ajit, static_argnames=("sr", "n_fft", "hop", "win_len",
                                              "n_mels", "preemph", "per_feature",
                                              "guard", "window_name"))
 def _log_mel(audio, sr, n_fft, hop, win_len, n_mels, preemph, per_feature,
@@ -360,7 +361,7 @@ def make_tdt_decoder(cfg: ParakeetConfig, max_emit: int):
     n_layers = cfg.pred_rnn_layers
     hidden = cfg.pred_hidden
 
-    @jax.jit
+    @ajit
     def decode(params, features, lengths):
         b, t_max, _ = features.shape
         dtype = features.dtype
@@ -484,10 +485,10 @@ class Parakeet:
         self.config = config
         self.params = params
         self.dtype = dtype  # bf16 compute default (ParakeetModel.swift:25-27)
-        self._encode = jax.jit(
+        self._encode = ajit(
             functools.partial(encoder_forward, cfg=config.encoder))
         self._decoders: dict[int, callable] = {}
-        self._ctc_head = jax.jit(self._ctc_logits) if "ctc" in config.variant else None
+        self._ctc_head = ajit(self._ctc_logits) if "ctc" in config.variant else None
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.bfloat16) -> "Parakeet":

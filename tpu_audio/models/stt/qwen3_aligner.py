@@ -31,6 +31,7 @@ import numpy as np
 from tpu_audio.core import nn
 from tpu_audio.models import llama
 from tpu_audio.models.stt import qwen3_asr
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Qwen3ForcedAligner", "ForceAlignProcessor", "ForcedAlignItem",
            "ForcedAlignResult"]
@@ -235,7 +236,7 @@ class Qwen3ForcedAligner(qwen3_asr.Qwen3ASR):
     def __init__(self, config, params, tokenizer=None, dtype=jnp.bfloat16):
         super().__init__(config, params, tokenizer, dtype)
         self.processor = ForceAlignProcessor()
-        self._classify = jax.jit(
+        self._classify = ajit(
             functools.partial(_classify, cfg=config.text))
 
     def generate(self, audio, text: str | None = None,

@@ -30,6 +30,7 @@ from tpu_audio.core.ar_loop import make_decode_chunk
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Qwen3ASR", "Qwen3ASRConfig", "split_audio_into_chunks"]
 
@@ -213,9 +214,9 @@ class Qwen3ASR:
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
-        self._encode_window = jax.jit(
+        self._encode_window = ajit(
             functools.partial(encode_window, cfg=config.audio))
-        self._prefill = jax.jit(
+        self._prefill = ajit(
             lambda p, embeds, cache: llama.forward(
                 p, None, cache, config.text, inputs_embeds=embeds),
             donate_argnums=(2,))

@@ -36,6 +36,7 @@ from tpu_audio.core.generation import (
     STTOutput,
     STTSegment,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SenseVoice", "SenseVoiceConfig"]
 
@@ -278,7 +279,7 @@ class SenseVoice:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.sample_rate = config.fs
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
+        self._forward = ajit(functools.partial(forward, cfg=config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32

@@ -33,6 +33,7 @@ import numpy as np
 
 from tpu_audio.core import dsp
 from tpu_audio.core.generation import STTGenerateParameters
+from tpu_audio.core.jitting import ajit
 
 __all__ = [
     "IncrementalMelSpectrogram",
@@ -48,7 +49,7 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_mels", "sr"))
+@functools.partial(ajit, static_argnames=("n_fft", "hop", "n_mels", "sr"))
 def _mel_frames(signal, sr, n_fft, hop, n_mels):
     frames = dsp.frame_signal(signal, n_fft, hop)
     window = jnp.asarray(dsp.hanning_window(n_fft, periodic=False))

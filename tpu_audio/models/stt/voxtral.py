@@ -37,6 +37,7 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, kv_cache, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["VoxtralRealtime", "VoxtralConfig", "VoxtralStreamSession"]
 
@@ -145,7 +146,7 @@ def _mel_columns(frames, filters, global_log_mel_max: float):
     return (logmel + 4.0) / 4.0
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "gmax"))
+@functools.partial(ajit, static_argnames=("n_mels", "gmax"))
 def _voxtral_mel(audio, n_mels: int, gmax: float):
     """Reflect-padded framing, drop last frame -> [T, n_mels]."""
     x = jnp.pad(audio.astype(jnp.float32), 200, mode="reflect")
@@ -405,18 +406,18 @@ class VoxtralRealtime:
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
-        self._conv_stem = jax.jit(
+        self._conv_stem = ajit(
             functools.partial(conv_stem, cfg=config.encoder))
-        self._encode_first = jax.jit(
+        self._encode_first = ajit(
             functools.partial(encode_first_chunk, cfg=config.encoder))
-        self._encode_next = jax.jit(
+        self._encode_next = ajit(
             functools.partial(encode_next_chunk, cfg=config.encoder))
-        self._project = jax.jit(
+        self._project = ajit(
             functools.partial(downsample_project, cfg=config.encoder))
-        self._prefill = jax.jit(
+        self._prefill = ajit(
             functools.partial(decoder_pass, cfg=config.decoder),
             donate_argnums=(2,))
-        self._decode = jax.jit(self._decode_fn, donate_argnums=(2,))
+        self._decode = ajit(self._decode_fn, donate_argnums=(2,))
         self._ada_cache = {}
 
     @classmethod
@@ -811,7 +812,7 @@ class VoxtralStreamSession:
         return delta
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(ajit, static_argnames=("cfg",))
 def _enc_stream_step(params, x, cache, cfg: VoxtralEncoderConfig):
     """Block-local encoder chunk: rope positions relative to the block start,
     growing KV inside the shared fixed-capacity cache."""
@@ -841,6 +842,6 @@ def _enc_stream_step(params, x, cache, cfg: VoxtralEncoderConfig):
     return nn.rms_norm(p["transformer_norm"], x, cfg.norm_eps), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+@functools.partial(ajit, static_argnames=("cfg",), donate_argnums=(2,))
 def _dec_stream_step(params, embed, cache, ada, cfg: VoxtralDecoderConfig):
     return decoder_pass(params, embed, cache, ada, cfg)

@@ -23,6 +23,7 @@ import numpy as np
 
 from tpu_audio.core import hub, loading, nn
 from tpu_audio.core.generation import STTGenerateParameters, STTOutput, STTSegment
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Wav2Vec2CTC", "Wav2Vec2Config"]
 
@@ -177,7 +178,7 @@ class Wav2Vec2CTC:
         self.vocabularies = vocabularies or {}
         self.model_dir = model_dir
         self.dtype = dtype
-        self._forward = jax.jit(
+        self._forward = ajit(
             lambda p, x: nn.linear(p["lm_head"], trunk_forward(p, x, config)))
 
     @classmethod

@@ -42,6 +42,7 @@ from tpu_audio.core.generation import (
     STTOutput,
     STTSegment,
 )
+from tpu_audio.core.jitting import ajit
 
 SAMPLE_RATE = 16000
 
@@ -551,10 +552,10 @@ class Whisper:
         self.generation_config = generation_config or WhisperGenerationConfig()
         self.dtype = dtype
         cfg = config
-        self._encode = jax.jit(
+        self._encode = ajit(
             functools.partial(encoder_forward, cfg=cfg)
         )
-        self._decode_loop = jax.jit(
+        self._decode_loop = ajit(
             functools.partial(_decode_loop, cfg=cfg),
             static_argnames=("max_total", "kv_bits", "kv_group_size",
                              "quantized_kv_start"),

@@ -42,6 +42,7 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Chatterbox", "ChatterboxConfig", "T3Config"]
 
@@ -651,7 +652,7 @@ class Chatterbox:
             tokens, count, *_ = jax.lax.while_loop(cond_fn, body, init)
             return tokens, count
 
-        fn = jax.jit(loop, donate_argnums=(2,))
+        fn = ajit(loop, donate_argnums=(2,))
         self._loops[key] = fn
         return fn
 

@@ -36,6 +36,7 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["MarvisTTS", "CSMConfig"]
 
@@ -113,7 +114,7 @@ class MarvisTTS:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         self._frame_steps: dict = {}
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._prefill = ajit(self._prefill_impl, donate_argnums=(2,))
 
     def default_generation_parameters(self) -> AudioGenerateParameters:
         return AudioGenerateParameters(temperature=0.9, top_p=0.8,
@@ -214,7 +215,7 @@ class MarvisTTS:
                                     ci[:, None] + offset)
             return jnp.stack(codes, axis=1), cache, rng
 
-        fn = jax.jit(frame_step, donate_argnums=(3,))
+        fn = ajit(frame_step, donate_argnums=(3,))
         self._frame_steps[key] = fn
         return fn
 

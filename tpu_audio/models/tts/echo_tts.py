@@ -37,6 +37,7 @@ from tpu_audio.core.generation import (
     AudioGenerationError,
     AudioGenerationInfo,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["EchoTTS", "EchoTTSConfig", "normalize_text_prompt"]
 
@@ -376,10 +377,10 @@ class EchoTTS:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         cfg = config.dit
-        self._denoise = jax.jit(functools.partial(dit_forward, cfg=cfg),
+        self._denoise = ajit(functools.partial(dit_forward, cfg=cfg),
                                 static_argnames=("start_pos",))
-        self._text_kv = jax.jit(self._text_kv_impl)
-        self._speaker_kv = jax.jit(self._speaker_kv_impl)
+        self._text_kv = ajit(self._text_kv_impl)
+        self._speaker_kv = ajit(self._speaker_kv_impl)
 
     def default_generation_parameters(self) -> AudioGenerateParameters:
         return AudioGenerateParameters(

@@ -40,6 +40,7 @@ from tpu_audio.core.generation import (
     AudioGenerationError,
     AudioGenerationInfo,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["FishSpeech", "FishSpeechConfig", "FishTransformerConfig"]
 
@@ -531,7 +532,7 @@ class FishSpeech:
             codes_buf, count, *_ = jax.lax.while_loop(cond, body, init)
             return codes_buf, count
 
-        fn = jax.jit(loop, donate_argnums=(2,))
+        fn = ajit(loop, donate_argnums=(2,))
         self._loops[key] = fn
         return fn
 

@@ -39,6 +39,7 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.models.lid.ecapa_lid import EcapaConfig, ecapa_backbone_forward
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["IndexTTS", "IndexTTSConfig", "normalize_text",
            "tokenize_by_cjk_char"]
@@ -642,8 +643,8 @@ class IndexTTS:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         cm = config.gpt.condition_module
-        self._condition = jax.jit(functools.partial(self._condition_impl))
-        self._vocode = jax.jit(functools.partial(
+        self._condition = ajit(functools.partial(self._condition_impl))
+        self._vocode = ajit(functools.partial(
             vocoder_forward, cfg=config.bigvgan))
         self._speaker_cfg = EcapaConfig.from_dict({
             "input_size": config.bigvgan.num_mels, "channels": 512,
@@ -780,7 +781,7 @@ class IndexTTS:
                 cond, body, init)
             return latents, tokens, n_lat, n_tok
 
-        fn = jax.jit(loop, donate_argnums=(2,))
+        fn = ajit(loop, donate_argnums=(2,))
         self._loops[key] = fn
         return fn
 

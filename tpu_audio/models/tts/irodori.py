@@ -60,6 +60,7 @@ from tpu_audio.models.tts.echo_tts import (
     _rotary_half_heads,
     _timestep_embedding,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["IrodoriTTS", "IrodoriTTSConfig", "normalize_text",
            "build_duration_features"]
@@ -490,7 +491,7 @@ class IrodoriTTS:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         self._samplers: dict = {}
-        self._duration = jax.jit(self._duration_impl)
+        self._duration = ajit(self._duration_impl)
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32
@@ -855,7 +856,7 @@ class IrodoriTTS:
 
             return jax.lax.fori_loop(0, steps, step, noise)
 
-        fn = jax.jit(run)
+        fn = ajit(run)
         self._samplers[key] = fn
         return fn
 

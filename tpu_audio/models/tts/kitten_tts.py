@@ -131,13 +131,11 @@ class KittenTTS:
 
             voices = {k: np.asarray(v, np.float32)
                       for k, v in load_file(str(vf)).items()}
-        processor = None
-        try:
-            from tpu_audio.models.g2p.misaki import MisakiTextProcessor
+        from tpu_audio.models.g2p.misaki import MisakiTextProcessor
 
-            processor = MisakiTextProcessor()
-        except Exception:
-            processor = None
+        # offline-safe: None (raw-phoneme passthrough) when neither the model
+        # dir nor the hub cache ships the kitten-tts-g2p lexicons
+        processor = MisakiTextProcessor.try_load(model_dir)
         return cls(config, params, voices, processor, dtype)
 
     # -- inputs -----------------------------------------------------------------

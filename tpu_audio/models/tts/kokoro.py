@@ -453,13 +453,19 @@ class Kokoro:
         model_dir = Path(hub.resolve_or_download_model(repo_or_path))
         config = KokoroConfig.from_dict(hub.load_config(model_dir))
         params = loading.load_params(model_dir, sanitize=sanitize, dtype=dtype)
-        processor = None
-        try:
-            from tpu_audio.models.g2p.lexicon import LexiconG2P
+        # Always front with the multilingual processor (TTSModel.swift:197);
+        # English resolves offline from the model dir when it ships Misaki
+        # gold lexicons or a cmudict, else lazily from the hub at generate
+        # time exactly like the reference's prepare(for:) download.
+        from tpu_audio.models.g2p.lexicon import LexiconG2P
+        from tpu_audio.models.g2p.misaki import MisakiTextProcessor
+        from tpu_audio.models.g2p.multilingual import (
+            KokoroMultilingualProcessor,
+        )
 
-            processor = LexiconG2P.try_load(model_dir)
-        except Exception:
-            processor = None
+        english = (MisakiTextProcessor.try_load(model_dir)
+                   or LexiconG2P.try_load(model_dir))
+        processor = KokoroMultilingualProcessor(english=english)
         return cls(config, params, str(model_dir), processor, dtype)
 
     def tokenize(self, phonemes: str) -> list[int]:
@@ -540,7 +546,18 @@ class Kokoro:
             voice_emb = np.asarray(ref_audio)
         else:
             voice_emb = self.load_voice(voice_name)
-        phonemes = (self.text_processor.process(text, language)
+        # voice-prefix language inference + resource prepare
+        # (KokoroModel.swift:147-152)
+        from tpu_audio.models.g2p.multilingual import (
+            KokoroMultilingualProcessor,
+            language_for_voice,
+        )
+
+        inferred_lang = language or language_for_voice(voice_name)
+        if (isinstance(self.text_processor, KokoroMultilingualProcessor)
+                and inferred_lang):
+            self.text_processor.prepare(inferred_lang)
+        phonemes = (self.text_processor.process(text, inferred_lang)
                     if self.text_processor else text)
         tokens = self.tokenize(phonemes)
         if len(tokens) > 510:

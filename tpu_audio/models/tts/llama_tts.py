@@ -33,6 +33,7 @@ from tpu_audio.core.generation import (
 )
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["LlamaTTS", "LlamaTTSConfig", "OrpheusTokens"]
 
@@ -120,7 +121,7 @@ class LlamaTTS:
             return llama.forward(params, ids, cache, cfg,
                                  return_hidden=self.audio_band_head)
 
-        self._prefill = jax.jit(prefill, donate_argnums=(2,))
+        self._prefill = ajit(prefill, donate_argnums=(2,))
         self._prefill_fn = prefill  # unjitted: parallel.continuous wraps it
 
         if self.audio_band_head:

@@ -37,6 +37,7 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.core.sampling import _mask_top_k, _mask_top_p
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["MossTTSNano", "MossTTSConfig"]
 
@@ -171,8 +172,8 @@ class MossTTSNano:
         self.audio_tokenizer = audio_tokenizer
         self.dtype = dtype
         self.sample_rate = config.audio_tokenizer_sample_rate
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
-        self._frame_step = jax.jit(self._frame_step_impl,
+        self._prefill = ajit(self._prefill_impl, donate_argnums=(2,))
+        self._frame_step = ajit(self._frame_step_impl,
                                    donate_argnums=(2,))
 
     @classmethod

@@ -49,6 +49,7 @@ from tpu_audio.core.generation import (
 )
 from tpu_audio.core.sampling import _mask_top_k, _mask_top_p
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = [
     "MossTTS",
@@ -632,7 +633,7 @@ class MossTTS:
             final = jax.lax.while_loop(cond, body, init)
             return final[4], final[0]
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[key] = fn
         return fn
 
@@ -779,7 +780,7 @@ class MossTTS:
             final = jax.lax.while_loop(cond, body, init)
             return final[4], final[0]
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[key] = fn
         return fn
 

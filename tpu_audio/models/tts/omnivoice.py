@@ -43,6 +43,7 @@ from tpu_audio.core.generation import (
     AudioGenerationInfo,
 )
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["OmniVoice", "OmniVoiceConfig", "estimate_rule_duration_tokens",
            "phonetic_weight", "get_time_steps"]
@@ -353,7 +354,7 @@ class OmniVoice:
             # any stragglers decode as code 0 (OmniVoice.swift:485-491)
             return jnp.where(tokens == mask_id, 0, tokens)
 
-        fn = jax.jit(loop)
+        fn = ajit(loop)
         self._loops[key] = fn
         return fn
 

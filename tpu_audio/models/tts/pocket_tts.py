@@ -44,6 +44,7 @@ from tpu_audio.core.generation import (
     AudioGenerationError,
     AudioGenerationInfo,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["PocketTTS", "PocketTTSConfig"]
 
@@ -263,8 +264,8 @@ class PocketTTS:
         self.model_dir = model_dir
         self.dtype = dtype
         self.sample_rate = config.mimi.sample_rate
-        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._step = ajit(self._step_impl, donate_argnums=(2,))
+        self._prefill = ajit(self._prefill_impl, donate_argnums=(2,))
         self._mimi_state: dict = {}
         self._mimi_cache = None
 

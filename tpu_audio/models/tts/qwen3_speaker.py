@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import dsp, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SpeakerEncoderConfig", "speaker_encoder_forward", "speaker_mel",
            "sanitize_speaker_encoder", "SPEAKER_ENCODER_MARKER"]
@@ -164,7 +165,7 @@ class Qwen3SpeakerEncoder:
         self.config = config
         self.params = params
         self.dtype = dtype
-        self._fwd = jax.jit(
+        self._fwd = ajit(
             functools.partial(speaker_encoder_forward, cfg=config))
 
     def __call__(self, audio) -> jnp.ndarray:

@@ -54,6 +54,7 @@ from tpu_audio.core.generation import (
     AudioGenerationError,
     AudioGenerationInfo,
 )
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Qwen3TTS", "Qwen3TTSConfig"]
 
@@ -310,7 +311,7 @@ class Qwen3TTS:
         self.speaker_encoder = speaker_encoder
         self.dtype = dtype
         tcfg = config.talker
-        self._prefill = jax.jit(
+        self._prefill = ajit(
             functools.partial(talker_forward, cfg=tcfg), donate_argnums=(2,))
         self._macro_steps: dict = {}
         self._ref_context_cache: tuple | None = None
@@ -714,7 +715,7 @@ class Qwen3TTS:
             all_codes = jnp.stack(codes, axis=1)  # [1, G]
             return all_codes, embed_sum, cache, rng
 
-        fn = jax.jit(macro_step, donate_argnums=(2,))
+        fn = ajit(macro_step, donate_argnums=(2,))
         self._macro_steps[key] = fn
         return fn
 

@@ -37,6 +37,7 @@ from tpu_audio.core.generation import (
 )
 from tpu_audio.core.sampling import apply_repetition_penalty, _mask_top_p
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Soprano", "SopranoConfig"]
 
@@ -115,7 +116,7 @@ class Soprano:
         self.dtype = dtype
         self.sample_rate = config.sample_rate
         self._loops: dict = {}
-        self._decode_audio = jax.jit(
+        self._decode_audio = ajit(
             functools.partial(soprano_decode_audio, cfg=config))
 
     @property
@@ -201,7 +202,7 @@ class Soprano:
             buf, count, *_ = jax.lax.while_loop(cond, body, init)
             return buf, count
 
-        fn = jax.jit(loop, donate_argnums=(3,))
+        fn = ajit(loop, donate_argnums=(3,))
         self._loops[key] = fn
         return fn
 

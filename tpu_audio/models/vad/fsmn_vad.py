@@ -28,6 +28,7 @@ import numpy as np
 
 from tpu_audio.core import hub, loading, nn
 from tpu_audio.core.audio_io import resample_audio
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["FSMNVAD", "FSMNVADConfig"]
 
@@ -455,7 +456,7 @@ class FSMNVAD:
         self.cmvn = cmvn
         self.dtype = dtype
         self.sample_rate = config.sample_rate
-        self._encode = jax.jit(
+        self._encode = ajit(
             functools.partial(encoder_forward, cfg=config.encoder))
 
     @classmethod

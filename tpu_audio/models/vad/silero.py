@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SileroVAD", "SileroVADConfig", "SileroTimestamp"]
 
@@ -106,7 +107,7 @@ def _branch_window_forward(p, window, h, c, cfg: SileroBranchConfig):
     return out[..., 0].mean(axis=1), h, c
 
 
-@functools.partial(jax.jit, static_argnames=("cfg_key",))
+@functools.partial(ajit, static_argnames=("cfg_key",))
 def _scan_chunks(params, windows, cfg_key):
     """windows [N, B, ctx+chunk] -> probs [B, N] in one scan."""
     cfg = _BRANCH_CFGS[cfg_key]
@@ -134,7 +135,7 @@ class SileroVAD:
     def __init__(self, config: SileroVADConfig, params):
         self.config = config
         self.params = params
-        self._feed = jax.jit(
+        self._feed = ajit(
             lambda p, w, h, c, sr: None)  # placeholder (built per rate below)
         self._feed_fns = {}
 
@@ -221,7 +222,7 @@ class SileroVAD:
         if sample_rate not in self._feed_fns:
             cfg_key = sample_rate
 
-            @jax.jit
+            @ajit
             def feed_fn(p, window, h, c_):
                 return _branch_window_forward(p, window, h, c_,
                                               _BRANCH_CFGS[cfg_key])

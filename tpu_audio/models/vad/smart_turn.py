@@ -27,6 +27,7 @@ import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
 from tpu_audio.core.audio_io import resample_audio
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["SmartTurn", "SmartTurnConfig", "SmartTurnEndpointOutput"]
 
@@ -147,7 +148,7 @@ class SmartTurn:
         self.params = params
         self.dtype = dtype
         self.sample_rate = config.sampling_rate
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
+        self._forward = ajit(functools.partial(forward, cfg=config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "SmartTurn":

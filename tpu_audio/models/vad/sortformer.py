@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.core import dsp, hub, loading, nn
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["Sortformer", "SortformerConfig", "DiarizationSegment",
            "segments_to_rttm"]
@@ -145,7 +146,7 @@ def segments_to_rttm(segments: list["DiarizationSegment"],
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win", "n_mels",
+@functools.partial(ajit, static_argnames=("n_fft", "hop", "win", "n_mels",
                                              "preemph", "per_feature", "sr"))
 def _mel_impl(wav, sr, n_fft, hop, win, n_mels, preemph, per_feature):
     x = wav.astype(jnp.float32)
@@ -481,10 +482,10 @@ class Sortformer:
         self.config = config
         self.params = params
         self.dtype = dtype
-        self._forward = jax.jit(functools.partial(forward, cfg=config))
-        self._pre_encode = jax.jit(
+        self._forward = ajit(functools.partial(forward, cfg=config))
+        self._pre_encode = ajit(
             functools.partial(pre_encode, cfg=config.fc_encoder))
-        self._encode_seq = jax.jit(
+        self._encode_seq = ajit(
             functools.partial(encode_sequence, cfg=config))
 
     @classmethod

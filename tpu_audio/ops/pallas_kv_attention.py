@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.ops.pallas_mel import is_tpu
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["quantize_kv_transposed", "decode_attention_int8", "is_tpu",
            "supported"]
@@ -115,7 +116,7 @@ def _heads_block(n_heads: int, head_dim: int, s: int) -> int:
     return hb
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(ajit, static_argnames=("sm_scale", "interpret"))
 def decode_attention_int8(q, kt, ks, kb, vt, vs, vb, valid, *,
                           sm_scale: float, interpret: bool = False):
     """Single-token attention over transposed int8 K/V.

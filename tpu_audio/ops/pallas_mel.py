@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["fused_log_mel", "is_tpu"]
 
@@ -45,7 +46,7 @@ def _kernel(re_ref, im_ref, fb_ref, out_ref):
     out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-@functools.partial(jax.jit, static_argnames=("tile_t",))
+@functools.partial(ajit, static_argnames=("tile_t",))
 def fused_log_mel(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
                   filters: jnp.ndarray, tile_t: int = 256) -> jnp.ndarray:
     """``log10(max(|S|^2 @ filters, 1e-10))`` fused.

@@ -56,6 +56,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["quantized_matvec", "expand_word_scales"]
 
@@ -93,7 +94,7 @@ def _make_kernel(bits: int):
     return kernel
 
 
-@functools.partial(jax.jit,
+@functools.partial(ajit,
                    static_argnames=("group_size", "bits", "tile_o",
                                     "interpret"))
 def quantized_matvec(x: jnp.ndarray, w_packed: jnp.ndarray,

@@ -60,6 +60,7 @@ import numpy as np
 
 from tpu_audio.core.sampling import SamplingParams, apply_repetition_penalty
 from tpu_audio.models import llama
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["ContinuousBatcher", "ContinuousTTS", "EngineWorkerBase",
            "GenRequest", "TTSEngineWorker"]
@@ -274,7 +275,7 @@ class ContinuousBatcher:
         # executable/compile cache and can pin a second copy of the
         # weights in HBM; as arguments they also stay swappable (e.g.
         # TP-resharded) without retracing through a stale closure.
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(ajit, donate_argnums=(1,))
         def decode_step(params, state: _BatchState):
             """One tick = ``step_tokens`` scanned decode steps; returns
             ``toks [K, slots]`` and the per-step liveness mask
@@ -287,7 +288,7 @@ class ContinuousBatcher:
 
         self._decode_step = decode_step
 
-        @jax.jit
+        @ajit
         def prefill(params, tokens, valid_from, ctx):
             cache = self._cache_factory(0)
             cache = jax.tree.map(jnp.asarray, cache)
@@ -301,7 +302,7 @@ class ContinuousBatcher:
 
         self._prefill = prefill
 
-        @functools.partial(jax.jit, donate_argnums=(0,),
+        @functools.partial(ajit, donate_argnums=(0,),
                            static_argnums=(3,))
         def insert(state: _BatchState, row_cache, row_ctx, slot: int,
                    last_tok, max_new, req_seed):

@@ -21,6 +21,7 @@ import numpy as np
 
 from tpu_audio.models import llama
 from tpu_audio.parallel.mesh import TRANSFORMER_TP_RULES, make_mesh, shard_params
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["TensorParallelLM"]
 
@@ -44,7 +45,7 @@ class TensorParallelLM:
             return self._fns[key]
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("temperature_zero",))
+        @functools.partial(ajit, static_argnames=("temperature_zero",))
         def run(params, prompt_ids, prompt_len, stop_token, rng, temperature,
                 temperature_zero: bool = True):
             # right-aligned prompt in a fixed bucket: the left-pad region

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from tpu_audio.models.stt import whisper as W
+from tpu_audio.core.jitting import ajit
 
 __all__ = ["make_train_step", "cross_entropy_loss"]
 
@@ -41,7 +42,7 @@ def make_train_step(cfg: W.WhisperConfig, optimizer: optax.GradientTransformatio
         targets = jnp.maximum(batch["tokens"][:, 1:], 0)
         return cross_entropy_loss(logits, targets, mask)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(ajit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
