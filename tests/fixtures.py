@@ -3292,6 +3292,19 @@ def make_higgs_fixture(path: Path) -> Path:
                                                   np.float32)
         w[f"{pre}.codebook.cluster_size"] = np.ones(cb_size, np.float32)
     lin("fc2", dec_in, latent)
+    # acoustic encoder (mirror of the decoder; head width == RVQ latent so
+    # encode_acoustic round-trips like the reference's encodeAcoustic)
+    conv("acoustic_encoder.conv1", 4, 1, 7)
+    e = 4
+    for i, s in enumerate((4, 2)):
+        pre = f"acoustic_encoder.block.{i}"
+        for j in range(3):
+            res(f"{pre}.res_unit{j + 1}", e)
+        snake(f"{pre}.snake1", e)
+        conv(f"{pre}.conv1", 2 * e, e, 2 * s)
+        e *= 2
+    snake("acoustic_encoder.snake1", e)
+    conv("acoustic_encoder.conv2", latent, e, 3)
     conv("acoustic_decoder.conv1", 16, dec_in, 7)
     d = 16
     for i, s in enumerate((4, 2)):

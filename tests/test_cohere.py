@@ -116,6 +116,59 @@ def test_generate_deterministic(model):
     assert a.text == b.text
 
 
+class _FakeVAD:
+    """predict_proba stub: speech only inside [speech_start, speech_end)."""
+
+    def __init__(self, speech_start_s, speech_end_s, fail=False):
+        self.span = (speech_start_s, speech_end_s)
+        self.fail = fail
+
+    def predict_proba(self, audio, sample_rate):
+        if self.fail:
+            raise RuntimeError("vad broke")
+        chunk = 512 if sample_rate == 16000 else 256
+        n = len(audio) // chunk
+        t = np.arange(n) * chunk / sample_rate
+        return np.where((t >= self.span[0]) & (t < self.span[1]), 0.9, 0.0)
+
+
+def test_generate_vad_chunking(model):
+    """Opt-in Silero-VAD chunking aligns segments to speech runs and trims
+    silence (CohereTranscribe.swift:318-352, README.md:43-66)."""
+    from tpu_audio.core.generation import STTGenerateParameters
+    from tpu_audio.models.vad.segmenter import SpeechSegmentConfig
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    audio = rng.standard_normal(3 * sr).astype(np.float32) * 0.1
+    vad = _FakeVAD(1.0, 2.0)
+    cfg = SpeechSegmentConfig(speech_pad_ms=0, min_speech_ms=250)
+    out = model.generate(audio, STTGenerateParameters(max_tokens=6),
+                         vad=(vad, cfg))
+    assert len(out.segments) == 1
+    seg = out.segments[0]
+    # segment boundaries snap to the VAD speech run (256 ms block grid)
+    assert 0.7 <= seg.start <= 1.3
+    assert 1.7 <= seg.end <= 2.3
+    # the transcribed piece is the trimmed region, not the whole buffer
+    assert seg.end - seg.start < 1.6
+
+
+def test_generate_vad_failure_falls_back_to_fixed(model):
+    from tpu_audio.core.generation import STTGenerateParameters
+    from tpu_audio.models.vad.segmenter import SpeechSegmentConfig
+
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(8000).astype(np.float32) * 0.1
+    fixed = model.generate(audio, STTGenerateParameters(max_tokens=6))
+    fell_back = model.generate(audio, STTGenerateParameters(max_tokens=6),
+                               vad=(_FakeVAD(0, 1, fail=True),
+                                    SpeechSegmentConfig()))
+    assert fell_back.text == fixed.text
+    assert [(s.start, s.end) for s in fell_back.segments] == \
+        [(s.start, s.end) for s in fixed.segments]
+
+
 def test_encoder_bucket_invariance(model):
     """Padding the mel bucket must not change valid encoder frames."""
     import jax.numpy as jnp

@@ -48,6 +48,25 @@ def test_codebooks_contribute(model):
     assert not np.allclose(model.decode(t0), model.decode(t1))
 
 
-def test_encode_raises(model):
-    with pytest.raises(NotImplementedError):
-        model.encode(np.zeros(100, np.float32))
+def test_encode_acoustic_shapes_and_range(model):
+    """encodeAcoustic parity (HiggsAudioTokenizer.swift:370-374):
+    downsample by prod(ratios), K codebooks, indices within codebook."""
+    audio = np.sin(np.linspace(0, 40, 64, dtype=np.float32))
+    codes = model.encode_acoustic(audio)
+    assert codes.shape == (64 // 8, 2)  # ratios (4,2) -> /8, 2 codebooks
+    assert codes.dtype == np.int32
+    assert (codes >= 0).all() and (codes < 16).all()
+    # batched input keeps the batch dim; encode() is the same surface
+    b = model.encode(np.stack([audio, audio * 0.5]))
+    assert b.shape == (2, 8, 2)
+    np.testing.assert_array_equal(b[0], codes)
+
+
+def test_encode_decode_roundtrip_deterministic(model):
+    audio = np.sin(np.linspace(0, 40, 64, dtype=np.float32))
+    c1 = model.encode_acoustic(audio)
+    c2 = model.encode_acoustic(audio)
+    np.testing.assert_array_equal(c1, c2)
+    wav = model.decode(c1)
+    assert wav.shape == (64,)  # decoder upsamples back by 8
+    assert np.isfinite(wav).all()

@@ -108,3 +108,118 @@ def test_generate_stream_events(model):
     assert events[-1]["type"] == "result"
     joined = "".join(e["text"] for e in events if e["type"] == "token")
     assert joined.strip() == events[-1]["output"].text
+
+
+# ---------------------------------------------------------------------------
+# torch parity: the Mistral-style decoder core vs transformers MistralModel
+# ---------------------------------------------------------------------------
+
+
+def _unpermute_rope(w, n_heads, head_dim):
+    """HF stores q/k projections permuted for half-rotation rope; the repo
+    decoder uses the original interleaved layout — invert the permutation."""
+    w = w.reshape(n_heads, 2, head_dim // 2, -1)
+    return np.ascontiguousarray(
+        w.transpose(0, 2, 1, 3).reshape(n_heads * head_dim, -1))
+
+
+def _mistral_to_voxtral_params(m, cfg):
+    """transformers MistralModel state_dict -> the repo's decoder tree."""
+    import jax.numpy as jnp
+    from tpu_audio.core import loading
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    flat = {"decoder.norm.weight": sd["norm.weight"],
+            "decoder.tok_embeddings.weight": sd["embed_tokens.weight"]}
+    for i in range(cfg.num_hidden_layers):
+        src, dst = f"layers.{i}.", f"decoder.layers.{i}."
+        flat[dst + "attention.wq.weight"] = _unpermute_rope(
+            sd[src + "self_attn.q_proj.weight"], nh, hd)
+        flat[dst + "attention.wk.weight"] = _unpermute_rope(
+            sd[src + "self_attn.k_proj.weight"], nkv, hd)
+        flat[dst + "attention.wv.weight"] = sd[src + "self_attn.v_proj.weight"]
+        flat[dst + "attention.wo.weight"] = sd[src + "self_attn.o_proj.weight"]
+        flat[dst + "attention_norm.weight"] = sd[src + "input_layernorm.weight"]
+        flat[dst + "ffn_norm.weight"] = sd[src + "post_attention_layernorm.weight"]
+        flat[dst + "feed_forward_w1.weight"] = sd[src + "mlp.gate_proj.weight"]
+        flat[dst + "feed_forward_w2.weight"] = sd[src + "mlp.down_proj.weight"]
+        flat[dst + "feed_forward_w3.weight"] = sd[src + "mlp.up_proj.weight"]
+    return loading.unflatten(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat.items()})
+
+
+@pytest.fixture(scope="module")
+def mistral_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import MistralConfig, MistralModel
+
+    cfg = MistralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        vocab_size=48, max_position_embeddings=128, rope_theta=1e6,
+        sliding_window=64, rms_norm_eps=1e-5,
+        attn_implementation="eager")
+    torch.manual_seed(7)
+    return cfg, MistralModel(cfg).eval()
+
+
+def test_decoder_torch_parity_prefill(mistral_pair):
+    """decoder_pass hidden states == transformers MistralModel on the same
+    weights (interleaved-RoPE GQA + sliding window + SwiGLU + RMSNorm;
+    VoxtralRealtimeDecoder.swift core), ada modulation off."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from tpu_audio.core import kv_cache
+    from tpu_audio.models.stt.voxtral import (VoxtralDecoderConfig,
+                                              decoder_pass)
+
+    cfg, m = mistral_pair
+    params = _mistral_to_voxtral_params(m, cfg)
+    dcfg = VoxtralDecoderConfig(
+        dim=32, n_layers=2, n_heads=4, n_kv_heads=2, head_dim=8,
+        hidden_dim=64, vocab_size=48, rope_theta=1e6, sliding_window=64,
+        ada_rms_norm_t_cond=False)
+
+    rng = np.random.default_rng(0)
+    embeds = rng.standard_normal((1, 7, 32)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = m(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state
+
+    cache = kv_cache.init_cache(2, 1, 2, 8, 32, dtype=jnp.float32)
+    ada = jnp.zeros((2, 32), jnp.float32)
+    out, _ = decoder_pass(params, jnp.asarray(embeds), cache, ada, dcfg)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               atol=3e-5, rtol=2e-4)
+
+
+def test_decoder_torch_parity_incremental(mistral_pair):
+    """KV-cached one-token steps reproduce the full-sequence torch states."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from tpu_audio.core import kv_cache
+    from tpu_audio.models.stt.voxtral import (VoxtralDecoderConfig,
+                                              decoder_pass)
+
+    cfg, m = mistral_pair
+    params = _mistral_to_voxtral_params(m, cfg)
+    dcfg = VoxtralDecoderConfig(
+        dim=32, n_layers=2, n_heads=4, n_kv_heads=2, head_dim=8,
+        hidden_dim=64, vocab_size=48, rope_theta=1e6, sliding_window=64,
+        ada_rms_norm_t_cond=False)
+
+    rng = np.random.default_rng(1)
+    embeds = rng.standard_normal((1, 6, 32)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = m(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state
+
+    cache = kv_cache.init_cache(2, 1, 2, 8, 32, dtype=jnp.float32)
+    ada = jnp.zeros((2, 32), jnp.float32)
+    outs = []
+    for t in range(6):
+        out, cache = decoder_pass(params, jnp.asarray(embeds[:, t:t+1]),
+                                  cache, ada, dcfg)
+        outs.append(np.asarray(out)[0, 0])
+    np.testing.assert_allclose(np.stack(outs), ref.numpy()[0],
+                               atol=3e-5, rtol=2e-4)

@@ -49,6 +49,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import sys
 import tempfile
 import threading
 import time
@@ -455,8 +456,27 @@ def apply_tensor_parallel(model, tp: int):
     if not hasattr(model, "params"):
         raise SystemExit(
             f"--tp: {type(model).__name__} does not expose a .params tree")
+    import jax
+
+    n_avail = len(jax.devices())
+    if n_avail < tp:
+        raise SystemExit(
+            f"--tp {tp}: only {n_avail} device(s) available "
+            f"({[str(d) for d in jax.devices()]}); a smaller mesh would "
+            "silently serve under-sharded")
     mesh = make_mesh(tp, axes=("model",))
-    model.params = shard_params(model.params, mesh, TRANSFORMER_TP_RULES)
+    stats: dict = {}
+    model.params = shard_params(model.params, mesh, TRANSFORMER_TP_RULES,
+                                stats=stats)
+    if stats.get("sharded", 0) == 0:
+        print(f"[serve] WARNING: --tp {tp} sharded 0 of "
+              f"{stats.get('replicated', 0)} parameter leaves — the model "
+              "is fully replicated (tp degree likely does not divide the "
+              "projection dims); serving will waste the extra chips",
+              file=sys.stderr)
+    else:
+        print(f"[serve] tp={tp}: {stats['sharded']} leaves sharded, "
+              f"{stats['replicated']} replicated", file=sys.stderr)
     return mesh
 
 

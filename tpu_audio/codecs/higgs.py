@@ -7,10 +7,10 @@ summed across levels, projected by fc2 into the acoustic decoder — a
 snake SEANet with strides (8,5,4,2,3) whose transposed convs are
 length-clamped to exactly stride*T (HiggsAudioTokenizer.swift:113-137).
 
-Only the decode path is functional: the reference strips the semantic
-encoder branch from the checkpoint, which leaves its own
-``encodeAcoustic`` with a latent-size mismatch — tokens are produced by
-the Higgs TTS LLM, not by re-encoding audio. ``encode`` raises.
+Decode is the primary path (tokens come from the Higgs TTS LLM);
+``encode_acoustic`` mirrors the reference's ``encodeAcoustic``
+(HiggsAudioTokenizer.swift:370-374): acoustic SEANet encoder -> greedy
+residual vector quantization.
 """
 
 from __future__ import annotations
@@ -77,6 +77,44 @@ def _res_unit(p, x, dilation: int):
     return x + y
 
 
+def encoder_forward(params, x, cfg: HiggsConfig):
+    """waveform [B, T, 1] -> acoustic features [B, T', F]
+    (HiggsAcousticEncoder, HiggsAudioTokenizer.swift:221-249): k7 stem,
+    per-stride blocks of 3 res units + snake + strided k=2s conv with
+    ceil(s/2) padding, snake + k3 head."""
+    p = params["acoustic_encoder"]
+    h = _conv(p["conv1"], x, 7)
+    for i, stride in enumerate(cfg.dac_encoder_ratios):
+        bp = p["block"][str(i)]
+        for j, dil in enumerate((1, 3, 9)):
+            h = _res_unit(bp[f"res_unit{j + 1}"], h, dil)
+        h = _snake(bp["snake1"], h)
+        h = nn.conv1d(bp["conv1"], h, stride=stride,
+                      padding=stride // 2 + stride % 2)
+    h = _snake(p["snake1"], h)
+    return _conv(p["conv2"], h, 3)
+
+
+def rvq_encode(params, z, cfg: HiggsConfig):
+    """features [B, T, F] -> codes [B, T, n_codebooks] by greedy residual
+    quantization (HiggsResidualVectorQuantizer.encode,
+    HiggsAudioTokenizer.swift:299-338); the distance term is one batched
+    matmul per stage."""
+    residual = z.astype(jnp.float32)
+    tokens = []
+    for i in range(cfg.dac_num_codebooks):
+        qp = params["quantizer"]["quantizers"][str(i)]
+        cb = qp["codebook"]["weight"].astype(jnp.float32)  # [K, d]
+        zq = nn.linear(qp["project_in"], residual)
+        dists = ((zq * zq).sum(-1, keepdims=True)
+                 + (cb * cb).sum(-1)
+                 - 2.0 * zq @ cb.T)
+        idx = jnp.argmin(dists, axis=-1).astype(jnp.int32)
+        tokens.append(idx)
+        residual = residual - nn.linear(qp["project_out"], cb[idx])
+    return jnp.stack(tokens, axis=-1)
+
+
 def rvq_decode(params, codes, cfg: HiggsConfig):
     """codes [B, T, n_codebooks] -> latents [B, T, latent]
     (HiggsAudioTokenizer.swift:318-331)."""
@@ -140,6 +178,8 @@ class HiggsAudioTokenizer:
         self._decode = ajit(
             lambda p, c: decoder_forward(
                 p, nn.linear(p["fc2"], rvq_decode(p, c, config)), config))
+        self._encode_acoustic = ajit(
+            lambda p, w: rvq_encode(p, encoder_forward(p, w, config), config))
 
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32
@@ -164,7 +204,24 @@ class HiggsAudioTokenizer:
         out = np.asarray(wav[..., 0])
         return out[0] if squeeze else out
 
-    def encode(self, audio):
-        raise NotImplementedError(
-            "HiggsAudioTokenizer checkpoints ship decode-only (tokens come "
-            "from the Higgs TTS LLM)")
+    def encode_acoustic(self, waveform) -> np.ndarray:
+        """waveform [T] / [B, T] / [B, T, 1] -> acoustic RVQ codes
+        [B?, T', n_codebooks] (encodeAcoustic,
+        HiggsAudioTokenizer.swift:370-374): acoustic encoder -> greedy
+        residual quantization. Note: like the reference, this requires a
+        checkpoint whose acoustic-encoder head width matches the
+        quantizer's project_in latent (the fc1 semantic-fusion variant
+        does not re-encode through this path)."""
+        w = jnp.asarray(waveform, jnp.float32)
+        squeeze = w.ndim == 1
+        if squeeze:
+            w = w[None]
+        if w.ndim == 2:
+            w = w[..., None]
+        codes = np.asarray(self._encode_acoustic(self.params, w))
+        return codes[0] if squeeze else codes
+
+    def encode(self, audio) -> np.ndarray:
+        """AudioCodecModel-protocol encode: delegates to the acoustic path
+        (the reference's only encode surface, swift:370-374)."""
+        return self.encode_acoustic(audio)

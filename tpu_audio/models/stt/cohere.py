@@ -569,7 +569,14 @@ class CohereTranscribe:
         ids = [t for t in ids if t != eos]
         return self.tokenizer.decode(ids).strip(), len(prompt), len(ids)
 
-    def generate(self, audio, generation_parameters=None) -> STTOutput:
+    def generate(self, audio, generation_parameters=None,
+                 vad=None) -> STTOutput:
+        """Transcribe with fixed-duration chunking, or — when ``vad`` is a
+        ``(silero_model, SpeechSegmentConfig)`` pair — with opt-in
+        Silero-VAD chunking that trims silence and aligns chunks to natural
+        pauses (CohereTranscribe.swift:318-352 +
+        CohereTranscribe/README.md:43-66). VAD failure falls back to fixed
+        chunking like the reference."""
         params = generation_parameters or STTGenerateParameters(
             max_tokens=self.config.decoder.max_sequence_length)
         if self.tokenizer is None:
@@ -580,13 +587,25 @@ class CohereTranscribe:
             audio = audio.mean(axis=-1)
         chunk_s = params.chunk_duration or float(self.config.max_audio_clip_s)
         chunk = int(chunk_s * self.config.sample_rate)
+        pieces: list[tuple[np.ndarray, float]] | None = None
+        if vad is not None:
+            try:
+                from tpu_audio.models.vad.segmenter import segment_speech
+
+                vad_model, vad_config = vad
+                pieces = segment_speech(audio, self.config.sample_rate,
+                                        vad_model, vad_config)
+            except Exception:
+                pieces = None  # fixed-chunking fallback (swift:333-341)
+        if pieces is None:
+            pieces = [(audio[s : s + chunk], s / self.config.sample_rate)
+                      for s in range(0, max(len(audio), 1), chunk)]
         texts, segments = [], []
         n_prompt = n_gen = 0
         remaining = params.max_tokens
-        for s in range(0, max(len(audio), 1), chunk):
+        for piece, offset_s in pieces:
             if remaining <= 0:
                 break
-            piece = audio[s : s + chunk]
             chunk_params = STTGenerateParameters(
                 max_tokens=remaining, language=params.language,
                 temperature=params.temperature)
@@ -597,8 +616,8 @@ class CohereTranscribe:
             if text:
                 texts.append(text)
                 segments.append(STTSegment(
-                    text=text, start=s / self.config.sample_rate,
-                    end=(s + len(piece)) / self.config.sample_rate))
+                    text=text, start=offset_s,
+                    end=offset_s + len(piece) / self.config.sample_rate))
         elapsed = time.perf_counter() - t0
         return STTOutput(
             text="\n".join(texts), segments=segments,

@@ -78,11 +78,15 @@ TRANSFORMER_TP_RULES = ShardingRules([
 
 
 def shard_params(params: dict, mesh: Mesh,
-                 rules: ShardingRules = TRANSFORMER_TP_RULES) -> dict:
+                 rules: ShardingRules = TRANSFORMER_TP_RULES,
+                 stats: dict | None = None) -> dict:
     """Place a param tree on the mesh according to the rules (unmatched or
-    indivisible leaves replicate)."""
+    indivisible leaves replicate). Pass ``stats`` (a dict) to receive
+    ``{"sharded": n, "replicated": n}`` counts so callers can detect a
+    silently-all-replicated model (e.g. a tp degree that divides nothing)."""
     flat = loading.flatten(params)
     placed = {}
+    n_sharded = n_replicated = 0
     for path, leaf in flat.items():
         spec = rules.spec_for(path, getattr(leaf, "ndim", 0))
         # replicate when the sharded dim does not divide evenly
@@ -95,7 +99,14 @@ def shard_params(params: dict, mesh: Mesh,
                 ok = False
         if not ok:
             spec = P()
+        if any(a is not None for a in spec):
+            n_sharded += 1
+        else:
+            n_replicated += 1
         placed[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    if stats is not None:
+        stats["sharded"] = n_sharded
+        stats["replicated"] = n_replicated
     return loading.unflatten(placed)
 
 
