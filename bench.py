@@ -303,6 +303,88 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     }
 
 
+def bench_qwen3_serving(slots: int = 4, ticks: int = 8) -> dict:
+    """Qwen3TTS continuous-batching serving: aggregate frames/s with
+    ``slots`` concurrent requests through the real ContinuousQwen3TTS
+    engine (talker + 15-step code-predictor sub-loop per frame), and the
+    same engine driving ONE stream (bucket-1 graph) as the single-stream
+    baseline. Real default dims (talker 20L x 1024, cp 4L, 16 groups);
+    per-lane realtime_x = frames/s/lane / 12.5 Hz."""
+    import jax.numpy as jnp
+
+    from tpu_audio.codecs import qwen3_codec as QC
+    from tpu_audio.core.generation import AudioGenerateParameters
+    from tpu_audio.models import llama
+    from tpu_audio.models.tts import qwen3_tts as QT
+    from tpu_audio.parallel.continuous_qwen3 import ContinuousQwen3TTS
+
+    import dataclasses as _dc
+
+    config = QT.Qwen3TTSConfig()
+    # real checkpoints size the talker head past the special codec ids
+    # (codec_bos_id 4197); the bare default (4096 == eos id) is
+    # checkpoint-inconsistent
+    config.talker = _dc.replace(config.talker, vocab_size=4198)
+    config.code_predictor = _dc.replace(
+        config.code_predictor, num_code_groups=config.talker.num_code_groups)
+    params = QT.init_random_params(config, dtype=jnp.bfloat16,
+                                   on_device=True)
+    params = llama.fuse_projections(params)
+    params["code_predictor"] = llama.fuse_projections(
+        params["code_predictor"])
+    codec_cfg = QC.Qwen3CodecDecoderConfig()
+    codec = QC.Qwen3CodecDecoder(
+        codec_cfg, QC.init_random_params(codec_cfg, on_device=True))
+
+    class _Tok:  # byte-level stub: prepare_generation_inputs needs .encode
+        class _Ids:
+            def __init__(self, ids):
+                self.ids = ids
+
+        def encode(self, text):
+            return self._Ids([b % 1000 for b in text.encode()])
+
+    model = QT.Qwen3TTS(config, params, tokenizer=_Tok(), codec=codec,
+                        dtype=jnp.bfloat16)
+    max_new = ticks + 4
+    gp = AudioGenerateParameters(
+        temperature=0.9, top_k=50, max_tokens=max_new,
+        streaming_interval=30.0)  # decode audio only at flush
+    text = "the quick brown fox jumps over the lazy dog " * 2
+
+    def measure(n_live: int) -> float:
+        srv = ContinuousQwen3TTS(model, slots=slots,
+                                 generation_parameters=gp,
+                                 prefill_buckets=(64,))
+        for i in range(n_live):
+            srv.submit(text, seed=i)
+        srv.step(); srv.step()  # compile prefill + tick; steady state
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            srv.step()
+        return (time.perf_counter() - t0) / ticks
+
+    tick_solo = measure(1)          # bucket-1 graph inside the slots=4 srv
+    tick_batch = measure(slots)
+    frames_s = slots / tick_batch
+    solo_frames_s = 1.0 / tick_solo
+    mult = frames_s / solo_frames_s
+    return {
+        "metric": f"qwen3tts_serving_frames_s_slots{slots}",
+        "value": round(frames_s, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(mult, 2),  # aggregate vs single-stream
+        "detail": {
+            "single_stream_frames_s": round(solo_frames_s, 1),
+            "per_lane_realtime_x_batched": round(frames_s / slots / 12.5, 2),
+            "single_stream_realtime_x": round(solo_frames_s / 12.5, 2),
+            "ms_per_tick_batch": round(tick_batch * 1000, 1),
+            "ms_per_tick_solo": round(tick_solo * 1000, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
                              ticks: int = 6, lm_dims: dict | None = None
                              ) -> dict:
@@ -841,6 +923,7 @@ def bench_all() -> dict:
         ("whisper_kv8d_w8", ["large-v3", "kv8d", "w8"]),
         ("serve", ["serve"]),
         ("serve_stt", ["serve_stt"]),
+        ("serve_qwen3", ["serve_qwen3"]),
     ]:
         t0 = time.perf_counter()
         try:
@@ -895,6 +978,8 @@ def main():
             result = bench_serving_throughput()
         elif mode == "serve_stt":
             result = bench_serving_stt()
+        elif mode == "serve_qwen3":
+            result = bench_qwen3_serving()
         elif mode == "vad":
             result = bench_vad_diarization()
         elif mode == "parakeet":

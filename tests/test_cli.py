@@ -563,3 +563,52 @@ def test_serve_tensor_parallel_rejects_paramless_model(tmp_path):
 
     with pytest.raises(SystemExit, match="does not expose"):
         apply_tensor_parallel(object(), 8)
+
+
+def test_serve_qwen3_tts_slots_continuous(tmp_path):
+    """--slots > 1 on a qwen3_tts checkpoint routes through the
+    Qwen3TTSEngineWorker (talker + code predictor + streaming codec
+    under continuous batching); concurrent requests each get a full WAV."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+
+    from fixtures import make_qwen3_tts_fixture
+    from tpu_audio.cli.serve import build_server
+    from tpu_audio.core.generation import AudioGenerateParameters
+    from tpu_audio.models.tts import load_model as load_tts
+
+    model = load_tts(str(make_qwen3_tts_fixture(tmp_path / "q3")))
+    params = AudioGenerateParameters(
+        max_tokens=10, temperature=0.0, streaming_interval=0.4)
+    srv = build_server(model, "tts", "fixture", port=0, slots=2,
+                       generation_parameters=params)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results = {}
+
+        def post(i):
+            req = urllib.request.Request(
+                f"{url}/v1/audio/speech",
+                data=_json.dumps({"input": f"hello number {i}",
+                                  "max_tokens": 10, "seed": i}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[i] = (r.headers["Content-Type"], r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive()
+        for i in (0, 1):
+            assert results[i][0] == "audio/wav"
+            with wave.open(io.BytesIO(results[i][1])) as w:
+                assert w.getnframes() > 0
+                assert w.getframerate() == model.sample_rate
+    finally:
+        srv.shutdown()

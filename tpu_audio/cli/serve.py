@@ -161,12 +161,23 @@ def build_server(model, task: str, model_name: str,
     worker = None
     stt_worker = None
     if slots > 1 and task == "tts":
-        from tpu_audio.parallel.continuous import TTSEngineWorker
+        from tpu_audio.models.tts.qwen3_tts import Qwen3TTS
 
-        worker = TTSEngineWorker(
-            model, slots=slots,
-            generation_parameters=generation_parameters,
-            step_tokens=step_tokens)
+        if isinstance(model, Qwen3TTS):
+            from tpu_audio.parallel.continuous_qwen3 import (
+                Qwen3TTSEngineWorker,
+            )
+
+            worker = Qwen3TTSEngineWorker(
+                model, slots=slots,
+                generation_parameters=generation_parameters)
+        else:
+            from tpu_audio.parallel.continuous import TTSEngineWorker
+
+            worker = TTSEngineWorker(
+                model, slots=slots,
+                generation_parameters=generation_parameters,
+                step_tokens=step_tokens)
     elif slots > 1 and task == "stt":
         from tpu_audio.models.stt.qwen3_asr import Qwen3ASR
         from tpu_audio.models.stt.whisper import Whisper

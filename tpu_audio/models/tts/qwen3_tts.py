@@ -642,6 +642,15 @@ class Qwen3TTS:
                params.repetition_penalty)
         if key in self._macro_steps:
             return self._macro_steps[key]
+        fn = ajit(self._build_macro_body(params), donate_argnums=(2,))
+        self._macro_steps[key] = fn
+        return fn
+
+    def _build_macro_body(self, params: AudioGenerateParameters):
+        """The raw (unjitted) macro-step body: one talker step + the full
+        code-predictor sub-loop. Exposed separately so the continuous-
+        batching server can ``jax.vmap`` it over slot lanes
+        (parallel/continuous_qwen3.py) with bit-identical sampling."""
         tcfg = self.config.talker
         ccfg = self.config.code_predictor
         G = tcfg.num_code_groups
@@ -715,9 +724,7 @@ class Qwen3TTS:
             all_codes = jnp.stack(codes, axis=1)  # [1, G]
             return all_codes, embed_sum, cache, rng
 
-        fn = ajit(macro_step, donate_argnums=(2,))
-        self._macro_steps[key] = fn
-        return fn
+        return macro_step
 
     @staticmethod
     def _codec_embed_traced(model_params, ids):

@@ -234,6 +234,8 @@ class ContinuousBatcher:
             return logits[0], cache
 
         def one_step(params, state: _BatchState, _):
+            # shape-polymorphic over the lane count: the same body traces
+            # at [slots] for the full tick and at [b] for bucketed ticks
             old_offset = state.cache.offset
             valid = state.active  # this step's samples count iff live
             logits, cache = jax.vmap(
@@ -250,7 +252,7 @@ class ContinuousBatcher:
                     logits, state.hist, hvalid, penalty)
             keys = jax.vmap(step_key)(state.seeds, state.n_new)
             idx = jax.vmap(sample)(logits, keys)
-            rows = jnp.arange(self.slots)
+            rows = jnp.arange(state.hist.shape[0])
             slot_pos = state.hpos % H
             hist = state.hist.at[rows, slot_pos].set(
                 jnp.where(state.active, idx, state.hist[rows, slot_pos]))
@@ -275,18 +277,50 @@ class ContinuousBatcher:
         # executable/compile cache and can pin a second copy of the
         # weights in HBM; as arguments they also stay swappable (e.g.
         # TP-resharded) without retracing through a stale closure.
+        def _pack(toks, valid, active):
+            """Fuse the tick's host-bound outputs into ONE int32 array
+            [2K+1, lanes] — tokens, per-step validity, final active — so
+            step() pays a single device->host sync per tick (on a
+            tunneled TPU each separate fetch costs a full round-trip)."""
+            return jnp.concatenate(
+                [toks.astype(jnp.int32), valid.astype(jnp.int32),
+                 active[None].astype(jnp.int32)], axis=0)
+
         @functools.partial(ajit, donate_argnums=(1,))
         def decode_step(params, state: _BatchState):
             """One tick = ``step_tokens`` scanned decode steps; returns
-            ``toks [K, slots]`` and the per-step liveness mask
-            ``valid [K, slots]`` (a lane's row is garbage once it
-            froze mid-tick)."""
+            the packed ``[2K+1, slots]`` outputs (tokens / per-step
+            liveness / final active — a lane's token rows are garbage
+            once it froze mid-tick)."""
             state, (toks, valid) = jax.lax.scan(
                 functools.partial(one_step, params), state, None,
                 length=self.step_tokens)
-            return state, toks, valid
+            return state, _pack(toks, valid, state.active)
 
         self._decode_step = decode_step
+
+        # Bucketed lane graphs for the underload case: with n live lanes a
+        # [slots]-wide tick burns slots/n times the decode compute. Gather
+        # the live rows (padded with a free lane) into a power-of-two
+        # bucket b >= n, scan the same one_step body at [b], and scatter
+        # the rows back in place (the donated full state aliases the
+        # untouched suffix). One compiled graph per bucket size; a lone
+        # stream in a slots=8 server then decodes at ~1-lane cost.
+        self._lane_buckets = tuple(
+            b for b in (1, 2, 4, 8, 16, 32, 64) if b < self.slots
+        ) + (self.slots,)
+
+        @functools.partial(ajit, donate_argnums=(1,))
+        def decode_step_bucket(params, state: _BatchState, lane_idx):
+            sub = jax.tree.map(lambda x: x[lane_idx], state)
+            sub, (toks, valid) = jax.lax.scan(
+                functools.partial(one_step, params), sub, None,
+                length=self.step_tokens)
+            new_state = jax.tree.map(
+                lambda full, part: full.at[lane_idx].set(part), state, sub)
+            return new_state, _pack(toks, valid, sub.active)
+
+        self._decode_step_bucket = decode_step_bucket
 
         @ajit
         def prefill(params, tokens, valid_from, ctx):
@@ -452,23 +486,37 @@ class ContinuousBatcher:
         if all(r is None for r in self._lane):
             return []
         live = [s for s, r in enumerate(self._lane) if r is not None]
-        self._state, toks, valid = self._decode_step(self.params,
-                                                     self._state)
-        toks_host = np.asarray(toks)          # [K, slots]
-        valid_host = np.asarray(valid)        # [K, slots]
-        active_host = np.asarray(self._state.active)
+        bucket = next(b for b in self._lane_buckets if b >= len(live))
+        if bucket < self.slots:
+            free = next(s for s, r in enumerate(self._lane) if r is None)
+            lane_idx = np.full((bucket,), free, np.int32)
+            lane_idx[: len(live)] = live
+            self._state, packed = self._decode_step_bucket(
+                self.params, self._state, jnp.asarray(lane_idx))
+            # column j of the [*, bucket] outputs belongs to slot live[j];
+            # filler columns are the (inactive) free lane and never valid
+            cols = list(range(len(live)))
+        else:
+            self._state, packed = self._decode_step(self.params,
+                                                    self._state)
+            cols = live
+        packed = np.asarray(packed)           # ONE sync: [2K+1, bucket|slots]
+        K = self.step_tokens
+        toks_host = packed[:K]
+        valid_host = packed[K : 2 * K].astype(bool)
+        active_host = packed[2 * K].astype(bool)
         emitted = []
-        for k in range(toks_host.shape[0]):
-            for slot in live:
-                if not valid_host[k, slot]:
+        for k in range(K):
+            for j, slot in zip(cols, live):
+                if not valid_host[k, j]:
                     continue
                 req = self._lane[slot]
-                tok = int(toks_host[k, slot])
+                tok = int(toks_host[k, j])
                 if tok != self.stop_token:
                     req.tokens.append(tok)
                     emitted.append((req.request_id, tok))
-        for slot in live:
-            if not active_host[slot]:
+        for j, slot in zip(cols, live):
+            if not active_host[j]:
                 req = self._lane[slot]
                 req.done = True
                 self._lane[slot] = None
