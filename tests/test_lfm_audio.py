@@ -5,11 +5,17 @@ generation, detokenizer ISTFT."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
+from tpu_audio.core import nn
 from tpu_audio.models.sts import load_model
 from tpu_audio.models.sts.lfm_audio import (
     AUDIO_START_TOKEN,
     LFM2Audio,
+    LFM2BackboneConfig,
     audio_token_count,
+    lfm2_forward,
+    lfm2_make_cache,
     preprocess_audio,
 )
 
@@ -112,3 +118,80 @@ def test_detokenizer(model):
     eos = np.asarray([[2048, 1], [2048, 5]], np.int32)
     wav2 = model.decode_audio(eos)
     assert np.isfinite(wav2).all()
+
+
+# ---------------------------------------------------------------------------
+# torch parity: the LFM2 hybrid backbone vs transformers Lfm2Model
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lfm2_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import Lfm2Config, Lfm2Model
+
+    hf_cfg = Lfm2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        conv_L_cache=3, block_auto_adjust_ff_dim=False, norm_eps=1e-5,
+        rope_theta=1e6, conv_bias=False)
+    torch.manual_seed(11)
+    hf = Lfm2Model(hf_cfg).eval()
+    cfg = LFM2BackboneConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, norm_eps=1e-5,
+        conv_L_cache=3, rope_theta=1e6, block_ff_dim=64,
+        block_auto_adjust_ff_dim=False,
+        layer_types=["conv", "full_attention", "conv", "full_attention"])
+    return hf, cfg
+
+
+def _lfm2_params(hf):
+    """HF state_dict -> the repo's lfm2 tree (names already line up; conv
+    weights are torch [C, 1, K] depthwise == our conv1d layout)."""
+    from tpu_audio.core import loading
+
+    flat = {k: jnp.asarray(v.detach().numpy())
+            for k, v in hf.state_dict().items()}
+    return loading.unflatten(flat)
+
+
+def test_lfm2_backbone_torch_parity(lfm2_pair):
+    """lfm2_forward hidden states == transformers Lfm2Model (gated
+    short-conv layers + qk-normed GQA attention + SwiGLU; the LFM2.5-Audio
+    backbone was previously self-pinned only)."""
+    torch = pytest.importorskip("torch")
+
+    hf, cfg = lfm2_pair
+    params = _lfm2_params(hf)
+    tokens = np.asarray([[3, 17, 42, 8, 61, 55, 7, 30]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(tokens, dtype=torch.long)).last_hidden_state
+    embeds = nn.embedding(params["embed_tokens"], jnp.asarray(tokens))
+    caches = lfm2_make_cache(cfg, 1, 16)
+    got, _ = lfm2_forward(params, embeds, caches, cfg)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=3e-5, rtol=2e-4)
+
+
+def test_lfm2_backbone_cached_step_torch_parity(lfm2_pair):
+    """KV/conv-cached incremental steps reproduce the full-sequence torch
+    states (the streaming-decode path: attention KV rows + conv L-1
+    carries)."""
+    torch = pytest.importorskip("torch")
+
+    hf, cfg = lfm2_pair
+    params = _lfm2_params(hf)
+    tokens = np.asarray([[5, 9, 23, 61, 2, 44]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(tokens, dtype=torch.long)).last_hidden_state
+    embeds = nn.embedding(params["embed_tokens"], jnp.asarray(tokens))
+    caches = lfm2_make_cache(cfg, 1, 16)
+    out1, caches = lfm2_forward(params, embeds[:, :3], caches, cfg)
+    outs = [np.asarray(out1)]
+    for i in (3, 4, 5):
+        step, caches = lfm2_forward(params, embeds[:, i:i + 1], caches, cfg)
+        outs.append(np.asarray(step))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               want.numpy(), atol=3e-5, rtol=2e-4)
