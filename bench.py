@@ -920,7 +920,7 @@ def bench_all() -> dict:
         ("parakeet", ["parakeet"]),
         ("dfn", ["dfn"]),
         ("lid", ["lid"]),
-        ("whisper_kv8d_w8", ["large-v3", "kv8d", "w8"]),
+        ("whisper_kv8d_w8_w8e", ["large-v3", "kv8d", "w8", "w8e"]),
         ("serve", ["serve"]),
         ("serve_stt", ["serve_stt"]),
         ("serve_qwen3", ["serve_qwen3"]),
