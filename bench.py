@@ -151,6 +151,110 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     }
 
 
+def bench_whisper_longfile(size: str = "large-v3", n_windows: int = 8,
+                           decode_tokens: int = 224, repeats: int = 3,
+                           w8_decoder: bool = True) -> dict:
+    """Long-audio batched-window decode vs the reference's sequential
+    window loop (WhisperModel.swift:165-182). All ``n_windows`` 30 s
+    windows are encoded in one batched call and decoded through ONE
+    batched loop — the HBM-bound decoder weight reads amortize across
+    rows, so the per-window decode cost collapses. Reports the RTF of the
+    whole file through the batched path; ``detail`` carries the sequential
+    RTF on the same graphs and the resulting speedup."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.models.stt import whisper as W
+
+    sizes = {
+        "large-v3": dict(d_model=1280, layers=32, heads=20, ffn=5120,
+                         n_mels=128),
+    }
+    s = sizes[size]
+    cfg = W.WhisperConfig(
+        num_mel_bins=s["n_mels"], d_model=s["d_model"],
+        encoder_layers=s["layers"], encoder_attention_heads=s["heads"],
+        encoder_ffn_dim=s["ffn"], decoder_layers=s["layers"],
+        decoder_attention_heads=s["heads"], decoder_ffn_dim=s["ffn"],
+        vocab_size=51866, max_target_positions=448,
+    )
+    params = W.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if w8_decoder:
+        from tpu_audio.core import quant
+
+        params["model"]["decoder"] = quant.quantize_tree(
+            params["model"]["decoder"], scheme="w8a8")
+    model = W.Whisper(cfg, params, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    windows = [rng.standard_normal(W.CHUNK_LENGTH_SAMPLES)
+               .astype(np.float32) * 0.1 for _ in range(n_windows)]
+
+    suppress = np.zeros((cfg.vocab_size,), np.float32)
+    begin = np.zeros((cfg.vocab_size,), np.float32)
+    prompt = [50258, 50259, 50360, 50364]
+    prompt_buf = np.zeros((cfg.max_target_positions,), np.int32)
+    prompt_buf[: len(prompt)] = prompt
+    max_total = len(prompt) + decode_tokens
+    key = jax.random.PRNGKey(0)
+    args = (jnp.asarray(prompt_buf), jnp.int32(len(prompt)),
+            jnp.int32(-1),  # unmatched EOT -> full-length decode
+            jnp.asarray(suppress), jnp.asarray(begin), jnp.float32(0.0), key)
+
+    def run_batched():
+        feats = jnp.concatenate(
+            [model.encoder_features(w) for w in windows], axis=0)
+        enc_out = model._encode(model.params, feats)
+        tokens, count = model._decode_loop_b(
+            model.params, enc_out, *args, max_total=max_total)
+        return tokens.block_until_ready(), int(count)
+
+    def run_sequential():
+        n_tok = 0
+        for w in windows:
+            feats = model.encoder_features(w)
+            enc_out = model._encode(model.params, feats)
+            tokens, count = model._decode_loop(
+                model.params, enc_out, *args, max_total=max_total)
+            tokens.block_until_ready()
+            n_tok += int(count)
+        return n_tok
+
+    t0 = time.perf_counter()
+    run_batched()
+    compile_b = time.perf_counter() - t0
+    wall_b = min(_timed(run_batched) for _ in range(repeats))
+
+    run_sequential()  # compile the per-window graphs
+    wall_s = min(_timed(run_sequential) for _ in range(repeats))
+
+    audio_s = n_windows * 30.0
+    rtf = wall_b / audio_s
+    return {
+        "metric": f"whisper_{size}_longfile_{n_windows}x30s"
+                  + ("_w8" if w8_decoder else ""),
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(0.05 / rtf, 3),
+        "detail": {
+            "batched_wall_s": round(wall_b, 3),
+            "sequential_wall_s": round(wall_s, 3),
+            "speedup_vs_sequential": round(wall_s / wall_b, 2),
+            "sequential_rtf": round(wall_s / audio_s, 5),
+            "aggregate_tokens_per_s": round(
+                n_windows * decode_tokens / wall_b, 1),
+            "compile_s": round(compile_b, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
                    lm_dims: dict | None = None,
                    snac_dims: dict | None = None,
@@ -941,6 +1045,7 @@ def bench_all() -> dict:
         ("dfn", ["dfn"]),
         ("lid", ["lid"]),
         ("whisper_kv8d_w8_w8e", ["large-v3", "kv8d", "w8", "w8e"]),
+        ("whisper_longfile", ["longfile"]),
         ("serve", ["serve"]),
         ("serve_stt", ["serve_stt"]),
         ("serve_qwen3", ["serve_qwen3"]),
@@ -1008,6 +1113,8 @@ def main():
             result = bench_deepfilternet()
         elif mode == "lid":
             result = bench_lid()
+        elif mode == "longfile":
+            result = bench_whisper_longfile()
         else:
             result = bench_whisper_rtf(mode, kv_bits=kv_bits,
                                        w8_decoder="w8" in sys.argv[2:],

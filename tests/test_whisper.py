@@ -356,3 +356,48 @@ def test_tokenizer_autofetch_failure_warns_not_raises(tmp_path, monkeypatch):
     assert model.tokenizer is None
     with pytest.raises(RuntimeError, match="tokenizer"):
         model.generate(np.zeros(160, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Batched-window long-audio decode (beyond-reference TPU surface)
+# ---------------------------------------------------------------------------
+
+
+def test_batched_windows_match_sequential(tiny_model):
+    """Greedy batched-window decode must be token-identical per window to
+    the reference-semantics sequential loop (WhisperModel.swift:165-182)."""
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal(16000 * 75).astype(np.float32) * 0.05  # 3 windows
+    p_seq = STTGenerateParameters(max_tokens=6, batch_windows=False)
+    p_bat = STTGenerateParameters(max_tokens=6, batch_windows=True)
+    seq = tiny_model.generate(audio, p_seq)
+    bat = tiny_model.generate(audio, p_bat)
+    assert [s.tokens for s in bat.segments] == [s.tokens for s in seq.segments]
+    assert bat.text == seq.text
+    assert [(s.start, s.end) for s in bat.segments] \
+        == [(s.start, s.end) for s in seq.segments]
+
+
+def test_batched_windows_kv8_match_sequential(tiny_model):
+    """The quantized cross-KV path must hold the same parity (the batched
+    loop uses the XLA dequant path; the Pallas kernel is single-row)."""
+    rng = np.random.default_rng(8)
+    audio = rng.standard_normal(16000 * 40).astype(np.float32) * 0.05  # 2 windows
+    p_seq = STTGenerateParameters(max_tokens=5, batch_windows=False, kv_bits=8)
+    p_bat = STTGenerateParameters(max_tokens=5, batch_windows=True, kv_bits=8)
+    seq = tiny_model.generate(audio, p_seq)
+    bat = tiny_model.generate(audio, p_bat)
+    assert [s.tokens for s in bat.segments] == [s.tokens for s in seq.segments]
+
+
+def test_batched_windows_bucket_padding(tiny_model):
+    """5 windows -> one bucket-8 group (padded rows dropped); output count
+    and ordering must match the chunk list."""
+    rng = np.random.default_rng(9)
+    audio = rng.standard_normal(16000 * 125).astype(np.float32) * 0.05  # 5 windows
+    out = tiny_model.generate(
+        audio, STTGenerateParameters(max_tokens=4, batch_windows=True))
+    assert out.prompt_token_count == 5 * len(
+        tiny_model.tokenizer.build_prompt_tokens(None, "transcribe"))
+    if out.segments:
+        assert out.segments[-1].end == pytest.approx(125.0, abs=0.1)

@@ -47,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--quantized-kv-start", type=int, default=0,
                         help="keep KV positions below this index full "
                         "precision (Generation.swift quantizedKVStart)")
+    parser.add_argument("--no-batch-windows", action="store_true",
+                        help="decode 30 s windows sequentially (reference "
+                        "semantics) instead of the batched long-audio "
+                        "decode; greedy output is identical either way")
     args = parser.parse_args(argv)
 
     from tpu_audio.core.audio_io import load_audio
@@ -62,6 +66,7 @@ def main(argv=None):
         kv_group_size=args.kv_group_size,
         quantized_kv_start=args.quantized_kv_start,
         beam_size=args.beam_size,
+        batch_windows=not args.no_batch_windows,
     )
 
     import contextlib as _ctx

@@ -181,6 +181,13 @@ class STTGenerateParameters:
     # AED beam decode width where the model supports it (FireRedASR2's
     # reference default is 3; None = the model's own default)
     beam_size: int | None = None
+    # Long-audio window batching (whisper): decode all 30 s windows of a
+    # file through one batched graph instead of sequentially — the decoder
+    # weight reads amortize across windows, so multi-window files decode
+    # several times faster. Greedy output is token-identical to the
+    # sequential loop. Beyond-reference surface (the reference loops
+    # windows serially, WhisperModel.swift:165-182).
+    batch_windows: bool = True
     verbose: bool = False
     extra: dict[str, Any] = field(default_factory=dict)
 

@@ -91,6 +91,11 @@ N_FFT = 400
 HOP_LENGTH = 160
 CHUNK_LENGTH_SECONDS = 30
 CHUNK_LENGTH_SAMPLES = CHUNK_LENGTH_SECONDS * SAMPLE_RATE
+
+# long-audio window batching: windows per batched decode group, and the
+# shape buckets the group is padded to (compile once per bucket)
+_WINDOW_BATCH_MAX = 8
+_WINDOW_BATCH_BUCKETS = (2, 4, 8)
 FRAMES_PER_CHUNK = 3000
 
 
@@ -560,6 +565,11 @@ class Whisper:
             static_argnames=("max_total", "kv_bits", "kv_group_size",
                              "quantized_kv_start"),
         )
+        self._decode_loop_b = ajit(
+            functools.partial(_decode_loop_batched, cfg=cfg),
+            static_argnames=("max_total", "kv_bits", "kv_group_size",
+                             "quantized_kv_start"),
+        )
         if config.quantization:
             from tpu_audio.core import quant
 
@@ -658,10 +668,23 @@ class Whisper:
         suppress, begin = self._suppress_masks(tokenizer)
         prompt = tokenizer.build_prompt_tokens(params.language, params.task)
 
+        if params.batch_windows and len(chunks) > 1:
+            # batched-window decode: all 30 s windows advance through one
+            # graph, amortizing the HBM-bound decoder weight reads
+            token_lists = []
+            for g in range(0, len(chunks), _WINDOW_BATCH_MAX):
+                group = chunks[g : g + _WINDOW_BATCH_MAX]
+                token_lists.extend(self._transcribe_chunks_batched(
+                    [c for c, _ in group], prompt, suppress, begin, params))
+        else:
+            token_lists = [
+                self._transcribe_chunk(chunk, prompt, suppress, begin, params)
+                for chunk, _ in chunks
+            ]
+
         all_text, segments = [], []
         total_prompt = total_gen = 0
-        for chunk, offset in chunks:
-            tokens = self._transcribe_chunk(chunk, prompt, suppress, begin, params)
+        for (chunk, offset), tokens in zip(chunks, token_lists):
             total_prompt += len(prompt)
             total_gen += len(tokens)
             text = tokenizer.decode(tokens).strip()
@@ -712,6 +735,46 @@ class Whisper:
             prompt_token_count=len(prompt) * max(1, len(segments)),
             generation_token_count=total_gen,
             total_time=elapsed, generation_time=elapsed)}
+
+    def _transcribe_chunks_batched(self, chunk_audios, prompt, suppress,
+                                   begin, params: STTGenerateParameters
+                                   ) -> list[list[int]]:
+        """Transcribe up to ``_WINDOW_BATCH_MAX`` 30 s windows in ONE
+        batched encode + ONE batched decode loop. The window count is
+        padded up to a small bucket ({2,4,8}, repeating the last window)
+        so any file length reuses at most three compiled graphs."""
+        n = len(chunk_audios)
+        bucket = next(b for b in _WINDOW_BATCH_BUCKETS if b >= n)
+        padded = list(chunk_audios) + [chunk_audios[-1]] * (bucket - n)
+        feats = jnp.concatenate(
+            [self.encoder_features(c) for c in padded], axis=0)
+        enc_out = self._encode(self.params, feats)
+        max_total = min(
+            self.config.max_target_positions,
+            len(prompt) + max(1, params.max_tokens),
+        )
+        prompt_buf = np.full((self.config.max_target_positions,), 0, np.int32)
+        prompt_buf[: len(prompt)] = prompt
+        rng = jax.random.PRNGKey(0)
+        tokens, count = self._decode_loop_b(
+            self.params, enc_out,
+            jnp.asarray(prompt_buf), jnp.int32(len(prompt)),
+            jnp.int32(self.tokenizer.eot), jnp.asarray(suppress),
+            jnp.asarray(begin), jnp.float32(params.temperature), rng,
+            max_total=max_total, kv_bits=params.kv_bits,
+            kv_group_size=params.kv_group_size,
+            quantized_kv_start=params.quantized_kv_start,
+        )
+        tokens = np.asarray(tokens)
+        count = int(count)
+        eot = self.tokenizer.eot
+        outs = []
+        for r in range(n):
+            gen = tokens[r, len(prompt) : count].tolist()
+            if eot in gen:
+                gen = gen[: gen.index(eot)]
+            outs.append(gen)
+        return outs
 
     def _transcribe_chunk(self, chunk, prompt, suppress, begin,
                           params: STTGenerateParameters) -> list[int]:
@@ -870,5 +933,93 @@ def _decode_loop(params, enc_out, prompt_buf, prompt_len, eot_id, suppress,
         return (tokens, i + 1, cache, finished, rng)
 
     init = (tokens0, jnp.int32(0), cache, jnp.bool_(False), rng)
+    tokens, count, *_ = jax.lax.while_loop(cond, body, init)
+    return tokens, count + 1
+
+def _decode_loop_batched(params, enc_out, prompt_buf, prompt_len, eot_id,
+                         suppress, begin, temperature, rng, *,
+                         max_total: int, cfg: WhisperConfig,
+                         kv_bits: int | None = None, kv_group_size: int = 64,
+                         quantized_kv_start: int = 0):
+    """Batched-window decode: B independent 30 s windows advance through the
+    SAME decode step, so the HBM-bound decoder weight reads (~0.9 GB/token
+    at large-v3 w8) are amortized across all rows — the per-step cost is
+    nearly flat in B, i.e. long-file decode throughput scales ~linearly
+    until the MXU fills. With ``temperature <= 0`` every row reproduces the
+    sequential greedy loop token-for-token (the parity test pins this);
+    with sampling each row draws from a per-row ``fold_in`` key instead of
+    the sequential loop's shared chunk key.
+
+    Beyond-reference surface: the reference transcribes 30 s windows
+    strictly sequentially (WhisperModel.swift:165-182). Rows that hit EOT
+    keep emitting EOT so late rows can't perturb them; extraction trims at
+    the first EOT.
+
+    The fused Pallas int8 cross-KV kernel is single-row, so ``kv_bits``
+    here takes the XLA quantized path; dense bf16 cross-KV is the fast
+    default for batched decode.
+    """
+    kv_cache.validate_kv_bits(kv_bits)
+    b = enc_out.shape[0]
+    n_heads = cfg.decoder_attention_heads
+    head_dim = cfg.d_model // n_heads
+    cross_k, cross_v = _cross_kv(params, enc_out, cfg)
+    cross_mode = "dense"
+    if kv_bits:
+        n_groups = head_dim // min(kv_group_size, head_dim)
+        quantize = jax.vmap(functools.partial(
+            kv_cache._quantize, n_groups=n_groups, bits=kv_bits))
+        cross_k = quantize(cross_k)
+        cross_v = quantize(cross_v)
+        cross_mode = "quant"
+        cache = kv_cache.make_cache_for(
+            cfg.decoder_layers, b, n_heads, head_dim, max_total,
+            enc_out.dtype, kv_bits=kv_bits, kv_group_size=kv_group_size,
+            quantized_kv_start=quantized_kv_start,
+        )
+    else:
+        cache = kv_cache.init_cache(
+            cfg.decoder_layers, b, n_heads, head_dim, max_total,
+            enc_out.dtype,
+        )
+    prompt_row = (prompt_buf[:max_total] if prompt_buf.shape[0] >= max_total
+                  else jnp.pad(prompt_buf, (0, max_total - prompt_buf.shape[0])))
+    tokens0 = jnp.broadcast_to(prompt_row[None], (b, max_total))
+
+    def cond(carry):
+        tokens, i, cache, finished, rng = carry
+        return jnp.logical_and(~jnp.all(finished), i < max_total - 1)
+
+    def body(carry):
+        tokens, i, cache, finished, rng = carry
+        tok = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))  # [B,1]
+        logits, cache = decoder_step(params, tok, i, cache, cross_k, cross_v,
+                                     cfg, cross_mode=cross_mode)
+        logits = logits[:, -1].astype(jnp.float32)  # [B, V]
+        is_gen = i >= prompt_len - 1
+        is_first = i == prompt_len - 1
+        step_logits = logits + suppress[None]
+        step_logits = jnp.where(is_first, step_logits + begin[None], step_logits)
+        rng, sub = jax.random.split(rng)
+        greedy = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)  # [B]
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(sub, r))(
+            jnp.arange(b, dtype=jnp.uint32))
+        sampled = jax.vmap(
+            lambda k, lg: jax.random.categorical(
+                k, lg / jnp.maximum(temperature, 1e-6))
+        )(row_keys, step_logits).astype(jnp.int32)
+        next_tok = jnp.where(temperature <= 0.0, greedy, sampled)  # [B]
+        # teacher-force remaining prompt tokens (shared across rows)
+        next_tok = jnp.where(is_gen, next_tok, tokens[:, i + 1])
+        # finished rows keep emitting EOT so extraction trims them stably
+        next_tok = jnp.where(finished, eot_id, next_tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
+                                              (0, i + 1))
+        finished = jnp.logical_or(
+            finished, jnp.logical_and(is_gen, next_tok == eot_id))
+        return (tokens, i + 1, cache, finished, rng)
+
+    init = (tokens0, jnp.int32(0), cache,
+            jnp.zeros((b,), jnp.bool_), rng)
     tokens, count, *_ = jax.lax.while_loop(cond, body, init)
     return tokens, count + 1
