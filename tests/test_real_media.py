@@ -22,7 +22,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-MEDIA = Path("/root/reference/Tests/media")
+MEDIA = Path(os.environ.get("REFERENCE_MEDIA_DIR",
+                            "/root/reference/Tests/media"))
 
 pytestmark = pytest.mark.skipif(
     not MEDIA.is_dir(), reason="reference test media not available")

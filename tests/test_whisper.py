@@ -378,9 +378,16 @@ def test_batched_windows_match_sequential(tiny_model):
         == [(s.start, s.end) for s in seq.segments]
 
 
-def test_batched_windows_kv8_match_sequential(tiny_model):
+def test_batched_windows_kv8_match_sequential(tiny_model, monkeypatch):
     """The quantized cross-KV path must hold the same parity (the batched
-    loop uses the XLA dequant path; the Pallas kernel is single-row)."""
+    loop uses the XLA dequant path; the Pallas kernel is single-row).
+
+    Pins ``TPU_AUDIO_PALLAS_KV=0``: on a real TPU the sequential b=1 path
+    would auto-select the fused Pallas int8 cross-KV kernel, whose
+    transposed quantization layout has different numerics from the
+    batched loop's ``kv_cache._quantize`` + XLA dequant — exact token
+    equality is the contract of the shared XLA path only."""
+    monkeypatch.setenv("TPU_AUDIO_PALLAS_KV", "0")
     rng = np.random.default_rng(8)
     audio = rng.standard_normal(16000 * 40).astype(np.float32) * 0.05  # 2 windows
     p_seq = STTGenerateParameters(max_tokens=5, batch_windows=False, kv_bits=8)

@@ -50,7 +50,11 @@ def main(argv=None):
     parser.add_argument("--no-batch-windows", action="store_true",
                         help="decode 30 s windows sequentially (reference "
                         "semantics) instead of the batched long-audio "
-                        "decode; greedy output is identical either way")
+                        "decode; greedy output is identical on the XLA "
+                        "dequant path (kv8-on-TPU sequential decode uses "
+                        "a fused Pallas kernel with its own quantization "
+                        "numerics, and temperature>0 sampling draws "
+                        "per-window streams when batched)")
     args = parser.parse_args(argv)
 
     from tpu_audio.core.audio_io import load_audio

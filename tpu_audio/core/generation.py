@@ -185,8 +185,15 @@ class STTGenerateParameters:
     # file through one batched graph instead of sequentially — the decoder
     # weight reads amortize across windows, so multi-window files decode
     # several times faster. Greedy output is token-identical to the
-    # sequential loop. Beyond-reference surface (the reference loops
-    # windows serially, WhisperModel.swift:165-182).
+    # sequential loop on the shared XLA path; two documented deviations:
+    # (a) kv_bits=8 on a real TPU routes the *sequential* b=1 decode
+    # through the fused Pallas cross-KV kernel, whose transposed
+    # quantization layout has slightly different numerics, and (b) with
+    # temperature > 0 the batched loop draws per-window sampling streams
+    # (fold_in per row) instead of the sequential loop's shared
+    # PRNGKey(0) per chunk, so sampled tokens differ between the modes.
+    # Beyond-reference surface (the reference loops windows serially,
+    # WhisperModel.swift:165-182).
     batch_windows: bool = True
     verbose: bool = False
     extra: dict[str, Any] = field(default_factory=dict)
