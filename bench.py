@@ -556,32 +556,19 @@ def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
 
 
 def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
-                      ticks: int = 6, size: str = "large-v3") -> dict:
+                      ticks: int = 3, size: str = "large-v3") -> dict:
     """Whisper continuous-serving throughput: aggregate decoded tokens/s
     with ``slots`` concurrent <=30 s transcriptions sharing the batched
-    decode tick (parallel/continuous_stt.py), vs the same engine at
-    slots=1. Encodes are per-request one-shot dispatches and excluded —
-    the decode loop is what scales with concurrent load."""
-    import jax.numpy as jnp
-
+    decode tick (parallel/continuous_stt.py), vs a single stream in the
+    SAME engine (the bucketed underload path a lightly-loaded server
+    pays). Decoder weights are int8 (w8) — the deployment config the
+    offline headline (kv8d w8 w8e) uses, so single_stream_tok_s compares
+    directly against the offline decode rate. Encodes are per-request
+    one-shot dispatches and excluded — the decode loop is what scales
+    with concurrent load."""
     from tpu_audio.models.stt import whisper as W
 
-    sizes = {
-        "large-v3": dict(d_model=1280, layers=32, heads=20, ffn=5120,
-                         n_mels=128),
-        "small": dict(d_model=768, layers=12, heads=12, ffn=3072,
-                      n_mels=80),
-    }
-    s = sizes[size]
-    cfg = W.WhisperConfig(
-        num_mel_bins=s["n_mels"], d_model=s["d_model"],
-        encoder_layers=s["layers"], encoder_attention_heads=s["heads"],
-        encoder_ffn_dim=s["ffn"], decoder_layers=s["layers"],
-        decoder_attention_heads=s["heads"], decoder_ffn_dim=s["ffn"],
-        vocab_size=51866, max_target_positions=448,
-    )
-    params = W.init_params(cfg, seed=0, dtype=jnp.bfloat16)
-    model = W.Whisper(cfg, params, dtype=jnp.bfloat16)
+    model, cfg, _ = _build_whisper(size, w8_decoder=True)
     sys.path.insert(0, "tests")
     from fixtures import FakeWhisperTokenizer
 
@@ -591,26 +578,35 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
     rng = np.random.default_rng(0)
     audio = rng.standard_normal(W.CHUNK_LENGTH_SAMPLES).astype(
         np.float32) * 0.1
-    max_new = step_tokens * (ticks + 2)
 
-    def measure(n_slots: int) -> float:
-        srv = ContinuousSTT(model, slots=n_slots, max_tokens=max_new,
+    def measure(n_live: int) -> tuple[float, float]:
+        """tok/s and ms/tick with ``n_live`` streams in the SAME
+        slots=``slots`` engine — n_live < slots exercises the bucketed
+        underload graphs (larger per-tick scan + pipelined fetch), which
+        is what a real server pays when traffic is light."""
+        srv = ContinuousSTT(model, slots=slots, max_tokens=440,
                             step_tokens=step_tokens)
         # disable the EOT stop (set before the first tick traces): every
         # lane must stay live the whole measurement on random weights
         srv.engine.stop_token = -1
-        for _ in range(n_slots):
+        # budget check: lanes must never exhaust max_tokens mid-measure
+        # (a frozen lane silently deflates tok/s)
+        k_solo = srv.engine._tick_k(1)
+        assert (2 + ticks + 1) * k_solo <= srv.max_tokens, \
+            "measurement would outrun the per-request token budget"
+        for _ in range(n_live):
             srv.submit(audio)
-        srv.step(); srv.step()  # compile + steady state
-        t0 = time.perf_counter()
-        for _ in range(ticks):
+        for _ in range(2):   # compile + fill the pipeline
             srv.step()
-        return (time.perf_counter() - t0) / ticks
+        t0 = time.perf_counter()
+        emitted = 0
+        for _ in range(ticks):
+            emitted += len(srv.step())
+        dt = time.perf_counter() - t0
+        return emitted / dt, dt / ticks
 
-    tick_solo = measure(1)
-    tick_batch = measure(slots)
-    tok_s = slots * step_tokens / tick_batch
-    solo_tok_s = step_tokens / tick_solo
+    solo_tok_s, tick_solo = measure(1)
+    tok_s, tick_batch = measure(slots)
     return {
         "metric": f"whisper_{size}_serving_tok_s_slots{slots}",
         "value": round(tok_s, 1),

@@ -129,6 +129,67 @@ def test_step_tokens_invariance(tiny, k):
     assert [by_id[i] for i in range(len(prompts))] == base
 
 
+@pytest.mark.parametrize("min_tick", [None, 6, 16])
+def test_pipeline_and_min_tick_invariance(tiny, min_tick):
+    """Pipelined ticks (fetch overlapped with the next tick's compute)
+    and per-bucket scan lengths (min_tick_tokens) must both be invisible
+    in token content and per-request order — incl. staggered admission,
+    stochastic sampling, and stop-mid-tick freezing."""
+    params, cfg = tiny
+    sampling = SamplingParams(temperature=0.9, top_k=40, top_p=0.95)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(8, 96, size=n).astype(np.int32)
+               for n in (5, 11, 8)]
+
+    def run(pipeline, min_tick_tokens):
+        eng = ContinuousBatcher(params, cfg, slots=2, max_len=64,
+                                stop_token=STOP, sampling=sampling,
+                                prefill_buckets=(8, 16), seed=11,
+                                step_tokens=2, pipeline=pipeline,
+                                min_tick_tokens=min_tick_tokens)
+        reqs = [eng.submit(p, max_new=9 + i, seed=i)
+                for i, p in enumerate(prompts)]
+        emitted = eng.step()
+        emitted += list(eng.run())
+        assert all(r.done for r in reqs)
+        assert eng.idle
+        return [r.tokens for r in reqs], emitted
+
+    base, _ = run(False, None)
+    toks, emitted = run(True, min_tick)
+    assert toks == base
+    by_id = {i: [] for i in range(len(prompts))}
+    for rid, tok in emitted:
+        by_id[rid].append(tok)
+    assert [by_id[i] for i in range(len(prompts))] == base
+
+
+def test_pipeline_cancel_between_launch_and_harvest(tiny):
+    """Cancelling a request whose tick is still in flight must not credit
+    it the in-flight tokens, must free the lane for the next pending
+    request, and must leave the neighbour's stream untouched."""
+    params, cfg = tiny
+    eng = ContinuousBatcher(params, cfg, slots=2, max_len=64,
+                            stop_token=STOP, prefill_buckets=(8,),
+                            pipeline=True)
+    prompts = [np.arange(10 + 8 * i, 15 + 8 * i, dtype=np.int32)
+               for i in range(3)]
+    solo = [solo_greedy(params, cfg, p, 12, 8) for p in prompts]
+    r0 = eng.submit(prompts[0], max_new=12)
+    r1 = eng.submit(prompts[1], max_new=12)
+    r2 = eng.submit(prompts[2], max_new=12)   # pending
+    eng.step(); eng.step()                    # tick 2 in flight
+    n0 = len(r0.tokens)
+    assert eng.cancel(r0.request_id)
+    assert r0.done and len(r0.tokens) == n0   # in-flight tick not credited
+    for _ in eng.run():
+        pass
+    assert len(r0.tokens) == n0               # harvest skipped the dead req
+    assert r1.tokens == solo[1]
+    assert r2.tokens == solo[2]               # admitted into the freed lane
+    assert eng.idle
+
+
 def test_slot_reuse_more_requests_than_lanes(tiny):
     """5 requests through 2 lanes: all complete, budgets respected, and
     every lane outlives multiple occupants."""

@@ -79,6 +79,17 @@ class GenRequest:
     context: object = None   # per-request conditioning pytree (or None)
 
 
+class _Tick(NamedTuple):
+    """One launched decode tick, harvested later (pipelined engines fetch
+    a tick's outputs only after the NEXT tick is already in flight)."""
+
+    packed: object           # device [2K+1, bucket|slots] int32
+    cols: list               # output column of each live lane
+    live: list               # slot index of each live lane at launch
+    reqs: list               # the occupying GenRequest per live lane
+    k: int                   # scan length the tick's graph used
+
+
 class _BatchState(NamedTuple):
     cache: object            # per-lane cache pytree, leaves [slots, ...]
     last: jnp.ndarray        # [slots] int32 — next input token per lane
@@ -174,7 +185,9 @@ class ContinuousBatcher:
                  token_map: Callable | None = None,
                  pad_token: int = 0, step_tokens: int = 1,
                  context_template=None,
-                 logits_hook: Callable | None = None):
+                 logits_hook: Callable | None = None,
+                 min_tick_tokens: int | None = None,
+                 pipeline: bool = False):
         self.params = params
         self.slots = int(slots)
         self.max_len = int(max_len)
@@ -183,6 +196,23 @@ class ContinuousBatcher:
         self.step_tokens = int(step_tokens)
         if self.step_tokens < 1:
             raise ValueError(f"step_tokens must be >= 1, got {step_tokens}")
+        # Underload amortization: with n live lanes a tick's fixed cost
+        # (host dispatch + the tunneled device->host result fetch, ~30-45
+        # ms on a remote-attached chip) is paid once per tick regardless
+        # of how many tokens it decodes. min_tick_tokens=T makes every
+        # bucket graph scan enough steps that the tick decodes >= T tokens
+        # across its live lanes (K_b = ceil(T / b) rounded up to a
+        # step_tokens multiple), so a lone stream in a slots=8 server
+        # amortizes the tick cost over T tokens instead of step_tokens.
+        self.min_tick_tokens = (None if min_tick_tokens is None
+                                else int(min_tick_tokens))
+        # Pipelined ticks: launch tick N+1 BEFORE fetching tick N's packed
+        # outputs, so the (tunneled) device->host readback of tick N
+        # overlaps tick N+1's decode compute instead of serializing with
+        # it. step() then returns the PREVIOUS tick's tokens (one tick of
+        # emission latency); token content/order per request is unchanged.
+        self.pipeline = bool(pipeline)
+        self._inflight: _Tick | None = None
         self.buckets = tuple(sorted(prefill_buckets))
         self.pad_token = int(pad_token)
         self.history_size = max(1, self.sampling.repetition_context_size) \
@@ -286,15 +316,15 @@ class ContinuousBatcher:
                 [toks.astype(jnp.int32), valid.astype(jnp.int32),
                  active[None].astype(jnp.int32)], axis=0)
 
-        @functools.partial(ajit, donate_argnums=(1,))
-        def decode_step(params, state: _BatchState):
-            """One tick = ``step_tokens`` scanned decode steps; returns
-            the packed ``[2K+1, slots]`` outputs (tokens / per-step
-            liveness / final active — a lane's token rows are garbage
-            once it froze mid-tick)."""
+        @functools.partial(ajit, donate_argnums=(1,), static_argnums=(2,))
+        def decode_step(params, state: _BatchState, k: int):
+            """One tick = ``k`` scanned decode steps; returns the packed
+            ``[2k+1, slots]`` outputs (tokens / per-step liveness / final
+            active — a lane's token rows are garbage once it froze
+            mid-tick)."""
             state, (toks, valid) = jax.lax.scan(
                 functools.partial(one_step, params), state, None,
-                length=self.step_tokens)
+                length=k)
             return state, _pack(toks, valid, state.active)
 
         self._decode_step = decode_step
@@ -310,12 +340,13 @@ class ContinuousBatcher:
             b for b in (1, 2, 4, 8, 16, 32, 64) if b < self.slots
         ) + (self.slots,)
 
-        @functools.partial(ajit, donate_argnums=(1,))
-        def decode_step_bucket(params, state: _BatchState, lane_idx):
+        @functools.partial(ajit, donate_argnums=(1,), static_argnums=(3,))
+        def decode_step_bucket(params, state: _BatchState, lane_idx,
+                               k: int):
             sub = jax.tree.map(lambda x: x[lane_idx], state)
             sub, (toks, valid) = jax.lax.scan(
                 functools.partial(one_step, params), sub, None,
-                length=self.step_tokens)
+                length=k)
             new_state = jax.tree.map(
                 lambda full, part: full.at[lane_idx].set(part), state, sub)
             return new_state, _pack(toks, valid, sub.active)
@@ -430,7 +461,19 @@ class ContinuousBatcher:
 
     @property
     def idle(self) -> bool:
-        return not self._pending and all(r is None for r in self._lane)
+        return (not self._pending and self._inflight is None
+                and all(r is None for r in self._lane))
+
+    def _tick_k(self, bucket: int) -> int:
+        """Scan length for a tick over ``bucket`` lanes: enough steps that
+        the tick decodes >= ``min_tick_tokens`` tokens total, rounded up
+        to a ``step_tokens`` multiple (keeps emission granularity aligned
+        for frame-structured consumers, e.g. 7-token SNAC frames)."""
+        if self.min_tick_tokens is None:
+            return self.step_tokens
+        steps = -(-self.min_tick_tokens // bucket)          # ceil div
+        return max(self.step_tokens,
+                   -(-steps // self.step_tokens) * self.step_tokens)
 
     def release(self, request_id: int) -> None:
         """Forget a finished/cancelled request (long-running servers must
@@ -478,49 +521,70 @@ class ContinuousBatcher:
             req.context = None  # free host reference; rows live on device
             self._lane[slot] = req
 
-    def step(self) -> list[tuple[int, int]]:
-        """Admit pending requests, then run ONE batched decode tick
-        (``step_tokens`` scanned steps). Returns the ``(request_id,
-        token)`` pairs emitted this tick in per-lane sample order."""
-        self._admit()
-        if all(r is None for r in self._lane):
-            return []
+    def _launch(self) -> _Tick:
+        """Dispatch one decode tick (async — nothing syncs here)."""
         live = [s for s, r in enumerate(self._lane) if r is not None]
+        reqs = [self._lane[s] for s in live]
         bucket = next(b for b in self._lane_buckets if b >= len(live))
+        k = self._tick_k(bucket)
         if bucket < self.slots:
             free = next(s for s, r in enumerate(self._lane) if r is None)
             lane_idx = np.full((bucket,), free, np.int32)
             lane_idx[: len(live)] = live
             self._state, packed = self._decode_step_bucket(
-                self.params, self._state, jnp.asarray(lane_idx))
+                self.params, self._state, jnp.asarray(lane_idx), k)
             # column j of the [*, bucket] outputs belongs to slot live[j];
             # filler columns are the (inactive) free lane and never valid
             cols = list(range(len(live)))
         else:
             self._state, packed = self._decode_step(self.params,
-                                                    self._state)
+                                                    self._state, k)
             cols = live
-        packed = np.asarray(packed)           # ONE sync: [2K+1, bucket|slots]
-        K = self.step_tokens
+        return _Tick(packed, cols, live, reqs, k)
+
+    def _harvest(self, tick: _Tick) -> list[tuple[int, int]]:
+        """Fetch a launched tick's outputs and credit them to requests.
+        Requests cancelled (``done``) between launch and harvest are
+        skipped; a lane whose launch-time occupant already moved on (slot
+        reused after cancel) is left untouched."""
+        packed = np.asarray(tick.packed)      # ONE sync: [2K+1, bucket|slots]
+        K = tick.k
         toks_host = packed[:K]
         valid_host = packed[K : 2 * K].astype(bool)
         active_host = packed[2 * K].astype(bool)
         emitted = []
         for k in range(K):
-            for j, slot in zip(cols, live):
-                if not valid_host[k, j]:
+            for j, slot, req in zip(tick.cols, tick.live, tick.reqs):
+                if req.done or not valid_host[k, j]:
                     continue
-                req = self._lane[slot]
                 tok = int(toks_host[k, j])
                 if tok != self.stop_token:
                     req.tokens.append(tok)
                     emitted.append((req.request_id, tok))
-        for j, slot in zip(cols, live):
-            if not active_host[j]:
-                req = self._lane[slot]
+        for j, slot, req in zip(tick.cols, tick.live, tick.reqs):
+            if not active_host[j] and not req.done:
                 req.done = True
-                self._lane[slot] = None
+                if self._lane[slot] is req:
+                    self._lane[slot] = None
         return emitted
+
+    def step(self) -> list[tuple[int, int]]:
+        """Admit pending requests, then run ONE batched decode tick
+        (``_tick_k(bucket)`` scanned steps). Returns the ``(request_id,
+        token)`` pairs emitted in per-lane sample order — this tick's
+        with ``pipeline=False``; the PREVIOUS tick's with
+        ``pipeline=True`` (the new tick is dispatched before the old
+        tick's device->host fetch, so the fetch rides the decode)."""
+        self._admit()
+        prev, self._inflight = self._inflight, None
+        if any(r is not None for r in self._lane):
+            tick = self._launch()
+            if self.pipeline:
+                self._inflight = tick
+            else:
+                emitted = self._harvest(prev) if prev is not None else []
+                return emitted + self._harvest(tick)
+        return self._harvest(prev) if prev is not None else []
 
     def run(self):
         """Generator draining the engine: yields ``(request_id, token)``
@@ -553,7 +617,7 @@ class ContinuousTTS:
                  generation_parameters=None, seed: int = 0,
                  max_len: int | None = None,
                  prefill_buckets: tuple[int, ...] = (64, 128, 256, 512),
-                 step_tokens: int = 7):
+                 step_tokens: int = 7, pipeline: bool = True):
         from tpu_audio.core.generation import AudioGenerationError
 
         if model.tokenizer is None:
@@ -582,8 +646,10 @@ class ContinuousTTS:
             token_map=model._token_map,
             pad_token=model.tokens.pad_token,
             # one SNAC code group per tick: frame-aligned emission with
-            # the dispatch overhead amortized 7x (tokens are K-invariant)
-            step_tokens=step_tokens)
+            # the dispatch overhead amortized 7x (tokens are K-invariant);
+            # pipelined ticks overlap the token fetch with the next
+            # tick's decode (costs one tick of emission latency)
+            step_tokens=step_tokens, pipeline=pipeline)
         ccfg = getattr(model.codec, "config", None)
         samples_per_group = 4 * (ccfg.hop_length if ccfg else 512)
         self._spg = samples_per_group
