@@ -361,6 +361,32 @@ def test_serve_lid(tmp_path):
         assert out["language"] and 0.0 <= out["confidence"] <= 1.0
         assert len(out["top"]) == 3
         assert out["top"][0]["language"] == out["language"]
+
+        # concurrent requests of mixed lengths + top_k share the
+        # micro-batched device dispatch and still answer per-request
+        import concurrent.futures as cf
+
+        def ask(seconds, top_k):
+            b = io.BytesIO()
+            with wave.open(b, "wb") as w:
+                w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+                w.writeframes(
+                    (np.sin(np.arange(int(16000 * seconds)) * 0.05) * 8000)
+                    .astype("<i2").tobytes())
+            rq = urllib.request.Request(
+                f"{url}/v1/audio/lid?top_k={top_k}", data=b.getvalue(),
+                headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(rq) as r:
+                return _json.loads(r.read())
+
+        jobs = [(0.5, 2), (1.0, 3), (2.5, 1), (1.0, 4)]
+        with cf.ThreadPoolExecutor(len(jobs)) as ex:
+            outs = list(ex.map(lambda a: ask(*a), jobs))
+        for (seconds, top_k), o in zip(jobs, outs):
+            assert len(o["top"]) == top_k
+            assert o["top"][0]["language"] == o["language"]
+        # identical clips must classify identically through the batcher
+        assert outs[1]["language"] == outs[3]["language"]
     finally:
         srv.shutdown()
 

@@ -46,3 +46,34 @@ def test_predict_deterministic(model):
 
 def test_id2label_strips_description(model):
     assert model.id2label[0] == "lang0"
+
+
+def test_predict_batch_matches_solo(model):
+    """Masked batched inference (serving micro-batcher path) must match
+    per-clip predict: same argmax, close probabilities, even for rows
+    padded up to 2x inside a length bucket."""
+    rng = np.random.default_rng(3)
+    clips = [
+        (rng.standard_normal(16000) * 0.1).astype(np.float32),     # 1 s
+        np.sin(np.arange(9000) * 0.02).astype(np.float32) * 0.3,   # 0.56 s
+        (rng.standard_normal(26000) * 0.2).astype(np.float32),     # 1.6 s
+    ]
+    solo = [model.predict(c, top_k=4) for c in clips]
+    batched = model.predict_batch(clips, top_k=4)
+    for s, b in zip(solo, batched):
+        assert b.language == s.language
+        assert abs(b.confidence - s.confidence) < 0.05
+        assert [p.language for p in b.top_languages] \
+            == [p.language for p in s.top_languages]
+
+
+def test_predict_batch_exact_when_unpadded(model):
+    """A clip that exactly fills its bucket takes the same numeric path
+    modulo batching; probabilities must agree tightly."""
+    wav = np.sin(np.arange(16000) * 0.01).astype(np.float32) * 0.3
+    solo = np.asarray(model.predict_device(wav))
+    import jax.numpy as jnp
+    probs = np.asarray(model._predict_batch_jit(
+        model.params, jnp.asarray(wav[None]),
+        jnp.asarray([1 + len(wav) // 160], np.int32)))[0]
+    assert np.abs(probs - solo).max() < 1e-4

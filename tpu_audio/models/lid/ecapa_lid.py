@@ -83,8 +83,14 @@ def _se_res2net(p, x, cfg: EcapaConfig, kernel: int, dilation: int):
     return out * s + residual
 
 
-def ecapa_backbone_forward(p, x, cfg: EcapaConfig):
-    """mel [B, T, n_mels] -> embeddings [B, embed_dim]."""
+def ecapa_backbone_forward(p, x, cfg: EcapaConfig, mask=None):
+    """mel [B, T, n_mels] -> embeddings [B, embed_dim].
+
+    ``mask`` [B, T] bool marks valid frames for LENGTH-PADDED batched
+    rows (the serving micro-batcher pads clips to a shared bucket): the
+    global-context statistics and the attentive-pooling softmax then
+    exclude padded frames, so a padded row's embedding matches its solo
+    embedding up to conv receptive-field edge effects (~30 frames)."""
     out = _tdnn(p["block0"], x, cfg.kernel_sizes[0], cfg.dilations[0],
                 reflect=cfg.reflect_padding)
     feats = []
@@ -97,16 +103,27 @@ def ecapa_backbone_forward(p, x, cfg: EcapaConfig):
                 reflect=cfg.reflect_padding)
     # attentive statistics pooling
     ap = p["asp"]
+    mf = None if mask is None else mask[..., None].astype(out.dtype)
+    nf = None if mask is None else jnp.maximum(
+        mask.sum(axis=1).astype(out.dtype), 1.0)[:, None, None]
     if cfg.global_context:
-        mean = out.mean(axis=1, keepdims=True)
-        std = jnp.sqrt(out.var(axis=1, keepdims=True) + 1e-9)
+        if mask is None:
+            mean = out.mean(axis=1, keepdims=True)
+            std = jnp.sqrt(out.var(axis=1, keepdims=True) + 1e-9)
+        else:
+            mean = (out * mf).sum(axis=1, keepdims=True) / nf
+            var = ((out - mean) ** 2 * mf).sum(axis=1, keepdims=True) / nf
+            std = jnp.sqrt(var + 1e-9)
         attn_in = jnp.concatenate(
             [out, jnp.broadcast_to(mean, out.shape),
              jnp.broadcast_to(std, out.shape)], axis=-1)
     else:
         attn_in = out
     a = jnp.tanh(_tdnn(ap["tdnn"], attn_in, 1))
-    a = jax.nn.softmax(nn.conv1d(ap["conv"], a), axis=1)
+    logits = nn.conv1d(ap["conv"], a)
+    if mask is not None:
+        logits = jnp.where(mask[..., None], logits, -1e9)
+    a = jax.nn.softmax(logits, axis=1)
     w_mean = (a * out).sum(axis=1)
     w_var = (a * out * out).sum(axis=1) - w_mean**2
     pooled = jnp.concatenate([w_mean, jnp.sqrt(jnp.maximum(w_var, 1e-9))],
@@ -193,6 +210,43 @@ class EcapaLID:
         # compiled per distinct audio length (static shapes for the MXU)
         self._predict_jit = ajit(full)
 
+        def full_batch(p, audio, n_frames):
+            """audio [B, S] (rows zero-padded to the bucket), n_frames [B]
+            = each row's true 1 + n_samples//160 frame count. One graph,
+            one dispatch for the whole micro-batch — on a tunneled chip
+            the ~50 ms dispatch+readback then amortizes across every
+            concurrent request instead of being paid per request."""
+            spec = jax.vmap(
+                lambda a: dsp.stft(a, window, 400, 160,
+                                   pad_mode="constant"))(audio)
+            power = jnp.abs(spec) ** 2
+            mel = power @ fb                                    # [B, T, 60]
+            t = mel.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_frames[:, None])
+            mf = mask[..., None].astype(jnp.float32)
+            n = jnp.maximum(n_frames.astype(jnp.float32), 1.0)[:, None, None]
+            # per-row masked power_to_db (the solo path's global max must
+            # not leak across batch rows)
+            db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+            row_max = jnp.max(jnp.where(mask[..., None], db, -jnp.inf),
+                              axis=(1, 2), keepdims=True)
+            db = jnp.maximum(db, row_max - 80.0)
+            mean = (db * mf).sum(axis=1, keepdims=True) / n
+            meln = ((db - mean) * mf).astype(dtype)
+            emb = ecapa_backbone_forward(p["embedding_model"], meln, config,
+                                         mask=mask)
+            c = p["classifier"]
+            h = jnp.where(emb >= 0, emb, 0.01 * emb)
+            h = nn.batch_norm(c["norm"], h)
+            h = nn.linear(c["DNN"]["block_0"]["linear"]["w"], h)
+            h = jnp.where(h >= 0, h, 0.01 * h)
+            h = nn.batch_norm(c["DNN"]["block_0"]["norm"], h)
+            h = nn.linear(c["out"]["w"], h)
+            return jnp.exp(jax.nn.log_softmax(
+                h.astype(jnp.float32), axis=-1))
+
+        self._predict_batch_jit = ajit(full_batch)
+
     @classmethod
     def from_pretrained(cls, repo_or_path: str, dtype=jnp.float32) -> "EcapaLID":
         model_dir = hub.resolve_or_download_model(repo_or_path)
@@ -212,8 +266,49 @@ class EcapaLID:
 
     def predict(self, waveform: np.ndarray, top_k: int = 5) -> LIDOutput:
         probs = np.asarray(self.predict_device(waveform))
+        return self._to_output(probs, top_k)
+
+    def _to_output(self, probs: np.ndarray, top_k: int) -> LIDOutput:
         order = np.argsort(-probs)[: min(top_k, len(probs))]
         top = [LanguagePrediction(self.id2label.get(int(i), f"unknown_{i}"),
                                   float(probs[i])) for i in order]
         best = top[0] if top else LanguagePrediction("unknown", 0.0)
         return LIDOutput(best.language, best.confidence, top)
+
+    # sample-count buckets: one compiled batched graph per (bucket,
+    # batch-bucket) pair; clips pad up to <=2x their length
+    _LEN_BUCKETS = tuple(16000 * s for s in (1, 2, 4, 8, 16, 30))
+
+    def predict_batch(self, waveforms: list[np.ndarray],
+                      top_k: int = 5) -> list[LIDOutput]:
+        """Classify several clips in ONE device dispatch per length
+        bucket. Padded rows run the masked pipeline (mask-aware mean
+        norm, dB clamp, global-context stats, attention softmax), so a
+        padded row's probabilities match its solo ``predict`` up to conv
+        edge effects. Serving micro-batcher entry point (the /v1/audio/
+        lid endpoint groups concurrent requests here)."""
+        clips = [np.asarray(w, np.float32).reshape(-1) for w in waveforms]
+        out: list[LIDOutput | None] = [None] * len(clips)
+        groups: dict[int, list[int]] = {}
+        for i, c in enumerate(clips):
+            bucket = next((b for b in self._LEN_BUCKETS if len(c) <= b),
+                          None)
+            if bucket is None:  # beyond the largest bucket: solo graph
+                out[i] = self.predict(c, top_k)
+            else:
+                groups.setdefault(bucket, []).append(i)
+        for bucket, idxs in groups.items():
+            bb = 1
+            while bb < len(idxs):
+                bb *= 2
+            audio = np.zeros((bb, bucket), np.float32)
+            n_frames = np.ones((bb,), np.int32)
+            for row, i in enumerate(idxs):
+                c = clips[i]
+                audio[row, : len(c)] = c
+                n_frames[row] = 1 + len(c) // 160
+            probs = np.asarray(self._predict_batch_jit(
+                self.params, jnp.asarray(audio), jnp.asarray(n_frames)))
+            for row, i in enumerate(idxs):
+                out[i] = self._to_output(probs[row], top_k)
+        return out  # type: ignore[return-value]
