@@ -498,6 +498,10 @@ class ContinuousBatcher:
                     active=self._state.active.at[slot].set(False))
                 self._lane[slot] = None
         req.done = True
+        if self._inflight is not None and all(r is None for r in self._lane):
+            # the in-flight tick concerns only done/cancelled requests:
+            # drop it unharvested (post-tick device state is current)
+            self._inflight = None
         return True
 
     def _admit(self) -> None:

@@ -85,7 +85,8 @@ class ContinuousQwen3TTS:
                  generation_parameters=None,
                  prefill_buckets: tuple[int, ...] = (64, 128, 256),
                  max_trailing: int = 256,
-                 max_new_cap: int = 1024):
+                 max_new_cap: int = 1024,
+                 pipeline: bool = True):
         from tpu_audio.core.generation import AudioGenerationError
 
         if model.tokenizer is None:
@@ -235,6 +236,11 @@ class ContinuousQwen3TTS:
         self.requests: dict[int, Qwen3TTSRequest] = {}
         self._meta: dict[int, dict] = {}
         self._state = self._init_state()
+        # pipelined ticks: launch tick N+1 before fetching tick N's packed
+        # outputs so the tunneled device->host fetch overlaps decode (see
+        # ContinuousBatcher.pipeline); one tick of emission latency
+        self.pipeline = bool(pipeline)
+        self._inflight = None
 
     # -- state ----------------------------------------------------------
 
@@ -309,7 +315,8 @@ class ContinuousQwen3TTS:
 
     @property
     def idle(self) -> bool:
-        return not self._pending and all(r is None for r in self._lane)
+        return (not self._pending and self._inflight is None
+                and all(r is None for r in self._lane))
 
     def is_finished(self, request_id: int) -> bool:
         req = self.requests.get(request_id)
@@ -335,6 +342,11 @@ class ContinuousQwen3TTS:
                 self._lane[slot] = None
         req.done = True
         self._meta.pop(request_id, None)
+        if self._inflight is not None and all(r is None for r in self._lane):
+            # every request the in-flight tick concerns is done/cancelled:
+            # drop it unharvested (the post-tick device state is already
+            # current; frozen lanes wrote nothing attended)
+            self._inflight = None
         return True
 
     def _admit(self) -> None:
@@ -376,13 +388,10 @@ class ContinuousQwen3TTS:
         meta["decoded"] = len(req.codes)
         return np.asarray(wav)[0]
 
-    def step(self):
-        """Admit + one batched macro tick. Returns ``(request_id, wav)``
-        audio-chunk events (np.float32 arrays)."""
-        self._admit()
-        if all(r is None for r in self._lane):
-            return []
+    def _launch(self):
+        """Dispatch one macro tick (async — nothing syncs here)."""
         live = [s for s, r in enumerate(self._lane) if r is not None]
+        reqs = [self._lane[s] for s in live]
         bucket = next(b for b in self._lane_buckets if b >= len(live))
         if bucket < self.slots:
             free = next(s for s, r in enumerate(self._lane) if r is None)
@@ -394,13 +403,18 @@ class ContinuousQwen3TTS:
         else:
             self._state, packed = self._tick(self.model.params, self._state)
             cols = live
+        return (packed, cols, live, reqs)
+
+    def _harvest(self, tick):
+        packed, cols, live, reqs = tick
         packed = np.asarray(packed)           # ONE sync: [G+2, bucket|slots]
         codes_host = packed[:-2].T            # [lanes, G]
         emit_host = packed[-2].astype(bool)
         active_host = packed[-1].astype(bool)
         events = []
-        for j, slot in zip(cols, live):
-            req = self._lane[slot]
+        for j, slot, req in zip(cols, live, reqs):
+            if req.done:                      # cancelled while in flight
+                continue
             if emit_host[j]:
                 req.codes.append(codes_host[j])
             finished = not active_host[j]
@@ -409,9 +423,27 @@ class ContinuousQwen3TTS:
                 events.append((req.request_id, wav))
             if finished:
                 req.done = True
-                self._lane[slot] = None
+                if self._lane[slot] is req:
+                    self._lane[slot] = None
                 self._meta.pop(req.request_id, None)
         return events
+
+    def step(self):
+        """Admit + one batched macro tick. Returns ``(request_id, wav)``
+        audio-chunk events (np.float32 arrays) — this tick's with
+        ``pipeline=False``, the previous tick's with ``pipeline=True``
+        (the new tick dispatches before the old tick's device->host
+        fetch, so the fetch rides the decode compute)."""
+        self._admit()
+        prev, self._inflight = self._inflight, None
+        if any(r is not None for r in self._lane):
+            tick = self._launch()
+            if self.pipeline:
+                self._inflight = tick
+            else:
+                events = self._harvest(prev) if prev is not None else []
+                return events + self._harvest(tick)
+        return self._harvest(prev) if prev is not None else []
 
     def run(self):
         """Drain the engine, yielding ``(request_id, wav)`` chunks until
