@@ -105,7 +105,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
                       repeats: int = 3, kv_bits: int | None = None,
                       w8_decoder: bool = False,
                       dense_self: bool = False,
-                      w8_encoder: bool = False) -> dict:
+                      w8_encoder: bool = False,
+                      fused: bool = False) -> dict:
     """``w8_decoder`` quantizes the decoder stack (incl. the tied
     embedding head) to per-channel int8 for the native MXU path — the
     224-token decode loop is HBM-bound on decoder weight reads.
@@ -128,19 +129,37 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
     audio = rng.standard_normal(W.CHUNK_LENGTH_SAMPLES).astype(np.float32) * 0.1
     max_total = st["prompt_len"] + decode_tokens
 
-    def run_once():
-        feats = model.encoder_features(audio)
-        enc_out = model._encode(model.params, feats)
-        tokens, count = model._decode_loop(
-            model.params, enc_out,
-            st["prompt_buf"], jnp.int32(st["prompt_len"]),
-            jnp.int32(-1),  # unmatched EOT -> full-length decode
-            st["suppress"], st["begin"],
-            jnp.float32(0.0), st["key"], max_total=max_total,
-            kv_bits=kv_bits,
-            quantized_kv_start=max_total if dense_self else 0,
-        )
-        return tokens.block_until_ready(), int(count)
+    if fused:
+        # monolithic Pallas decoder (ops/pallas_fused_decoder): the whole
+        # layer stack as one kernel per token; implies w8 + int8 cross KV
+        # (mode token ``fused``; pair with ``w8e`` for the full headline)
+        pack = model.fused_decoder_pack()
+
+        def run_once():
+            feats = model.encoder_features(audio)
+            enc_out = model._encode(model.params, feats)
+            tokens, count = model._decode_loop_f(
+                model.params, pack, enc_out,
+                st["prompt_buf"], jnp.int32(st["prompt_len"]),
+                jnp.int32(-1),  # unmatched EOT -> full-length decode
+                st["suppress"], st["begin"],
+                jnp.float32(0.0), st["key"], max_total=max_total,
+            )
+            return tokens.block_until_ready(), int(count)
+    else:
+        def run_once():
+            feats = model.encoder_features(audio)
+            enc_out = model._encode(model.params, feats)
+            tokens, count = model._decode_loop(
+                model.params, enc_out,
+                st["prompt_buf"], jnp.int32(st["prompt_len"]),
+                jnp.int32(-1),  # unmatched EOT -> full-length decode
+                st["suppress"], st["begin"],
+                jnp.float32(0.0), st["key"], max_total=max_total,
+                kv_bits=kv_bits,
+                quantized_kv_start=max_total if dense_self else 0,
+            )
+            return tokens.block_until_ready(), int(count)
 
     # warmup/compile
     t0 = time.perf_counter()
@@ -160,7 +179,8 @@ def bench_whisper_rtf(size: str = "large-v3", decode_tokens: int = 224,
                   + ("_kv8" if kv_bits == 8 else "")
                   + ("d" if dense_self else "")
                   + ("_w8" if w8_decoder else "")
-                  + ("_w8e" if w8_encoder else ""),
+                  + ("_w8e" if w8_encoder else "")
+                  + ("_fused" if fused else ""),
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
@@ -1052,6 +1072,7 @@ def _compact_line(r: dict, max_bytes: int = 600) -> str:
 # used only for the skip-ahead budget check, not for timeouts.
 _ALL_MODES = [
     ("whisper_kv8d_w8_w8e", ["large-v3", "kv8d", "w8", "w8e"], 120),
+    ("whisper_fused", ["large-v3", "fused", "w8e"], 150),
     ("tts", ["tts"], 40),
     ("dfn", ["dfn"], 60),
     ("lid", ["lid"], 50),
@@ -1192,10 +1213,13 @@ def main():
         elif mode == "longfile":
             result = bench_whisper_longfile()
         else:
+            fused = "fused" in sys.argv[2:]
             result = bench_whisper_rtf(mode, kv_bits=kv_bits,
-                                       w8_decoder="w8" in sys.argv[2:],
+                                       w8_decoder="w8" in sys.argv[2:]
+                                                  or fused,
                                        dense_self=dense_self,
-                                       w8_encoder="w8e" in sys.argv[2:])
+                                       w8_encoder="w8e" in sys.argv[2:],
+                                       fused=fused)
     except BaseException as e:  # noqa: BLE001 — always emit a json line
         result = {
             "metric": f"{mode}_bench_failed",
