@@ -1072,7 +1072,6 @@ def _compact_line(r: dict, max_bytes: int = 600) -> str:
 # used only for the skip-ahead budget check, not for timeouts.
 _ALL_MODES = [
     ("whisper_kv8d_w8_w8e", ["large-v3", "kv8d", "w8", "w8e"], 120),
-    ("whisper_fused", ["large-v3", "fused", "w8e"], 150),
     ("tts", ["tts"], 40),
     ("dfn", ["dfn"], 60),
     ("lid", ["lid"], 50),
@@ -1084,6 +1083,13 @@ _ALL_MODES = [
     ("parakeet", ["parakeet"], 130),
     ("whisper_longfile", ["longfile"], 150),
     ("whisper_bf16", ["large-v3"], 90),
+    # LAST: the fused-kernel headline (RTF 0.0199 measured r4). Its
+    # Mosaic compile does not reliably persist in the cache on this
+    # backend (~3-7 min per fresh process, ~14 min with init/pack), so
+    # it only runs when the remaining budget allows; the skip line
+    # documents it otherwise. Standalone: `python bench.py large-v3
+    # fused w8e`.
+    ("whisper_fused", ["large-v3", "fused", "w8e"], 900),
 ]
 
 
@@ -1116,11 +1122,20 @@ def bench_all(budget_s: float | None = None) -> dict:
     start = time.perf_counter()
     also = []
     primary = None
-    overrun = 1.0  # running actual/estimate ratio; scales later estimates
+    ratios: list[float] = []  # observed actual/estimate per finished mode
 
     for i, (name, argv, est_s) in enumerate(_ALL_MODES):
         elapsed = time.perf_counter() - start
         remaining = budget_s - elapsed
+        # scale estimates by the MEDIAN observed overrun (robust to one
+        # cold-compile blowout poisoning every later skip decision),
+        # capped so a uniformly-slow environment still degrades to
+        # running the cheapest modes
+        if ratios:
+            med = sorted(ratios)[len(ratios) // 2]
+            overrun = min(max(1.0, med), 4.0)
+        else:
+            overrun = 1.0
         if i > 0 and est_s * overrun > remaining:
             r = {"metric": name, "value": -1.0, "unit": "skipped",
                  "vs_baseline": 0.0,
@@ -1134,7 +1149,7 @@ def bench_all(budget_s: float | None = None) -> dict:
             r = _run_sub_bench(argv, timeout_s=int(max(60, remaining)))
             wall = time.perf_counter() - t0
             r.setdefault("detail", {})["bench_wall_s"] = round(wall, 1)
-            overrun = max(overrun, 0.5 * overrun + 0.5 * (wall / est_s))
+            ratios.append(wall / est_s)
         except Exception as e:  # noqa: BLE001 — isolate sub-bench failures
             r = {"metric": name, "value": -1.0, "unit": "error",
                  "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"}

@@ -99,8 +99,14 @@ def _as_int8(w):
 def pack_decoder_weights(params, cfg) -> FusedPack:
     """Pack the stacked decoder layer params (``model.decoder.layers``,
     leaves [L, ...]) into the kernel's uniform stream. Runs once at model
-    load; accepts w8 (Int8Tensor) or dense trees."""
+    load; accepts w8 (Int8Tensor) or dense trees. The packing itself is
+    jitted (one device dispatch instead of hundreds of eager concat/set
+    ops — on a tunneled chip the eager version costs minutes)."""
     lp = params["model"]["decoder"]["layers"]
+    return jax.jit(functools.partial(_pack_impl, cfg=cfg))(lp)
+
+
+def _pack_impl(lp, *, cfg) -> FusedPack:
     d = cfg.d_model
     ffn = cfg.decoder_ffn_dim
     L = cfg.decoder_layers
