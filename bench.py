@@ -276,7 +276,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
                    lm_dims: dict | None = None,
                    snac_dims: dict | None = None,
                    quantize_bits: int | None = None,
-                   band_head: bool = False) -> dict:
+                   band_head: bool = False,
+                   fused: bool = False) -> dict:
     """Streaming TTS time-to-first-audio: Orpheus-3B-shaped llama decode
     + real-size SNAC 24k decode of the first 4 frames.
 
@@ -305,7 +306,19 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
     )))
     params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
                                       on_device=True)
-    if quantize_bits:
+    pack = None
+    if fused:
+        # monolithic Pallas llama decoder (ops/pallas_fused_llama):
+        # implies w8a8; the pack needs the UNFUSED quantized tree
+        from tpu_audio.core import quant
+        from tpu_audio.ops import pallas_fused_llama as FL
+
+        assert FL.supported(cfg)
+        quantize_bits = -8
+        params = quant.quantize_tree(params, scheme="w8a8")
+        pack = FL.pack_llama_weights(params, cfg)
+        band_head = True  # deployment head; the stack is what changed
+    elif quantize_bits:
         from tpu_audio.core import quant
 
         if quantize_bits == -8:  # w8a8 int8 MXU path
@@ -392,10 +405,71 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
         z = vq_from_codes(snac.params, codes, snac.config)
         return snac_decoder(snac.params, z, snac.config, rng=rng)
 
-    def run_once(seed):
-        wav = first_chunk(params, band_params, snac.params,
-                          jnp.asarray(prompt), jax.random.PRNGKey(seed))
-        return np.asarray(wav)
+    if fused:
+        from tpu_audio.core import nn as _nn
+        from tpu_audio.ops import pallas_fused_llama as FL
+
+        dkv = cfg.num_key_value_heads * 128
+        s_max = -(-(bucket + chunk_tokens + 2) // FL.SUB) * FL.SUB
+        L = cfg.num_hidden_layers
+
+        @jax.jit
+        def first_chunk_fused(p, pk, band_p, snac_p, prompt_ids, rng):
+            # XLA prefill fills a standard cache in one pass; convert to
+            # the kernel's position-major [L, S, dkv] layout (k rows are
+            # already rotated — llama.forward caches post-RoPE K)
+            cache = llama.make_cache(cfg, 1, s_max, jnp.bfloat16)
+            _, cache = llama.forward(p, prompt_ids[:, :-1], cache, cfg,
+                                     return_hidden=True)
+            kc = cache.k[:, 0].transpose(0, 2, 1, 3).reshape(
+                L, s_max, dkv).astype(jnp.bfloat16)
+            vc = cache.v[:, 0].transpose(0, 2, 1, 3).reshape(
+                L, s_max, dkv).astype(jnp.bfloat16)
+            emb = p["model"]["embed_tokens"]
+
+            def body(c, i):
+                kc, vc, last, rng = c
+                x = _nn.embedding(emb, last)[0].astype(jnp.float32)
+                x8 = jnp.zeros((8, cfg.hidden_size), jnp.float32
+                               ).at[0].set(x)
+                pos = bucket - 1 + i
+                y, nk, nv = FL.fused_llama_stack(pk, kc, vc, x8, pos,
+                                                 cfg=cfg)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, nk[:, 0:1].astype(kc.dtype), (0, pos, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, nv[:, 0:1].astype(vc.dtype), (0, pos, 0))
+                h = _nn.rms_norm(p["model"]["norm"],
+                                 y[0:1].astype(jnp.bfloat16),
+                                 cfg.rms_norm_eps)
+                logits = _nn.linear(band_p, h).astype(jnp.float32)
+                rng, sub = jax.random.split(rng)
+                nxt = jax.random.categorical(
+                    sub, _mask_top_p(logits, sp.top_p) / sp.temperature,
+                    axis=-1).astype(jnp.int32)
+                nxt = jnp.where(nxt >= 7 * 4096, jnp.int32(128258),
+                                nxt + jnp.int32(128266))
+                return (kc, vc, nxt, rng), nxt[0]
+
+            (_, _, _, rng), toks = jax.lax.scan(
+                body, (kc, vc, prompt_ids[:, -1], rng),
+                jnp.arange(chunk_tokens))
+            f = toks.reshape(n_frames, 7) % 4096
+            codes = [f[:, :1].reshape(1, -1), f[:, 1:3].reshape(1, -1),
+                     f[:, 3:7].reshape(1, -1)]
+            z = vq_from_codes(snac.params, codes, snac.config)
+            return snac_decoder(snac.params, z, snac.config, rng=rng)
+
+        def run_once(seed):
+            wav = first_chunk_fused(params, pack, band_params, snac.params,
+                                    jnp.asarray(prompt),
+                                    jax.random.PRNGKey(seed))
+            return np.asarray(wav)
+    else:
+        def run_once(seed):
+            wav = first_chunk(params, band_params, snac.params,
+                              jnp.asarray(prompt), jax.random.PRNGKey(seed))
+            return np.asarray(wav)
 
     wav = run_once(0)  # warmup/compile
     audio_s = wav.size / 24000.0
@@ -411,7 +485,8 @@ def bench_tts_ttfb(chunk_tokens: int = 28, repeats: int = 3,
         "metric": f"orpheus3b_tts_ttfb_{chunk_tokens}tok"
                   + ("_w8a8" if quantize_bits == -8 else
                      f"_q{quantize_bits}" if quantize_bits else "")
-                  + ("_band" if band_head else ""),
+                  + ("_band" if band_head else "")
+                  + ("_fusedk" if fused else ""),
         "value": round(ttfb * 1000, 1),
         "unit": "ms",
         "vs_baseline": round(rtx, 3),
@@ -1208,7 +1283,8 @@ def main():
             result = bench_all()
         elif mode == "tts":
             result = bench_tts_ttfb(quantize_bits=qbits,
-                                    band_head="band" in sys.argv[2:])
+                                    band_head="band" in sys.argv[2:],
+                                    fused="fused" in sys.argv[2:])
         elif mode == "qwen3tts":
             result = bench_qwen3_tts_ttfb()
         elif mode == "serve":

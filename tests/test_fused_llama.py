@@ -1,0 +1,104 @@
+"""Fused llama decoder kernel (ops/pallas_fused_llama.py): interpret-mode
+semantic parity against the float llama.forward path (int8 quantization
+is the only intended deviation) plus pack invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.core import kv_cache, nn
+from tpu_audio.models import llama
+from tpu_audio.ops import pallas_fused_llama as FL
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128)
+    assert FL.supported(cfg)
+    params = llama.init_random_params(cfg, seed=5, dtype=jnp.float32)
+    pack = FL.pack_llama_weights(params, cfg)
+    return cfg, params, pack
+
+
+def test_pack_shapes(setup):
+    cfg, params, pack = setup
+    d, ffn = cfg.hidden_size, cfg.intermediate_size
+    dkv = cfg.num_key_value_heads * 128
+    rows = d + 2 * dkv + d + 2 * ffn + ffn
+    assert pack.wstream.shape == (cfg.num_hidden_layers, rows, d)
+    assert pack.wstream.dtype == jnp.int8
+    assert pack.row_scales.shape == (cfg.num_hidden_layers, rows)
+    # down section carries unit row scales (scale lives in normpack[2])
+    assert np.allclose(np.asarray(pack.row_scales)[:, -ffn:], 1.0)
+    assert pack.winv.shape == (1, 128)
+    # lane table repeats inv_freq twice (half-split rotation)
+    w = np.asarray(pack.winv)[0]
+    assert np.allclose(w[:64], w[64:])
+
+
+def test_fused_llama_matches_float_forward(setup):
+    """Three decode steps: fused hidden -> final norm -> tied head must
+    track the float path (cosine > 0.995, same argmax) — covers RoPE,
+    the GQA pack permutation, SwiGLU, and the cache protocol."""
+    cfg, params, pack = setup
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    s_max = 64
+    cache = llama.make_cache(cfg, 1, s_max, dtype=jnp.float32)
+    kc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+    vc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+
+    toks = [5, 41, 12]
+    for i, t in enumerate(toks):
+        logits, cache = llama.forward(
+            params, jnp.asarray([[t]], jnp.int32), cache, cfg)
+
+        x = params["model"]["embed_tokens"]["weight"][t].astype(jnp.float32)
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(x)
+        y, nk, nv = FL.fused_llama_stack(pack, kc, vc, x8, i, cfg=cfg,
+                                         interpret=True)
+        kc = jax.lax.dynamic_update_slice(
+            kc, nk[:, 0:1].astype(kc.dtype), (0, i, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, nv[:, 0:1].astype(vc.dtype), (0, i, 0))
+
+    h = nn.rms_norm(params["model"]["norm"], np.asarray(y)[0:1].astype(jnp.float32),
+                    cfg.rms_norm_eps)
+    logits_f = nn.embedding_as_linear(params["model"]["embed_tokens"], h)
+    a = np.asarray(logits[0, -1], np.float64)
+    b = np.asarray(logits_f[0], np.float64)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
+    assert np.argmax(a) == np.argmax(b)
+
+
+def test_fused_llama_cached_k_is_rotated(setup):
+    """The cache stores post-RoPE K: step i's newk must equal the float
+    path's rotated k row (per-layer, within int8 tolerance)."""
+    cfg, params, pack = setup
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    s_max = 64
+    kc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+    vc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+    t, i = 9, 0
+    x = params["model"]["embed_tokens"]["weight"][t].astype(jnp.float32)
+    x8 = jnp.zeros((8, d), jnp.float32).at[0].set(x)
+    _, nk, _ = FL.fused_llama_stack(pack, kc, vc, x8, i, cfg=cfg,
+                                    interpret=True)
+
+    # float reference: layer-0 k projection + rope at position 0
+    lp = jax.tree.map(lambda a: a[0], params["model"]["layers"])
+    h = nn.rms_norm(lp["input_layernorm"], x[None], cfg.rms_norm_eps)
+    k = nn.linear(lp["self_attn"]["k_proj"], h).reshape(
+        1, 1, cfg.num_key_value_heads, 128).transpose(0, 2, 1, 3)
+    cos, sin = llama._rope_tables(cfg, jnp.asarray([i]))
+    k = nn.apply_rope(k, cos, sin)[0, :, 0]            # [n_kv, 128]
+    ref = np.asarray(k).reshape(-1)
+    got = np.asarray(nk)[0, 0]
+    assert np.abs(got - ref).max() < 2e-2 * np.abs(ref).max()

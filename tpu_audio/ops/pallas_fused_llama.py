@@ -1,0 +1,453 @@
+"""Monolithic Pallas llama-family decode step (one kernel = all layers).
+
+Sibling of :mod:`pallas_fused_decoder` (whisper) for the Llama/Orpheus
+decoder: the Orpheus-3B w8 decode measures 5.1 ms/token against a 3.7 ms
+HBM roofline (docs/DESIGN.md) for the same reason whisper did — ~200
+decode-shaped XLA fusions per token each streaming weights at roughly
+half of peak, plus [S, heads, 128] attention ops. This kernel runs the
+ENTIRE layer stack (RMSNorm + GQA attention with RoPE + SwiGLU MLP x L)
+as ONE ``pallas_call`` per token, streaming the int8 weights in uniform
+[CH, d] blocks that Mosaic double-buffers across grid steps.
+
+Beyond the whisper kernel, two llama-specific devices:
+
+- **Pack-time GQA head permutation**: the q-projection's OUTPUT rows
+  (and the o-projection's input columns) are reordered at pack time into
+  ``[rep, kv_head, head_dim]`` order, so rep r's query block is the
+  static slice ``q[:, r*dkv:(r+1)*dkv]`` laid out EXACTLY like the
+  [S, dkv] K/V cache rows — grouped attention becomes ``rep`` plain
+  elementwise-product + one-hot head-sum passes with zero in-kernel
+  gathers or reshapes.
+- **In-kernel RoPE via lane roll**: with q/k viewed as [heads, 128]
+  (heads on sublanes), the half-split rotation is
+  ``x*cos + roll(x, 64, lanes)*sign*sin`` where sign = [-1]*64 ++ [1]*64
+  and the per-lane angle is ``position * inv_freq[lane % 64]``
+  (inv_freq — including Llama-3 NTK scaling — precomputed at pack time
+  as a [1, 128] lane table; cos/sin evaluate on the VPU).
+
+Supported shapes: hidden % 512 == 0, head_dim 128, ffn % 512 == 0,
+kv_dim (n_kv*128) % 512 == 0, no attention biases, no qk_norm,
+non-interleaved RoPE — Orpheus-3B / Llama-3.2 / VyvoTTS qualify. The
+position-major [L, S, dkv] bf16 cache caps at S = 1024 in VMEM; longer
+generations fall back to the XLA loop.
+
+Reference provenance: layer semantics mirror the reference's Llama
+decoder (LlamaTTS.swift:104,206,257); the kernelization is TPU-original.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["supported", "pack_llama_weights", "fused_llama_stack",
+           "LlamaFusedPack", "S_MAX_CAP"]
+
+SUB = 64        # row tile for [*, d] f32 attention temporaries
+CH = 512        # weight-stream chunk rows
+S_MAX_CAP = 1024  # position-major cache rows held in VMEM
+
+
+class LlamaFusedPack(NamedTuple):
+    wstream: jnp.ndarray     # [L, R, d] int8 (q',k,v,o',gate,up,down')
+    row_scales: jnp.ndarray  # [L, R] f32 (1.0 over the down section)
+    normpack: jnp.ndarray    # [L, 8, d] f32 (norm weights, down scale)
+    winv: jnp.ndarray        # [1, 128] f32 lane table: inv_freq[l % 64]
+
+
+def supported(cfg) -> bool:
+    d = cfg.hidden_size
+    hd = cfg.resolved_head_dim
+    dkv = cfg.num_key_value_heads * hd
+    return (hd == 128 and d % CH == 0 and dkv % CH == 0
+            and cfg.num_attention_heads * hd == d
+            and cfg.intermediate_size % CH == 0
+            and cfg.num_attention_heads % cfg.num_key_value_heads == 0
+            and cfg.num_key_value_heads <= 128
+            and not cfg.attention_bias and not cfg.qk_norm
+            and not cfg.rope_interleaved
+            and cfg.residual_multiplier == 1.0
+            and cfg.attention_multiplier is None)
+
+
+def _as_int8(w):
+    from tpu_audio.core import quant
+
+    if isinstance(w, quant.Int8Tensor):
+        return w.weight, w.scale.astype(jnp.float32)
+    t = quant.quantize_int8_jax(w)
+    return t.weight, t.scale.astype(jnp.float32)
+
+
+def _gqa_perm(n_heads: int, n_kv: int, hd: int) -> np.ndarray:
+    """Row permutation mapping HF head order -> [rep, kv_head, hd]."""
+    rep = n_heads // n_kv
+    idx = np.arange(n_heads * hd).reshape(n_kv, rep, hd)
+    return idx.transpose(1, 0, 2).reshape(-1)  # [rep*n_kv*hd]
+
+
+def pack_llama_weights(params, cfg) -> LlamaFusedPack:
+    """Pack stacked llama layer params into the kernel stream (jitted —
+    one dispatch). ``params`` may be the model tree ({"layers": ...}) or
+    the layers subtree; fused qkv/gate_up projections are rejected (pack
+    from the unfused tree)."""
+    lp = params
+    for key in ("model", "layers"):
+        if isinstance(lp, dict) and key in lp:
+            lp = lp[key]
+    if "qkv_proj" in lp["self_attn"] or "gate_up_proj" in lp["mlp"]:
+        raise ValueError("pack from the UNFUSED projection tree "
+                         "(before llama.fuse_projections)")
+    return jax.jit(functools.partial(_pack_impl, cfg=cfg))(lp)
+
+
+def _pack_impl(lp, *, cfg) -> LlamaFusedPack:
+    from tpu_audio.core import nn
+
+    d = cfg.hidden_size
+    hd = cfg.resolved_head_dim
+    n_heads = cfg.num_attention_heads
+    n_kv = cfg.num_key_value_heads
+    ffn = cfg.intermediate_size
+    L = cfg.num_hidden_layers
+    perm = jnp.asarray(_gqa_perm(n_heads, n_kv, hd))
+
+    ap, mp = lp["self_attn"], lp["mlp"]
+    q_w8, q_s = _as_int8(ap["q_proj"]["weight"])
+    segs = [q_w8[:, perm, :]]          # q rows permuted to [rep, kv, hd]
+    scls = [q_s[:, perm]]
+    for proj in (ap["k_proj"], ap["v_proj"]):
+        w8, s = _as_int8(proj["weight"])
+        segs.append(w8)
+        scls.append(s)
+    # o_proj: INPUT columns permuted to match the permuted attn output
+    o_w8, o_s = _as_int8(ap["o_proj"]["weight"])
+    segs.append(o_w8[:, :, perm])
+    scls.append(o_s)
+    for proj in (mp["gate_proj"], mp["up_proj"]):
+        w8, s = _as_int8(proj["weight"])
+        segs.append(w8)
+        scls.append(s)
+    # down_proj input-major: [L, d, ffn] -> [L, ffn, d]; per-out-channel
+    # scale moves to the norm pack
+    dn_w8, dn_s = _as_int8(mp["down_proj"]["weight"])
+    segs.append(jnp.transpose(dn_w8, (0, 2, 1)))
+    scls.append(jnp.ones((L, ffn), jnp.float32))
+
+    wstream = jnp.concatenate(segs, axis=1)
+    row_scales = jnp.concatenate(scls, axis=1)
+
+    norm = jnp.zeros((L, 8, d), jnp.float32)
+    norm = norm.at[:, 0].set(
+        lp["input_layernorm"]["weight"].astype(jnp.float32))
+    norm = norm.at[:, 1].set(
+        lp["post_attention_layernorm"]["weight"].astype(jnp.float32))
+    norm = norm.at[:, 2].set(dn_s)
+
+    scaling = None
+    rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        scaling = rs
+    inv = nn.rope_freqs(hd, cfg.rope_theta, scaling)        # [64]
+    winv = jnp.tile(inv, 2)[None, :]                        # [1, 128]
+    return LlamaFusedPack(wstream, row_scales, norm, winv)
+
+
+def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
+                  s_max: int, L: int, eps: float):
+    from jax.experimental import pallas as pl
+
+    hd = 128
+    dkv = n_kv * hd
+    rep = n_heads // n_kv
+    nq, nk, nv, no = d // CH, dkv // CH, dkv // CH, d // CH
+    ng = nd = ffn // CH
+    C_Q = 0
+    C_K = C_Q + nq
+    C_V = C_K + nk
+    C_O = C_V + nv
+    C_G = C_O + no
+    C_U = C_G + ng
+    C_D = C_U + ng
+    STEPS = C_D + nd
+    sm = 1.0 / math.sqrt(hd)
+
+    def hsum(dtype=jnp.float32):    # [dkv, 128] one-hot kv-head folder
+        return (jax.lax.broadcasted_iota(jnp.int32, (dkv, 128), 0) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (dkv, 128), 1)
+                ).astype(dtype)
+
+    def hsum_t(dtype=jnp.float32):  # [128, dkv]
+        return (jax.lax.broadcasted_iota(jnp.int32, (128, dkv), 1) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (128, dkv), 0)
+                ).astype(dtype)
+
+    def kernel(off_ref, x_ref, w_ref, ws_ref, norm_ref, winv_ref,
+               kc_ref, vc_ref,
+               y_ref, nk_ref, nv_ref,
+               resid, xq8, xs_s, qbuf, kbuf, vbuf, abuf, h, hq8, hs_s,
+               csc):
+        from jax.experimental.pallas import tpu as pltpu
+
+        lyr = pl.program_id(0)
+        c = pl.program_id(1)
+        off = off_ref[0, 0]
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, d), 0) == 0)
+        nrm = norm_ref[0]
+
+        def quantize_row0(x, full_d=d):
+            s = jnp.maximum(jnp.max(jnp.abs(x[0:1, :])) / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(x / s), -127, 127)
+            r0 = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == 0)
+            xq8[:, :full_d] = jnp.where(r0, q, 0.0).astype(jnp.int8)
+            xs_s[0] = s
+
+        def rms_norm(x, wrow):
+            xf = x[0:1, :]
+            y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1,
+                                            keepdims=True) + eps)
+            y = y * nrm[wrow:wrow + 1, :]
+            return jnp.where(row0, jnp.broadcast_to(y, (8, d)), 0.0)
+
+        def gemv_chunk(n_in=d):
+            acc = jax.lax.dot_general(
+                xq8[:, :n_in], w_ref[0, :, :n_in],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (ws_ref[0, 0] * xs_s[0])
+
+        def rope(vec, n):
+            """Half-split RoPE on ``vec [1, n]`` (n = d or dkv) viewed as
+            [n/128 heads, 128]: x*cos + roll(x,64)*sign*sin with the
+            per-lane angle off * winv[lane]."""
+            heads = n // 128
+            xm = vec.reshape(heads, 128)
+            ang = off.astype(jnp.float32) * winv_ref[0:1, :]    # [1,128]
+            cosv = jnp.cos(ang)
+            sinv = jnp.sin(ang)
+            sign = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < 64,
+                -1.0, 1.0)
+            rot = pltpu.roll(xm, shift=64, axis=1)
+            out = xm * cosv + rot * (sign * sinv)
+            return out.reshape(1, n)
+
+        # ---- attention projections --------------------------------------
+        @pl.when(c == C_Q)
+        def _():
+            @pl.when(lyr == 0)
+            def _():
+                resid[:] = x_ref[:]
+            quantize_row0(rms_norm(resid[:], 0))
+
+        for j in range(nq):
+            @pl.when(c == C_Q + j)
+            def _(j=j):
+                qbuf[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        for c0, buf, n in ((C_K, kbuf, nk), (C_V, vbuf, nv)):
+            for j in range(n):
+                @pl.when(c == c0 + j)
+                def _(buf=buf, j=j):
+                    buf[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        # ---- GQA attention (at the first o chunk) ------------------------
+        @pl.when(c == C_O)
+        def _():
+            hh = hsum()
+            hht = hsum_t()
+            krot = rope(kbuf[0:1, :dkv], dkv)
+            nk_ref[0] = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (8, dkv), 0) == 0,
+                jnp.broadcast_to(krot, (8, dkv)), 0.0)
+            nv_ref[0] = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (8, dkv), 0) == 0,
+                jnp.broadcast_to(vbuf[0:1, :dkv], (8, dkv)), 0.0)
+            pos_s = jax.lax.broadcasted_iota(jnp.int32, (s_max, 128), 0)
+            pos_d = jax.lax.broadcasted_iota(jnp.int32, (SUB, dkv), 0)
+            nsub = s_max // SUB
+            for r in range(rep):
+                qr = rope(qbuf[0:1, r * dkv:(r + 1) * dkv], dkv) * sm
+
+                def score_tile(i, _, qr=qr):
+                    kk = kc_ref[0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    rp = pos_d + i * SUB
+                    kk = jnp.where(rp == off,
+                                   jnp.broadcast_to(krot, kk.shape), kk)
+                    csc[pl.ds(i * SUB, SUB), :] = jnp.dot(
+                        kk * qr, hh, preferred_element_type=jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(0, nsub, score_tile, 0)
+                sc = csc[0:s_max, :]
+                valid = pos_s <= off
+                sc = jnp.where(valid, sc, -1e9)
+                mx = jnp.max(sc, axis=0, keepdims=True)
+                p = jnp.where(valid, jnp.exp(sc - mx), 0.0)
+                csc[0:s_max, :] = p / jnp.sum(p, axis=0, keepdims=True)
+
+                def pv_tile(i, acc):
+                    pr = csc[pl.ds(i * SUB, SUB), :]
+                    pexp = jnp.dot(pr, hht,
+                                   preferred_element_type=jnp.float32)
+                    vv = vc_ref[0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    rp = pos_d + i * SUB
+                    vv = jnp.where(
+                        rp == off,
+                        jnp.broadcast_to(vbuf[0:1, :dkv], vv.shape), vv)
+                    return acc + jnp.sum(pexp * vv, axis=0, keepdims=True)
+
+                av = jax.lax.fori_loop(0, nsub, pv_tile,
+                                       jnp.zeros((1, dkv), jnp.float32))
+                abuf[0:1, r * dkv:(r + 1) * dkv] = av
+            quantize_row0(jnp.where(row0, abuf[:], 0.0))
+
+        for j in range(no):
+            @pl.when(c == C_O + j)
+            def _(j=j):
+                resid[:, j * CH:(j + 1) * CH] = (
+                    resid[:, j * CH:(j + 1) * CH] + gemv_chunk())
+
+        # ---- SwiGLU MLP ---------------------------------------------------
+        @pl.when(c == C_G)
+        def _():
+            quantize_row0(rms_norm(resid[:], 1))
+
+        for j in range(ng):
+            @pl.when(c == C_G + j)
+            def _(j=j):
+                h[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        for j in range(ng):
+            @pl.when(c == C_U + j)
+            def _(j=j):
+                g = h[:, j * CH:(j + 1) * CH]
+                u = gemv_chunk()
+                h[:, j * CH:(j + 1) * CH] = g * jax.nn.sigmoid(g) * u
+
+        @pl.when(c == C_D)
+        def _():
+            hf = h[:]
+            s = jnp.maximum(jnp.max(jnp.abs(hf[0:1, :])) / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(hf / s), -127, 127)
+            rr = (jax.lax.broadcasted_iota(jnp.int32, (8, ffn), 0) == 0)
+            hq8[:] = jnp.where(rr, q, 0.0).astype(jnp.int8)
+            hs_s[0] = s
+
+        for j in range(nd):
+            @pl.when(c == C_D + j)
+            def _(j=j):
+                acc = jax.lax.dot_general(
+                    hq8[:, j * CH:(j + 1) * CH], w_ref[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                resid[:] = resid[:] + acc.astype(jnp.float32) * (
+                    nrm[2:3, :] * hs_s[0])
+
+        @pl.when((lyr == L - 1) & (c == STEPS - 1))
+        def _():
+            y_ref[:] = jnp.where(row0, resid[:], 0.0)
+
+    return kernel, STEPS, dict(C_K=C_K, C_V=C_V)
+
+
+def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
+                      cfg, interpret: bool = False):
+    """One token through the whole llama layer stack.
+
+    x: [8, d] f32 (embedded token, live row 0); kcache/vcache:
+    [L, S, dkv] bf16 position-major (S <= S_MAX_CAP, multiple of SUB;
+    K rows stored ROTATED — the kernel outputs post-RoPE newk). Returns
+    (y [8, d] f32 pre-final-norm, newk [L, 8, dkv], newv [L, 8, dkv]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = cfg.hidden_size
+    L = cfg.num_hidden_layers
+    ffn = cfg.intermediate_size
+    dkv = cfg.num_key_value_heads * 128
+    s_max = kcache.shape[1]
+    assert s_max % SUB == 0 and s_max <= S_MAX_CAP
+
+    kernel, STEPS, _ = _build_kernel(
+        d=d, n_heads=cfg.num_attention_heads,
+        n_kv=cfg.num_key_value_heads, ffn=ffn, s_max=s_max, L=L,
+        eps=cfg.rms_norm_eps)
+
+    # weight-chunk widths vary by stage (d for q/o/gate/up/down-chunks,
+    # dkv for k/v) — blocks are uniformly [CH, d] with k/v rows stored
+    # d-wide zero-padded at pack time when dkv < d? No: dkv rows are a
+    # contiguous [*, d]-wide slab only if dkv == d. Instead the stream
+    # keeps EVERY row d wide; k/v segment rows come from [dkv, d]
+    # matrices, so they are already [*, d]. Chunk index is linear.
+    def w_idx(l, c):
+        return (l, c, 0)
+
+    y, nk, nv = pl.pallas_call(
+        kernel,
+        grid=(L, STEPS),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda l, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, d), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, CH), lambda l, c: (l, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_max, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_max, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, dkv), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, dkv), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, d), jnp.float32),      # resid
+            pltpu.VMEM((8, d), jnp.int8),          # xq8
+            pltpu.SMEM((1,), jnp.float32),         # xs_s
+            pltpu.VMEM((8, d), jnp.float32),       # qbuf (permuted order)
+            pltpu.VMEM((8, d), jnp.float32),       # kbuf (dkv valid)
+            pltpu.VMEM((8, d), jnp.float32),       # vbuf (dkv valid)
+            pltpu.VMEM((8, d), jnp.float32),       # abuf (permuted order)
+            pltpu.VMEM((8, ffn), jnp.float32),     # h (gate, then act)
+            pltpu.VMEM((8, ffn), jnp.int8),        # hq8
+            pltpu.SMEM((1,), jnp.float32),         # hs_s
+            pltpu.VMEM((s_max, 128), jnp.float32),  # csc (per-rep scores)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * pack.wstream.shape[1] * d * L,
+            bytes_accessed=(pack.wstream.size
+                            + kcache.size * 2 + vcache.size * 2),
+            transcendentals=8 * ffn * L,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(offset, jnp.int32).reshape(1, 1), x,
+      pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.normpack,
+      pack.winv, kcache, vcache)
+    return y, nk, nv
