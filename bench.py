@@ -1165,6 +1165,10 @@ _ALL_MODES = [
     # documents it otherwise. Standalone: `python bench.py large-v3
     # fused w8e`.
     ("whisper_fused", ["large-v3", "fused", "w8e"], 900),
+    # same caveat: the llama Mosaic kernel is ~15 min cold (measured
+    # r4: 172.9 ms TTFB / 1.97x realtime). Standalone: `python bench.py
+    # tts fused`.
+    ("tts_fused", ["tts", "fused"], 850),
 ]
 
 

@@ -77,6 +77,74 @@ def test_fused_llama_matches_float_forward(setup):
     assert np.argmax(a) == np.argmax(b)
 
 
+def test_llama_tts_routes_fused_and_matches_xla(monkeypatch):
+    """End-to-end through LlamaTTS._run_generation: the auto-routed fused
+    decode (interpret mode) must produce the SAME greedy tokens as the
+    XLA w8a8 loop — covers the left-pad valid_from mask, the prefill
+    cache layout conversion, and the band-free head path."""
+    from types import SimpleNamespace
+
+    from tpu_audio.core import quant
+    from tpu_audio.models.tts import llama_tts
+
+    cfg = llama_tts.LlamaTTSConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=256)
+    params = llama.init_random_params(cfg, seed=11, dtype=jnp.float32)
+    params = quant.quantize_tree(params, scheme="w8a8")
+    toks = llama_tts.OrpheusTokens(
+        start_of_human=1, end_of_human=2, end_of_text=3, start_of_speech=4,
+        end_of_speech=5, pad_token=0, audio_start=6, audio_end=7,
+        audio_token_offset=10, codebook_size=4)
+    tokenizer = SimpleNamespace(
+        encode=lambda s: SimpleNamespace(ids=[10 + (ord(c) % 30)
+                                              for c in s]))
+    gen = llama_tts.AudioGenerateParameters(
+        max_tokens=9, temperature=0.0, repetition_penalty=1.0)
+
+    def run(mode):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_LLAMA", mode)
+        m = llama_tts.LlamaTTS(cfg, params, tokenizer=tokenizer,
+                               codec=None, tokens=toks, dtype=jnp.float32)
+        assert m._fused_supported() == (mode == "interpret")
+        out = None
+        for _new, _done, (_pt, _gt, _pl, all_tokens) in m._run_generation(
+                "hi there", None, None, None, gen, chunk_tokens=9):
+            out = all_tokens
+        return out
+
+    assert run("interpret") == run("0")
+
+
+def test_fused_llama_valid_from_masks_padding(setup):
+    """A garbage row BELOW valid_from must not change the output; the
+    same garbage row inside the valid window must."""
+    cfg, params, pack = setup
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    s_max = 64
+    x = params["model"]["embed_tokens"]["weight"][7].astype(jnp.float32)
+    x8 = jnp.zeros((8, d), jnp.float32).at[0].set(x)
+
+    def out(garbage_row, valid_from):
+        kc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+        vc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+        kc = kc.at[:, garbage_row].set(3.0)
+        vc = vc.at[:, garbage_row].set(-2.0)
+        y, _, _ = FL.fused_llama_stack(pack, kc, vc, x8, 5, cfg=cfg,
+                                       valid_from=valid_from,
+                                       interpret=True)
+        return np.asarray(y[0])
+
+    clean = out(garbage_row=0, valid_from=1)   # masked out
+    dirty = out(garbage_row=1, valid_from=1)   # attended
+    base = out(garbage_row=63, valid_from=1)   # beyond offset: ignored
+    assert np.allclose(clean, base, atol=1e-5)
+    assert not np.allclose(dirty, base, atol=1e-3)
+
+
 def test_fused_llama_cached_k_is_rotated(setup):
     """The cache stores post-RoPE K: step i's newk must equal the float
     path's rotated k row (per-layer, within int8 tolerance)."""

@@ -15,9 +15,12 @@ single final ``.audio`` event.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 import time
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +39,25 @@ from tpu_audio.models import llama
 from tpu_audio.core.jitting import ajit
 
 __all__ = ["LlamaTTS", "LlamaTTSConfig", "OrpheusTokens"]
+
+
+class FusedDecodeKV(NamedTuple):
+    """Decode-time KV state for the monolithic Pallas llama kernel
+    (ops/pallas_fused_llama): position-major ``[L, S, dkv]`` caches with
+    K rows stored post-RoPE, plus the scalar write offset and the
+    left-pad ``valid_from`` mask bound (mirrors ``KVCache``)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    offset: jnp.ndarray
+    valid_from: jnp.ndarray
+
+
+def _fused_llama_mode() -> str:
+    """``TPU_AUDIO_FUSED_LLAMA``: ``0`` off, ``1``/``auto`` route w8a8
+    checkpoints through the monolithic Pallas decode kernel on TPU,
+    ``interpret`` forces the kernel in interpreter mode (CPU tests)."""
+    return os.environ.get("TPU_AUDIO_FUSED_LLAMA", "auto")
 
 
 @dataclass(frozen=True)
@@ -174,6 +196,56 @@ class LlamaTTS:
         self._step_fn = step_fn
         self._decoders: dict = {}
 
+        # monolithic Pallas decode kernel (whole layer stack = ONE
+        # pallas_call per token): w8a8 checkpoints on TPU route through
+        # this automatically; closes the distributed small-GEMV gap the
+        # XLA loop pays (docs/DESIGN.md roofline chapter)
+        self._fused_pack = None
+
+        def fused_step_fn(params, tok, fc: FusedDecodeKV):
+            from tpu_audio.ops import pallas_fused_llama as FL
+
+            x = nn.embedding(params["model"]["embed_tokens"], tok[:, 0])
+            if cfg.embedding_multiplier != 1.0:
+                x = x * cfg.embedding_multiplier
+            x8 = jnp.zeros((8, cfg.hidden_size), jnp.float32
+                           ).at[0].set(x[0].astype(jnp.float32))
+            y, nk, nv = FL.fused_llama_stack(
+                params["fused_pack"], fc.k, fc.v, x8, fc.offset, cfg=cfg,
+                valid_from=fc.valid_from,
+                interpret=(_fused_llama_mode() == "interpret"))
+            kc = jax.lax.dynamic_update_slice(
+                fc.k, nk[:, 0:1].astype(fc.k.dtype), (0, fc.offset, 0))
+            vc = jax.lax.dynamic_update_slice(
+                fc.v, nv[:, 0:1].astype(fc.v.dtype), (0, fc.offset, 0))
+            h = nn.rms_norm(params["model"]["norm"],
+                            y[0:1].astype(self.dtype), cfg.rms_norm_eps)
+            if self.audio_band_head:
+                logits = nn.linear(params["band_head"], h)
+            elif "lm_head" in params and not cfg.tie_word_embeddings:
+                logits = nn.linear(params["lm_head"], h)
+            else:
+                logits = nn.embedding_as_linear(
+                    params["model"]["embed_tokens"], h)
+            if cfg.logits_scaling != 1.0:
+                logits = logits / cfg.logits_scaling
+            return logits.astype(jnp.float32), FusedDecodeKV(
+                kc, vc, fc.offset + jnp.int32(1), fc.valid_from)
+
+        self._fused_step_fn = fused_step_fn
+
+        @functools.partial(ajit, donate_argnums=(0,))
+        def to_fused_cache(cache):
+            # standard [L, B=1, n_kv, S, hd] cache (K rows already
+            # post-RoPE — llama.forward's convention) -> the kernel's
+            # position-major [L, S, dkv] layout
+            L, _, n_kv, S, hd = cache.k.shape
+            kc = cache.k[:, 0].transpose(0, 2, 1, 3).reshape(L, S, n_kv * hd)
+            vc = cache.v[:, 0].transpose(0, 2, 1, 3).reshape(L, S, n_kv * hd)
+            return FusedDecodeKV(kc, vc, cache.offset, cache.valid_from)
+
+        self._to_fused_cache = to_fused_cache
+
     # -- loading --------------------------------------------------------------
 
     @classmethod
@@ -214,9 +286,25 @@ class LlamaTTS:
             params = quant.quantize_tree(params, bits=quantize_bits)
         # fused qkv/gate_up GEMVs: fewer dispatches in the decode hot
         # loop. Pass fuse=False for tensor-parallel sharding (Megatron
-        # column-parallel specs want separate q/k/v under GQA).
+        # column-parallel specs want separate q/k/v under GQA). When the
+        # monolithic Pallas decode kernel will take the decode loop
+        # (w8a8 on TPU), the tree stays unfused — the kernel pack reads
+        # separate q/k/v, and prefill GEMMs don't care either way.
         if fuse:
-            params = llama.fuse_projections(params)
+            mode = _fused_llama_mode()
+            fused_route = False
+            if quantize_bits == "w8a8" and mode != "0":
+                from tpu_audio.ops import pallas_fused_llama as FL
+
+                if FL.supported(config):
+                    if mode == "interpret":
+                        fused_route = True
+                    else:
+                        from tpu_audio.ops import pallas_kv_attention as pk
+
+                        fused_route = pk.is_tpu()
+            if not fused_route:
+                params = llama.fuse_projections(params)
         tokenizer = None
         from pathlib import Path
 
@@ -305,9 +393,45 @@ class LlamaTTS:
 
     # -- generation ---------------------------------------------------------------
 
-    def _get_decoder(self, params: AudioGenerateParameters):
+    def _fused_supported(self) -> bool:
+        """Structural gate for the monolithic Pallas decoder: supported
+        llama dims + stacked UNFUSED w8a8 (Int8Tensor) projections + a TPU
+        backend (or forced interpret mode for CPU tests)."""
+        from tpu_audio.core import quant
+        from tpu_audio.ops import pallas_fused_llama as FL
+
+        mode = _fused_llama_mode()
+        if mode == "0" or not FL.supported(self.config):
+            return False
+        layers = self.params["model"]["layers"]
+        if "self_attn" not in layers:          # per-layer dict checkpoints
+            return False
+        if "qkv_proj" in layers["self_attn"]:  # pack needs unfused q/k/v
+            return False
+        if not isinstance(layers["self_attn"]["q_proj"]["weight"],
+                          quant.Int8Tensor):
+            return False
+        if mode == "interpret":
+            return True
+        from tpu_audio.ops import pallas_kv_attention as pk
+
+        return pk.is_tpu()
+
+    def fused_decoder_pack(self):
+        """Lazy weight pack for the fused decode kernel (one jitted
+        dispatch; holds a second int8 copy of the layer weights)."""
+        if self._fused_pack is None:
+            from tpu_audio.ops import pallas_fused_llama as FL
+
+            self._fused_pack = FL.pack_llama_weights(self.params,
+                                                     self.config)
+        return self._fused_pack
+
+    def _get_decoder(self, params: AudioGenerateParameters,
+                     fused: bool = False):
         key = (params.temperature, params.top_p, params.top_k,
-               params.repetition_penalty, params.repetition_context_size)
+               params.repetition_penalty, params.repetition_context_size,
+               fused)
         if key not in self._decoders:
             sp = SamplingParams(
                 temperature=params.temperature, top_p=params.top_p,
@@ -316,7 +440,7 @@ class LlamaTTS:
                 repetition_context_size=params.repetition_context_size,
             )
             self._decoders[key] = make_decode_chunk(
-                self._step_fn, sp,
+                self._fused_step_fn if fused else self._step_fn, sp,
                 history_size=max(params.repetition_context_size, 1),
                 token_map=self._token_map,
             )
@@ -334,6 +458,15 @@ class LlamaTTS:
         padded = np.full((1, bucket), T.pad_token, np.int32)
         padded[0, pad_len:] = prompt
         max_total = bucket + params.max_tokens + 1
+        use_fused = False
+        if self._fused_supported():
+            from tpu_audio.ops import pallas_fused_llama as FL
+
+            # the kernel holds the position-major cache block in VMEM, so
+            # only generations fitting S_MAX_CAP route through it
+            use_fused = max_total <= FL.S_MAX_CAP
+            if use_fused:
+                max_total = -(-max_total // FL.SUB) * FL.SUB
         cache = llama.make_cache(self.config, 1, max_total, self.dtype)
         cache = cache._replace(valid_from=jnp.asarray(pad_len, jnp.int32))
 
@@ -343,7 +476,15 @@ class LlamaTTS:
         jax.block_until_ready(cache.k)
         prefill_time = time.perf_counter() - t0
 
-        decoder = self._get_decoder(params)
+        step_params = self.params
+        if use_fused:
+            cache = self._to_fused_cache(cache)
+            # same leaves, plus the packed kernel weight stream — built
+            # per call so self.params stays pack-free for prefill/serving
+            step_params = {**self.params,
+                           "fused_pack": self.fused_decoder_pack()}
+
+        decoder = self._get_decoder(params, fused=use_fused)
         rng = jax.random.PRNGKey(params.seed if params.seed is not None else 0)
         last = jnp.asarray([prompt[-1]], jnp.int32)
         history = jnp.zeros((1, max(params.repetition_context_size, 1)), jnp.int32)
@@ -355,7 +496,7 @@ class LlamaTTS:
             n = min(chunk_tokens, params.max_tokens - emitted)
             buf = jnp.zeros((n,), jnp.int32)
             tokens, count, cache, last, finished, rng, history, hist_pos = decoder(
-                self.params, cache, last, buf, rng,
+                step_params, cache, last, buf, rng,
                 jnp.int32(T.end_of_speech), history, hist_pos,
             )
             count = int(count)

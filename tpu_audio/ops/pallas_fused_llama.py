@@ -28,7 +28,7 @@ Beyond the whisper kernel, two llama-specific devices:
 Supported shapes: hidden % 512 == 0, head_dim 128, ffn % 512 == 0,
 kv_dim (n_kv*128) % 512 == 0, no attention biases, no qk_norm,
 non-interleaved RoPE — Orpheus-3B / Llama-3.2 / VyvoTTS qualify. The
-position-major [L, S, dkv] bf16 cache caps at S = 1024 in VMEM; longer
+position-major [L, S, dkv] bf16 cache caps at S = 2048 in VMEM; longer
 generations fall back to the XLA loop.
 
 Reference provenance: layer semantics mirror the reference's Llama
@@ -50,7 +50,12 @@ __all__ = ["supported", "pack_llama_weights", "fused_llama_stack",
 
 SUB = 64        # row tile for [*, d] f32 attention temporaries
 CH = 512        # weight-stream chunk rows
-S_MAX_CAP = 1024  # position-major cache rows held in VMEM
+# position-major cache rows held in VMEM: at Orpheus dims (dkv=1024) a
+# 2048-row K (or V) block is 4 MB bf16, 16 MB total double-buffered —
+# comfortably inside the 128 MB VMEM alongside the 3 MB weight stream
+# and ~2 MB of scratch. Covers the default 1200-token generation
+# (bucket 64/128 + 1200 + 1 -> s_max 1280/1344).
+S_MAX_CAP = 2048
 
 
 class LlamaFusedPack(NamedTuple):
@@ -197,6 +202,7 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
         lyr = pl.program_id(0)
         c = pl.program_id(1)
         off = off_ref[0, 0]
+        start = off_ref[0, 1]  # first attendable row (left-pad mask)
         row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, d), 0) == 0)
         nrm = norm_ref[0]
 
@@ -286,7 +292,7 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
 
                 jax.lax.fori_loop(0, nsub, score_tile, 0)
                 sc = csc[0:s_max, :]
-                valid = pos_s <= off
+                valid = (pos_s <= off) & (pos_s >= start)
                 sc = jnp.where(valid, sc, -1e9)
                 mx = jnp.max(sc, axis=0, keepdims=True)
                 p = jnp.where(valid, jnp.exp(sc - mx), 0.0)
@@ -359,13 +365,15 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
 
 
 def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
-                      cfg, interpret: bool = False):
+                      cfg, valid_from=0, interpret: bool = False):
     """One token through the whole llama layer stack.
 
     x: [8, d] f32 (embedded token, live row 0); kcache/vcache:
     [L, S, dkv] bf16 position-major (S <= S_MAX_CAP, multiple of SUB;
     K rows stored ROTATED — the kernel outputs post-RoPE newk). Returns
     (y [8, d] f32 pre-final-norm, newk [L, 8, dkv], newv [L, 8, dkv]).
+    ``valid_from`` masks cache rows below it out of attention — the
+    left-pad convention of :class:`core.kv_cache.KVCache.valid_from`.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -395,7 +403,7 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
         kernel,
         grid=(L, STEPS),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l, c: (0, 0),
+            pl.BlockSpec((1, 2), lambda l, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, d), lambda l, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -447,7 +455,8 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(offset, jnp.int32).reshape(1, 1), x,
+    )(jnp.stack([jnp.asarray(offset, jnp.int32),
+                 jnp.asarray(valid_from, jnp.int32)]).reshape(1, 2), x,
       pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.normpack,
       pack.winv, kcache, vcache)
     return y, nk, nv
