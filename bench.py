@@ -44,7 +44,13 @@ def _enable_compile_cache():
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # floor 0: cache EVERY XLA executable. Measured (r4, headline mode
+    # cold with JAX_EXPLAIN_CACHE_MISSES): 77 compiles, every one < 5 s,
+    # so the default 5 s floor wrote NOTHING and re-runs re-paid ~40-60 s
+    # of small XLA compiles. (The remaining ~200 s of a whisper cold
+    # start is the remote Mosaic kernel compile at first execution,
+    # which no jax cache can cover — see docs/DESIGN.md.)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
@@ -1144,7 +1150,11 @@ def _compact_line(r: dict, max_bytes: int = 600) -> str:
 
 # (mode-name, argv, warm-cache wall estimate in seconds) — estimates are
 # measured round-3 warm timings padded ~1.5x for subprocess + backend init;
-# used only for the skip-ahead budget check, not for timeouts.
+# used only for the skip-ahead budget check, not for timeouts. When a mode
+# has completed on this machine before, its RECORDED wall time (persisted
+# next to the compile cache, see _load_walls) replaces the static estimate —
+# so the fused-kernel modes' pessimistic cold-compile estimates stop
+# blocking them once a warm run has proven they fit.
 _ALL_MODES = [
     ("whisper_kv8d_w8_w8e", ["large-v3", "kv8d", "w8", "w8e"], 120),
     ("tts", ["tts"], 40),
@@ -1156,20 +1166,45 @@ _ALL_MODES = [
     ("qwen3tts", ["qwen3tts"], 160),
     ("vad", ["vad"], 90),
     ("parakeet", ["parakeet"], 130),
+    # The two fused-kernel headlines (whisper RTF 0.0199, orpheus TTFB
+    # 172.9 ms, measured r4). Their Mosaic compiles do not reliably
+    # persist in the cache on this backend (~3-7 min per fresh process,
+    # ~14 min with init/pack), so the static estimate assumes cold and
+    # they only run when the remaining budget allows — UNLESS a prior
+    # completed run recorded a smaller wall time (learned estimate).
+    # They sit before the two lowest-value modes so a skip sacrifices
+    # longfile/bf16 first. Standalone: `python bench.py large-v3 fused
+    # w8e` / `python bench.py tts fused`.
+    ("whisper_fused", ["large-v3", "fused", "w8e"], 900),
+    ("tts_fused", ["tts", "fused"], 850),
     ("whisper_longfile", ["longfile"], 150),
     ("whisper_bf16", ["large-v3"], 90),
-    # LAST: the fused-kernel headline (RTF 0.0199 measured r4). Its
-    # Mosaic compile does not reliably persist in the cache on this
-    # backend (~3-7 min per fresh process, ~14 min with init/pack), so
-    # it only runs when the remaining budget allows; the skip line
-    # documents it otherwise. Standalone: `python bench.py large-v3
-    # fused w8e`.
-    ("whisper_fused", ["large-v3", "fused", "w8e"], 900),
-    # same caveat: the llama Mosaic kernel is ~15 min cold (measured
-    # r4: 172.9 ms TTFB / 1.97x realtime). Standalone: `python bench.py
-    # tts fused`.
-    ("tts_fused", ["tts", "fused"], 850),
 ]
+
+_WALLS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jax_cache", "bench_walls.json")
+
+
+def _load_walls() -> dict:
+    """Last completed wall time per mode on this machine (seconds).
+
+    Lives inside .jax_cache (gitignored) because its validity tracks the
+    compile cache's: wiping the cache wipes the learned estimates too."""
+    try:
+        with open(_WALLS_PATH) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except Exception:  # noqa: BLE001 — missing/corrupt file → no history
+        return {}
+
+
+def _save_wall(walls: dict, name: str, wall_s: float) -> None:
+    walls[name] = round(wall_s, 1)
+    try:
+        os.makedirs(os.path.dirname(_WALLS_PATH), exist_ok=True)
+        with open(_WALLS_PATH, "w") as f:
+            json.dump(walls, f)
+    except OSError:
+        pass
 
 
 def bench_all(budget_s: float | None = None) -> dict:
@@ -1188,7 +1223,10 @@ def bench_all(budget_s: float | None = None) -> dict:
     * a wall budget (``TPU_AUDIO_BENCH_BUDGET_S``, default 1500 s) is
       tracked across modes — a mode whose warm-time estimate does not fit
       the remaining budget is reported as a one-line skip instead of
-      risking rc=124 with partial output;
+      risking rc=124 with partial output; estimates prefer the recorded
+      wall time of the mode's last completed run on this machine
+      (``.jax_cache/bench_walls.json``) over the static table, so the
+      fused-kernel modes run once a prior sweep has proven them warm;
     * the function returns a merged line (primary + ultra-compact
       ``detail.also`` rows ``[metric, value, unit, vs_baseline]``) that is
       printed LAST by :func:`main` and sized to fit the tail window.
@@ -1202,8 +1240,12 @@ def bench_all(budget_s: float | None = None) -> dict:
     also = []
     primary = None
     ratios: list[float] = []  # observed actual/estimate per finished mode
+    walls = _load_walls()
 
-    for i, (name, argv, est_s) in enumerate(_ALL_MODES):
+    for i, (name, argv, static_est_s) in enumerate(_ALL_MODES):
+        # a recorded wall from a prior completed run beats the static
+        # guess (pad 1.3x for run-to-run variance on the shared tunnel)
+        est_s = (walls[name] * 1.3 if name in walls else static_est_s)
         elapsed = time.perf_counter() - start
         remaining = budget_s - elapsed
         # scale estimates by the MEDIAN observed overrun (robust to one
@@ -1229,6 +1271,7 @@ def bench_all(budget_s: float | None = None) -> dict:
             wall = time.perf_counter() - t0
             r.setdefault("detail", {})["bench_wall_s"] = round(wall, 1)
             ratios.append(wall / est_s)
+            _save_wall(walls, name, wall)
         except Exception as e:  # noqa: BLE001 — isolate sub-bench failures
             r = {"metric": name, "value": -1.0, "unit": "error",
                  "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"}
