@@ -1207,6 +1207,16 @@ def _save_wall(walls: dict, name: str, wall_s: float) -> None:
         pass
 
 
+def _is_real_metric(r: dict) -> bool:
+    """True iff a sub-bench result is an actual measurement — not the
+    in-process failure shape (``*_bench_failed``, error under detail,
+    value -1) nor the subprocess-level error/skip shapes."""
+    return ("error" not in r
+            and not str(r.get("metric", "")).endswith("_bench_failed")
+            and r.get("unit") not in ("error", "skipped")
+            and r.get("value", -1.0) != -1.0)
+
+
 def bench_all(budget_s: float | None = None) -> dict:
     """Run the north-star configs, streaming one compact json line each.
 
@@ -1270,8 +1280,14 @@ def bench_all(budget_s: float | None = None) -> dict:
             r = _run_sub_bench(argv, timeout_s=int(max(60, remaining)))
             wall = time.perf_counter() - t0
             r.setdefault("detail", {})["bench_wall_s"] = round(wall, 1)
-            ratios.append(wall / est_s)
-            _save_wall(walls, name, wall)
+            # learn walls/overruns from REAL metrics only: a sub-bench
+            # whose main() caught an exception still exits rc=0 with a
+            # '*_bench_failed' line — recording its (tiny) wall would
+            # replace a 900 s fused estimate with ~20 s and un-protect
+            # the budget logic on the next run
+            if _is_real_metric(r):
+                ratios.append(wall / est_s)
+                _save_wall(walls, name, wall)
         except Exception as e:  # noqa: BLE001 — isolate sub-bench failures
             r = {"metric": name, "value": -1.0, "unit": "error",
                  "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"}
@@ -1281,7 +1297,7 @@ def bench_all(budget_s: float | None = None) -> dict:
         else:
             also.append(r)
 
-    if primary is None or "error" in primary:
+    if primary is None or not _is_real_metric(primary):
         primary = {"metric": "whisper_large-v3_headline_failed",
                    "value": -1.0, "unit": "error", "vs_baseline": 0.0}
     merged = {k: primary[k]

@@ -648,3 +648,22 @@ def test_engine_worker_concurrent_callers(tts_model):
     assert worker._srv.engine.requests == {}
     with pytest.raises(RuntimeError):
         next(worker.synthesize("after close"))
+
+
+def test_tick_k_guarantees_live_tokens():
+    """_tick_k divides min_tick_tokens by the LIVE lane count, not the
+    padded bucket size: with 3 live lanes in a bucket of 4, a bucket-
+    based division would decode 25% fewer tokens than the documented
+    '>= min_tick_tokens per tick' contract (SERVING.md)."""
+    from types import SimpleNamespace
+
+    tick_k = ContinuousBatcher._tick_k
+    eng = SimpleNamespace(min_tick_tokens=64, step_tokens=8)
+    for live in (1, 2, 3, 4):
+        k = tick_k(eng, live)
+        assert k % eng.step_tokens == 0
+        assert live * k >= eng.min_tick_tokens, (live, k)
+    # 3 live lanes: ceil(64/3)=22 -> rounded up to 24 steps (x3 = 72 >= 64);
+    # the old bucket-of-4 division gave 16 steps (x3 = 48 < 64)
+    assert tick_k(eng, 3) == 24
+    assert tick_k(SimpleNamespace(min_tick_tokens=None, step_tokens=8), 3) == 8

@@ -255,3 +255,36 @@ def test_fused_decode_loop_mechanics(setup):
         jnp.asarray(begin), jnp.float32(0.0), jax.random.PRNGKey(0),
         max_total=max_total, cfg=cfg, pallas_interpret=True)
     assert int(count2) == len(prompt) + 1
+
+
+def test_whisper_generate_routes_fused_and_matches_xla(monkeypatch):
+    """End-to-end through Whisper.generate(): the auto-routed fused decode
+    (interpret mode) must produce the SAME greedy tokens as the XLA w8
+    loop — covers the routing predicate in _transcribe_chunk, the fused
+    branch's prompt/count slice and EOT strip, and the real mel+encoder
+    front end feeding the kernel's cross-KV quantization."""
+    from tests.fixtures import FakeWhisperTokenizer
+    from tpu_audio.core import quant
+    from tpu_audio.core.generation import STTGenerateParameters
+
+    cfg = W.WhisperConfig(num_mel_bins=80, d_model=256, encoder_layers=1,
+                          encoder_attention_heads=4, encoder_ffn_dim=1024,
+                          decoder_layers=2, decoder_attention_heads=4,
+                          decoder_ffn_dim=1024, vocab_size=128,
+                          max_source_positions=1500,
+                          max_target_positions=64)
+    params = W.init_params(cfg, seed=5, dtype=jnp.float32)
+    params["model"]["decoder"] = quant.quantize_tree(
+        params["model"]["decoder"], scheme="w8a8")
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+
+    def run(mode):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_DECODER", mode)
+        m = W.Whisper(cfg, params, dtype=jnp.float32)
+        m.tokenizer = FakeWhisperTokenizer(vocab=cfg.vocab_size)
+        assert m._fused_supported() == (mode == "interpret")
+        out = m.generate(audio, STTGenerateParameters(max_tokens=4))
+        return [s.tokens for s in out.segments]
+
+    assert run("interpret") == run("0")

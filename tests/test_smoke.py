@@ -22,6 +22,7 @@ MLXAudioSTSTests.swift:311).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from pathlib import Path
@@ -35,6 +36,7 @@ MEDIA = Path(os.environ.get("REFERENCE_MEDIA_DIR",
 pytestmark = pytest.mark.smoke
 
 
+@functools.lru_cache(maxsize=1)
 def _network_available() -> bool:
     if os.environ.get("HF_HUB_OFFLINE"):
         return False
@@ -47,8 +49,15 @@ def _network_available() -> bool:
         return False
 
 
+# The probe must stay LAZY: skipif with a plain bool would open a TCP
+# connection during collection of every ordinary pytest run (smoke tests
+# are only deselected AFTER collection by addopts '-m not smoke').
+# skipif with a condition STRING is evaluated only at the setup of a test
+# that was actually selected, and the lru_cache bounds it to one probe
+# per session.
 requires_network = pytest.mark.skipif(
-    not _network_available(),
+    "not __import__('tests.test_smoke', fromlist=['_'])."
+    "_network_available()",
     reason="smoke tier needs network access to huggingface.co "
            "(HF_HUB_OFFLINE is set or the host is unreachable)")
 

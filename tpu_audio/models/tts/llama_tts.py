@@ -291,9 +291,20 @@ class LlamaTTS:
         # (w8a8 on TPU), the tree stays unfused — the kernel pack reads
         # separate q/k/v, and prefill GEMMs don't care either way.
         if fuse:
+            from tpu_audio.core import quant
+
             mode = _fused_llama_mode()
             fused_route = False
-            if quantize_bits == "w8a8" and mode != "0":
+            # gate on the tree ACTUALLY being w8a8 (Int8Tensor), not the
+            # requested arg: a checkpoint that ships its own quantization
+            # config ignores quantize_bits="w8a8" (tag_quantized above),
+            # and leaving it unfused would slow the XLA fallback without
+            # the kernel ever engaging
+            lyrs = params["model"]["layers"]
+            is_w8a8 = ("self_attn" in lyrs and isinstance(
+                lyrs["self_attn"].get("q_proj", {}).get("weight"),
+                quant.Int8Tensor))
+            if is_w8a8 and mode != "0":
                 from tpu_audio.ops import pallas_fused_llama as FL
 
                 if FL.supported(config):

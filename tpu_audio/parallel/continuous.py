@@ -464,14 +464,18 @@ class ContinuousBatcher:
         return (not self._pending and self._inflight is None
                 and all(r is None for r in self._lane))
 
-    def _tick_k(self, bucket: int) -> int:
-        """Scan length for a tick over ``bucket`` lanes: enough steps that
-        the tick decodes >= ``min_tick_tokens`` tokens total, rounded up
-        to a ``step_tokens`` multiple (keeps emission granularity aligned
-        for frame-structured consumers, e.g. 7-token SNAC frames)."""
+    def _tick_k(self, live: int) -> int:
+        """Scan length for a tick over ``live`` occupied lanes: enough
+        steps that the tick decodes >= ``min_tick_tokens`` LIVE tokens
+        total (filler lanes in a padded bucket produce nothing, so the
+        guarantee must divide by the live count, not the bucket size),
+        rounded up to a ``step_tokens`` multiple (keeps emission
+        granularity aligned for frame-structured consumers, e.g. 7-token
+        SNAC frames). Distinct live counts within one bucket add at most
+        a couple of (bucket, k) graph variants, compiled lazily."""
         if self.min_tick_tokens is None:
             return self.step_tokens
-        steps = -(-self.min_tick_tokens // bucket)          # ceil div
+        steps = -(-self.min_tick_tokens // max(1, live))    # ceil div
         return max(self.step_tokens,
                    -(-steps // self.step_tokens) * self.step_tokens)
 
@@ -530,7 +534,7 @@ class ContinuousBatcher:
         live = [s for s, r in enumerate(self._lane) if r is not None]
         reqs = [self._lane[s] for s in live]
         bucket = next(b for b in self._lane_buckets if b >= len(live))
-        k = self._tick_k(bucket)
+        k = self._tick_k(len(live))
         if bucket < self.slots:
             free = next(s for s, r in enumerate(self._lane) if r is None)
             lane_idx = np.full((bucket,), free, np.int32)
@@ -574,7 +578,7 @@ class ContinuousBatcher:
 
     def step(self) -> list[tuple[int, int]]:
         """Admit pending requests, then run ONE batched decode tick
-        (``_tick_k(bucket)`` scanned steps). Returns the ``(request_id,
+        (``_tick_k(len(live))`` scanned steps). Returns the ``(request_id,
         token)`` pairs emitted in per-lane sample order — this tick's
         with ``pipeline=False``; the PREVIOUS tick's with
         ``pipeline=True`` (the new tick is dispatched before the old
