@@ -1217,6 +1217,22 @@ def _is_real_metric(r: dict) -> bool:
             and r.get("value", -1.0) != -1.0)
 
 
+def _record_standalone_wall(argv_now: list, wall_s: float) -> bool:
+    """Standalone single-mode runs also teach the budget logic: when the
+    argv matches an ``_ALL_MODES`` entry, record the run's wall time just
+    like :func:`bench_all` does. Without this, a mode that only ever ran
+    standalone (e.g. the fused-kernel modes after a budget skip) keeps
+    its pessimistic static estimate forever and ``bench_all`` never
+    schedules it. bench_all's parent-side save (which includes subprocess
+    overhead, so it is the safer, larger number) lands after the child's
+    and wins."""
+    for name, argv, _est in _ALL_MODES:
+        if argv == argv_now:
+            _save_wall(_load_walls(), name, wall_s)
+            return True
+    return False
+
+
 def bench_all(budget_s: float | None = None) -> dict:
     """Run the north-star configs, streaming one compact json line each.
 
@@ -1333,6 +1349,7 @@ def main():
 
     _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    t_main0 = time.perf_counter()
     kv_bits = 8 if any(a.startswith("kv8") for a in sys.argv[2:]) else None
     dense_self = "kv8d" in sys.argv[2:]
     qbits = (4 if "q4" in sys.argv[2:] else
@@ -1382,6 +1399,9 @@ def main():
             "vs_baseline": 0.0,
             "detail": {"error": f"{type(e).__name__}: {e}"},
         }
+    if mode != "all" and _is_real_metric(result):
+        _record_standalone_wall(sys.argv[1:],
+                                time.perf_counter() - t_main0)
     # Compact separators: the driver tail keeps only the last ~2 KB of
     # output, and this merged line must survive intact at the very end.
     print(json.dumps(result, separators=(",", ":")), flush=True)

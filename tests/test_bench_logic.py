@@ -67,3 +67,18 @@ def test_all_modes_cover_readme_rows():
         assert required in names, required
     assert names.index("whisper_fused") < names.index("whisper_longfile")
     assert names.index("tts_fused") < names.index("whisper_bf16")
+
+
+def test_record_standalone_wall(tmp_path, monkeypatch):
+    """A standalone `python bench.py <argv>` run whose argv matches an
+    _ALL_MODES entry records a learned wall (so a budget-skipped mode —
+    e.g. the fused kernels — becomes schedulable once it has ever run on
+    this machine); non-mode argvs record nothing."""
+    monkeypatch.setattr(bench, "_WALLS_PATH",
+                        str(tmp_path / "cache" / "walls.json"))
+    assert bench._record_standalone_wall(["large-v3", "fused", "w8e"],
+                                         412.0)
+    assert bench._load_walls() == {"whisper_fused": 412.0}
+    # an ad-hoc variant that is NOT a scheduled mode must not pollute
+    assert not bench._record_standalone_wall(["large-v3", "kv8"], 50.0)
+    assert bench._load_walls() == {"whisper_fused": 412.0}
