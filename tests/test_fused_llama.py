@@ -118,6 +118,101 @@ def test_llama_tts_routes_fused_and_matches_xla(monkeypatch):
     assert run("interpret") == run("0")
 
 
+def test_fused_llama_qk_norm_matches_float():
+    """Qwen3-style per-head q/k RMSNorm (the VyvoTTS backbone): the
+    in-kernel lane-reduction norm must track the float path — same
+    cosine/argmax bar as the base parity test, with non-trivial norm
+    weights so a missing/misplaced norm fails loudly."""
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128, qk_norm=True)
+    assert FL.supported(cfg)
+    params = llama.init_random_params(cfg, seed=7, dtype=jnp.float32)
+    # init gives all-ones norm weights — randomize so the test can tell
+    # normed from unnormed (and q's pack permutation from identity)
+    key = jax.random.PRNGKey(3)
+    kq, kk = jax.random.split(key)
+    lp = params["model"]["layers"]["self_attn"]
+    lp["q_norm"]["weight"] = 1.0 + 0.5 * jax.random.normal(
+        kq, lp["q_norm"]["weight"].shape)
+    lp["k_norm"]["weight"] = 1.0 + 0.5 * jax.random.normal(
+        kk, lp["k_norm"]["weight"].shape)
+    pack = FL.pack_llama_weights(params, cfg)
+
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    s_max = 64
+    cache = llama.make_cache(cfg, 1, s_max, dtype=jnp.float32)
+    kc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+    vc = jnp.zeros((cfg.num_hidden_layers, s_max, dkv), jnp.bfloat16)
+    for i, t in enumerate([5, 41, 12]):
+        logits, cache = llama.forward(
+            params, jnp.asarray([[t]], jnp.int32), cache, cfg)
+        x = params["model"]["embed_tokens"]["weight"][t].astype(jnp.float32)
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(x)
+        y, nk, nv = FL.fused_llama_stack(pack, kc, vc, x8, i, cfg=cfg,
+                                         interpret=True)
+        kc = jax.lax.dynamic_update_slice(
+            kc, nk[:, 0:1].astype(kc.dtype), (0, i, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, nv[:, 0:1].astype(vc.dtype), (0, i, 0))
+
+    h = nn.rms_norm(params["model"]["norm"],
+                    np.asarray(y)[0:1].astype(jnp.float32),
+                    cfg.rms_norm_eps)
+    logits_f = nn.embedding_as_linear(params["model"]["embed_tokens"], h)
+    a = np.asarray(logits[0, -1], np.float64)
+    b = np.asarray(logits_f[0], np.float64)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
+    assert np.argmax(a) == np.argmax(b)
+
+
+def test_llama_tts_midgen_fallback_matches_xla(monkeypatch):
+    """A generation that outgrows the kernel's VMEM cache cap must START
+    fused and hand off to the XLA loop mid-generation — token-identical
+    to running the XLA loop throughout."""
+    from types import SimpleNamespace
+
+    from tpu_audio.core import quant
+    from tpu_audio.models.tts import llama_tts
+
+    cfg = llama_tts.LlamaTTSConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=512)
+    params = llama.init_random_params(cfg, seed=13, dtype=jnp.float32)
+    params = quant.quantize_tree(params, scheme="w8a8")
+    toks = llama_tts.OrpheusTokens(
+        start_of_human=1, end_of_human=2, end_of_text=3, start_of_speech=4,
+        end_of_speech=5, pad_token=0, audio_start=6, audio_end=7,
+        audio_token_offset=10, codebook_size=4)
+    tokenizer = SimpleNamespace(
+        encode=lambda s: SimpleNamespace(ids=[10 + (ord(c) % 30)
+                                              for c in s]))
+    # bucket = 64; cap 128 leaves ~62 fused rows -> the 8th chunk of 8
+    # greedy tokens must trigger the fallback well before max_tokens
+    import tpu_audio.ops.pallas_fused_llama as FL_mod
+    monkeypatch.setattr(FL_mod, "S_MAX_CAP", 128)
+    gen = llama_tts.AudioGenerateParameters(
+        max_tokens=80, temperature=0.0, repetition_penalty=1.0)
+
+    def run(mode):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_LLAMA", mode)
+        m = llama_tts.LlamaTTS(cfg, params, tokenizer=tokenizer,
+                               codec=None, tokens=toks, dtype=jnp.float32)
+        out = None
+        for _new, _done, (_pt, _gt, _pl, all_tokens) in m._run_generation(
+                "hi there", None, None, None, gen, chunk_tokens=8):
+            out = all_tokens
+        return out
+
+    assert run("interpret") == run("0")
+
+
 def test_fused_llama_valid_from_masks_padding(setup):
     """A garbage row BELOW valid_from must not change the output; the
     same garbage row inside the valid window must."""

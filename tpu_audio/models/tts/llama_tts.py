@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.core import hub, loading, nn
+from tpu_audio.core import hub, kv_cache, loading, nn
 from tpu_audio.core.ar_loop import make_decode_chunk
 from tpu_audio.core.generation import (
     AudioGenerateParameters,
@@ -245,6 +245,27 @@ class LlamaTTS:
             return FusedDecodeKV(kc, vc, cache.offset, cache.valid_from)
 
         self._to_fused_cache = to_fused_cache
+
+        @functools.partial(ajit, static_argnums=(1,), donate_argnums=(0,))
+        def from_fused_cache(fc, capacity: int):
+            # inverse of to_fused_cache, grown to ``capacity`` rows: the
+            # mid-generation fallback hands the kernel's position-major
+            # cache back to the XLA loop once a generation outgrows the
+            # kernel's VMEM cap (S_MAX_CAP) instead of refusing fused
+            # decode for the whole request
+            L, S, dkv = fc.k.shape
+            n_kv = cfg.num_key_value_heads
+            hd = dkv // n_kv
+
+            def grow(t):
+                x = t.reshape(L, S, n_kv, hd).transpose(0, 2, 1, 3)[:, None]
+                return jnp.pad(
+                    x, ((0, 0), (0, 0), (0, 0), (0, capacity - S), (0, 0)))
+
+            return kv_cache.KVCache(grow(fc.k), grow(fc.v),
+                                    fc.offset, fc.valid_from)
+
+        self._from_fused_cache = from_fused_cache
 
     # -- loading --------------------------------------------------------------
 
@@ -470,15 +491,23 @@ class LlamaTTS:
         padded[0, pad_len:] = prompt
         max_total = bucket + params.max_tokens + 1
         use_fused = False
+        fused_cap = max_total  # rows the fused cache can hold
         if self._fused_supported():
             from tpu_audio.ops import pallas_fused_llama as FL
 
-            # the kernel holds the position-major cache block in VMEM, so
-            # only generations fitting S_MAX_CAP route through it
-            use_fused = max_total <= FL.S_MAX_CAP
+            # the kernel holds the position-major cache block in VMEM
+            # (cap S_MAX_CAP). Longer generations still START fused —
+            # when the cache is about to overflow, the loop converts it
+            # back to the XLA layout mid-generation and continues there
+            # (the cheap tail of a long request, after the fused kernel
+            # already carried the prompt-heavy early chunks).
+            use_fused = bucket + 2 <= FL.S_MAX_CAP
             if use_fused:
-                max_total = -(-max_total // FL.SUB) * FL.SUB
-        cache = llama.make_cache(self.config, 1, max_total, self.dtype)
+                fused_cap = -(-min(max_total, FL.S_MAX_CAP)
+                              // FL.SUB) * FL.SUB
+        cache = llama.make_cache(self.config, 1,
+                                 fused_cap if use_fused else max_total,
+                                 self.dtype)
         cache = cache._replace(valid_from=jnp.asarray(pad_len, jnp.int32))
 
         t0 = time.perf_counter()
@@ -505,6 +534,15 @@ class LlamaTTS:
         all_tokens = list(prompt)
         while emitted < params.max_tokens:
             n = min(chunk_tokens, params.max_tokens - emitted)
+            # mid-generation fallback: the next chunk would write past
+            # the fused VMEM cache — convert position-major -> standard
+            # layout (pure transpose; K rows are post-RoPE either way),
+            # grown to the full request capacity, and continue on XLA
+            if use_fused and bucket + emitted + n + 1 > fused_cap:
+                cache = self._from_fused_cache(cache, max_total)
+                step_params = self.params
+                use_fused = False
+                decoder = self._get_decoder(params, fused=False)
             buf = jnp.zeros((n,), jnp.int32)
             tokens, count, cache, last, finished, rng, history, hist_pos = decoder(
                 step_params, cache, last, buf, rng,

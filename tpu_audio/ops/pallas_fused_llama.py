@@ -26,10 +26,14 @@ Beyond the whisper kernel, two llama-specific devices:
   as a [1, 128] lane table; cos/sin evaluate on the VPU).
 
 Supported shapes: hidden % 512 == 0, head_dim 128, ffn % 512 == 0,
-kv_dim (n_kv*128) % 512 == 0, no attention biases, no qk_norm,
-non-interleaved RoPE — Orpheus-3B / Llama-3.2 / VyvoTTS qualify. The
-position-major [L, S, dkv] bf16 cache caps at S = 2048 in VMEM; longer
-generations fall back to the XLA loop.
+kv_dim (n_kv*128) % 512 == 0, no attention biases, non-interleaved RoPE
+— Orpheus-3B / Llama-3.2 / VyvoTTS qualify. Qwen3-style per-head q/k
+RMSNorm (``qk_norm``, the VyvoTTS backbone) runs in-kernel: with
+head_dim == 128, each head is exactly one [sublane, 128-lane] row of the
+[heads, 128] view, so the norm is a lane reduction + broadcast on the
+VPU right before RoPE (weights ride normpack rows 3/4, q's in the GQA
+pack permutation order). The position-major [L, S, dkv] bf16 cache caps
+at S = 2048 in VMEM; longer generations fall back to the XLA loop.
 
 Reference provenance: layer semantics mirror the reference's Llama
 decoder (LlamaTTS.swift:104,206,257); the kernelization is TPU-original.
@@ -74,7 +78,7 @@ def supported(cfg) -> bool:
             and cfg.intermediate_size % CH == 0
             and cfg.num_attention_heads % cfg.num_key_value_heads == 0
             and cfg.num_key_value_heads <= 128
-            and not cfg.attention_bias and not cfg.qk_norm
+            and not cfg.attention_bias
             and not cfg.rope_interleaved
             and cfg.residual_multiplier == 1.0
             and cfg.attention_multiplier is None)
@@ -153,6 +157,20 @@ def _pack_impl(lp, *, cfg) -> LlamaFusedPack:
     norm = norm.at[:, 1].set(
         lp["post_attention_layernorm"]["weight"].astype(jnp.float32))
     norm = norm.at[:, 2].set(dn_s)
+    if cfg.qk_norm:
+        # rows 3/4: per-head q/k RMSNorm weights as flat lane tables.
+        # HF ships [hd] (shared across heads); init_random_params uses
+        # [n, hd] — broadcast either, then put q's in the SAME pack
+        # permutation as the q rows so the kernel's [rep, kv, hd] view
+        # lines up.
+        qw = jnp.broadcast_to(
+            ap["q_norm"]["weight"].astype(jnp.float32).reshape(L, -1, hd),
+            (L, n_heads, hd)).reshape(L, d)
+        kw = jnp.broadcast_to(
+            ap["k_norm"]["weight"].astype(jnp.float32).reshape(L, -1, hd),
+            (L, n_kv, hd)).reshape(L, n_kv * hd)
+        norm = norm.at[:, 3].set(qw[:, perm])
+        norm = norm.at[:, 4, :n_kv * hd].set(kw)
 
     scaling = None
     rs = cfg.rope_scaling
@@ -164,7 +182,7 @@ def _pack_impl(lp, *, cfg) -> LlamaFusedPack:
 
 
 def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
-                  s_max: int, L: int, eps: float):
+                  s_max: int, L: int, eps: float, qk_norm: bool = False):
     from jax.experimental import pallas as pl
 
     hd = 128
@@ -227,6 +245,20 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
                 preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * (ws_ref[0, 0] * xs_s[0])
 
+        def head_rms(vec, n, wrow, col0):
+            """Qwen3 per-head RMSNorm on ``vec [1, n]`` viewed as
+            [n/128 heads, 128]: a lane reduction per head row, scaled by
+            the packed weight table slice (already in pack-perm order
+            for q)."""
+            if not qk_norm:
+                return vec
+            xm = vec.reshape(n // 128, 128)
+            y = xm * jax.lax.rsqrt(
+                jnp.mean(xm * xm, axis=1, keepdims=True) + eps)
+            w = norm_ref[0, wrow:wrow + 1, col0:col0 + n].reshape(
+                n // 128, 128)
+            return (y * w).reshape(1, n)
+
         def rope(vec, n):
             """Half-split RoPE on ``vec [1, n]`` (n = d or dkv) viewed as
             [n/128 heads, 128]: x*cos + roll(x,64)*sign*sin with the
@@ -267,7 +299,7 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
         def _():
             hh = hsum()
             hht = hsum_t()
-            krot = rope(kbuf[0:1, :dkv], dkv)
+            krot = rope(head_rms(kbuf[0:1, :dkv], dkv, 4, 0), dkv)
             nk_ref[0] = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (8, dkv), 0) == 0,
                 jnp.broadcast_to(krot, (8, dkv)), 0.0)
@@ -278,7 +310,8 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
             pos_d = jax.lax.broadcasted_iota(jnp.int32, (SUB, dkv), 0)
             nsub = s_max // SUB
             for r in range(rep):
-                qr = rope(qbuf[0:1, r * dkv:(r + 1) * dkv], dkv) * sm
+                qr = rope(head_rms(qbuf[0:1, r * dkv:(r + 1) * dkv],
+                                   dkv, 3, r * dkv), dkv) * sm
 
                 def score_tile(i, _, qr=qr):
                     kk = kc_ref[0, pl.ds(i * SUB, SUB), :].astype(
@@ -388,7 +421,7 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
     kernel, STEPS, _ = _build_kernel(
         d=d, n_heads=cfg.num_attention_heads,
         n_kv=cfg.num_key_value_heads, ffn=ffn, s_max=s_max, L=L,
-        eps=cfg.rms_norm_eps)
+        eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm)
 
     # weight-chunk widths vary by stage (d for q/o/gate/up/down-chunks,
     # dkv for k/v) — blocks are uniformly [CH, d] with k/v rows stored
