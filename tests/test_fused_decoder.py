@@ -257,6 +257,64 @@ def test_fused_decode_loop_mechanics(setup):
     assert int(count2) == len(prompt) + 1
 
 
+def test_fused_stack_lanes_matches_b1(setup):
+    """Every live lane of the M-lane serving kernel must match a B=1
+    ``fused_stack`` run fed the same per-lane inputs. Per-row activation
+    quantization + row-independent dots/LN make lane rows mathematically
+    independent, so the tolerance is tight (f32 noise only). Covers
+    distinct per-lane offsets (incl. 0 = empty cache), per-lane caches,
+    and per-lane cross K/V."""
+    cfg, params, enc, _, pack, _ = setup
+    rng = np.random.default_rng(7)
+    d = cfg.d_model
+    L = cfg.decoder_layers
+    n = 3
+    s_max = 64
+    offsets = np.zeros((8,), np.int32)
+    offsets[:n] = [5, 0, 33]
+
+    kc = (rng.standard_normal((n, L, s_max, d)) * 0.2).astype(np.float32)
+    vc = (rng.standard_normal((n, L, s_max, d)) * 0.2).astype(np.float32)
+    kcj = jnp.asarray(kc, jnp.bfloat16)
+    vcj = jnp.asarray(vc, jnp.bfloat16)
+
+    # per-lane cross K/V from distinct encoder outputs
+    lanes_cross = []
+    for m in range(n):
+        e = jnp.asarray(rng.standard_normal(
+            (1, cfg.max_source_positions, d)).astype(np.float32) * 0.3)
+        k, v = W._cross_kv(params, e, cfg)
+        lanes_cross.append(F.quantize_cross_kv(k, v, chunk=d // 2))
+    ck = jnp.stack([c[0] for c in lanes_cross])
+    ks = jnp.stack([c[1] for c in lanes_cross])
+    cv = jnp.stack([c[2] for c in lanes_cross])
+    vs = jnp.stack([c[3] for c in lanes_cross])
+
+    x = (rng.standard_normal((8, d)) * 0.5).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+
+    y, nk, nv = F.fused_stack_lanes(
+        pack, ck, ks, cv, vs, kcj, vcj, xj, offsets,
+        cfg=cfg, s_src=cfg.max_source_positions, interpret=True)
+
+    for m in range(n):
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(xj[m])
+        y1, nk1, nv1 = F.fused_stack(
+            pack, ck[m], ks[m], cv[m], vs[m], kcj[m], vcj[m],
+            x8, int(offsets[m]), cfg=cfg,
+            s_src=cfg.max_source_positions, interpret=True)
+        ref = np.asarray(y1)[0]
+        got = np.asarray(y)[m]
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5, (m, np.abs(
+            got - ref).max() / scale)
+        assert np.abs(np.asarray(nk)[:, m]
+                      - np.asarray(nk1)[:, 0]).max() < 1e-5
+        assert np.abs(np.asarray(nv)[:, m]
+                      - np.asarray(nv1)[:, 0]).max() < 1e-5
+
+
 def test_whisper_generate_routes_fused_and_matches_xla(monkeypatch):
     """End-to-end through Whisper.generate(): the auto-routed fused decode
     (interpret mode) must produce the SAME greedy tokens as the XLA w8

@@ -63,7 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["supported", "pack_decoder_weights", "quantize_cross_kv",
-           "fused_stack", "FusedPack"]
+           "fused_stack", "fused_stack_lanes", "FusedPack"]
 
 SUB = 64  # row tile for [*, d] f32 attention temporaries (VMEM bound)
 
@@ -548,5 +548,438 @@ def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
     )(jnp.asarray(offset, jnp.int32).reshape(1, 1), x,
       pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.biaspack,
       ck, ks.reshape(L, -1, 1, CH), cv, vs.reshape(L, -1, 1, CH),
+      kcache, vcache)
+    return y, nk, nv
+
+
+# ---------------------------------------------------------------------------
+# M-lane serving variant: one kernel decodes one token for EVERY live lane
+# of a continuous-batching engine (parallel/continuous_stt.py), sharing the
+# single weight sweep across lanes. Per-lane state (self cache, int8 cross
+# K/V, write offset) differs per request, so the lane dimension is unrolled
+# into the grid TIMELINE — attention runs one lane per grid step with that
+# lane's cache block pinned by the index map — while the GEMV stages run all
+# 8 activation rows at once (per-ROW dynamic int8 scales; the MXU dot was
+# already [8, d]-shaped in the B=1 kernel, where 7 rows were dead padding).
+# VMEM stays bounded: at any step at most one lane's [s_max, d] cache blocks
+# (+ the next step's prefetch) are resident, never all lanes'.
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
+                        s_src: int, s_pad: int, L: int, n: int):
+    """Kernel body for ``n`` live lanes (static, 1..8). Grid = (L, STEPS).
+
+    Timeline per layer: q(2) k(2) v(2) | self-attn (n, one lane each) |
+    o(2) cq(2) | cross (n*2*NC, lane-major: NC score chunks then NC PV
+    chunks per lane) | co(2) fc1(n_fc) fc2(n_fc)."""
+    from jax.experimental import pallas as pl
+
+    hd = d // heads
+    CH = d // 2
+    NC = s_pad // CH
+    n_fc = ffn // CH
+    C_Q, C_K, C_V = 0, 2, 4
+    C_SA = 6                      # n per-lane self-attention steps
+    C_O = C_SA + n
+    C_CQ = C_O + 2
+    C_X = C_CQ + 2                # n * 2*NC per-lane cross steps
+    C_CO = C_X + n * 2 * NC
+    C_F1 = C_CO + 2
+    C_F2 = C_F1 + n_fc
+    STEPS = C_F2 + n_fc
+    nb_fc1 = ffn // d
+    sm = 1.0 / math.sqrt(hd)
+
+    def hsum(dtype=jnp.float32):   # [d, 128] one-hot head folder
+        return (jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
+                ).astype(dtype)
+
+    def hsum_t(dtype=jnp.float32):  # [128, d]
+        return (jax.lax.broadcasted_iota(jnp.int32, (128, d), 1) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (128, d), 0)
+                ).astype(dtype)
+
+    def kernel(off_ref, x_ref, w_ref, ws_ref, bias_ref,
+               ck_ref, ks_ref, cv_ref, vs_ref, kc_ref, vc_ref,
+               y_ref, nk_ref, nv_ref,
+               resid, xq8, xs_v, qbuf, kbuf, vbuf, q2buf, abuf, cabuf,
+               h, hq8, hs_v, csc):
+        lyr = pl.program_id(0)
+        c = pl.program_id(1)
+        b0 = bias_ref[0]
+
+        def quantize_rows(x):
+            """Per-ROW dynamic int8 quantization of all 8 activation rows
+            (each lane gets its own scale; dead rows quantize harmlessly
+            to whatever their garbage is — their outputs are ignored)."""
+            s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                            / 127.0, 1e-12)                      # [8, 1]
+            xq8[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+            xs_v[:] = s
+
+        def layer_norm(x, wrow, brow):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            zero = x - mean
+            var = jnp.mean(zero * zero, axis=-1, keepdims=True)
+            y = zero * jax.lax.rsqrt(var + 1e-5)
+            return y * b0[wrow:wrow + 1, :] + b0[brow:brow + 1, :]
+
+        def gemv_chunk():
+            """xq8 [8, d] @ chunk [CH, d].T -> [8, CH], per-row rescale."""
+            acc = jax.lax.dot_general(
+                xq8[:], w_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * ws_ref[0, 0] * xs_v[:]
+
+        # ---- self-attention projections -------------------------------
+        @pl.when(c == C_Q)
+        def _():
+            @pl.when(lyr == 0)
+            def _():
+                resid[:] = x_ref[:]
+            quantize_rows(layer_norm(resid[:], 0, 1))
+
+        for c0, buf, brow in ((C_Q, qbuf, 2), (C_K, kbuf, -1),
+                              (C_V, vbuf, 3)):
+            for j in range(2):
+                @pl.when(c == c0 + j)
+                def _(buf=buf, j=j, brow=brow):
+                    out = gemv_chunk()
+                    if brow >= 0:
+                        out = out + b0[brow:brow + 1, j * CH:(j + 1) * CH]
+                    buf[:, j * CH:(j + 1) * CH] = out
+
+        # ---- per-lane self-attention (one lane per grid step) ----------
+        @pl.when((c >= C_SA) & (c < C_SA + n))
+        def _():
+            m = c - C_SA
+            off = off_ref[0, m]
+            hh = hsum()
+            hht = hsum_t()
+            qrow = qbuf[pl.ds(m, 1), :] * sm
+            krow = kbuf[pl.ds(m, 1), :]
+            vrow = vbuf[pl.ds(m, 1), :]
+            nsub = s_max // SUB
+
+            def score_tile(i, _):
+                kk = kc_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                    jnp.float32)
+                sc = jnp.dot(kk * qrow, hh,
+                             preferred_element_type=jnp.float32)
+                csc[pl.ds(i * SUB, SUB), :] = sc
+                return 0
+
+            jax.lax.fori_loop(0, nsub, score_tile, 0)
+            sc_cur = jnp.dot(krow * qrow, hh,
+                             preferred_element_type=jnp.float32)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (s_max, 128), 0)
+            sc = csc[0:s_max, :]
+            sc = jnp.where(pos == off, jnp.broadcast_to(sc_cur, sc.shape),
+                           sc)
+            valid = pos <= off
+            sc = jnp.where(valid, sc, -1e9)
+            mx = jnp.max(sc, axis=0, keepdims=True)
+            p = jnp.where(valid, jnp.exp(sc - mx), 0.0)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            csc[0:s_max, :] = p
+
+            def pv_tile(i, acc):
+                pr = csc[pl.ds(i * SUB, SUB), :]
+                pexp = jnp.dot(pr, hht, preferred_element_type=jnp.float32)
+                vv = vc_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                    jnp.float32)
+                rpos = (jax.lax.broadcasted_iota(jnp.int32, (SUB, d), 0)
+                        + i * SUB)
+                vv = jnp.where(rpos == off,
+                               jnp.broadcast_to(vrow, vv.shape), vv)
+                return acc + jnp.sum(pexp * vv, axis=0, keepdims=True)
+
+            av = jax.lax.fori_loop(0, nsub, pv_tile,
+                                   jnp.zeros((1, d), jnp.float32))
+            abuf[pl.ds(m, 1), :] = av
+
+            @pl.when(m == n - 1)
+            def _():
+                nk_ref[0] = kbuf[:]
+                nv_ref[0] = vbuf[:]
+                quantize_rows(abuf[:])
+
+        for j in range(2):
+            @pl.when(c == C_O + j)
+            def _(j=j):
+                resid[:, j * CH:(j + 1) * CH] = (
+                    resid[:, j * CH:(j + 1) * CH] + gemv_chunk()
+                    + b0[4:5, j * CH:(j + 1) * CH])
+
+        # ---- cross-attention (lane-major chunked timeline) -------------
+        @pl.when(c == C_CQ)
+        def _():
+            quantize_rows(layer_norm(resid[:], 5, 6))
+
+        for j in range(2):
+            @pl.when(c == C_CQ + j)
+            def _(j=j):
+                q2buf[:, j * CH:(j + 1) * CH] = (
+                    gemv_chunk() + b0[7:8, j * CH:(j + 1) * CH])
+
+        @pl.when((c >= C_X) & (c < C_CO))
+        def _():
+            t = c - C_X
+            m = t // (2 * NC)
+            phase = t % (2 * NC)
+            hh = hsum()
+            hht = hsum_t()
+            nsub = CH // SUB
+
+            @pl.when(phase < NC)
+            def _():
+                # score chunk ``phase`` for lane m
+                q2row = q2buf[pl.ds(m, 1), :] * sm
+
+                def tile(i, _):
+                    kk = ck_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    csc[pl.ds(phase * CH + i * SUB, SUB), :] = jnp.dot(
+                        kk * q2row, hh, preferred_element_type=jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(0, nsub, tile, 0)
+                csc[pl.ds(phase * CH, CH), :] = (
+                    csc[pl.ds(phase * CH, CH), :]
+                    * ks_ref[0, 0, 0, 0].reshape(CH, 1))
+
+            @pl.when(phase >= NC)
+            def _():
+                @pl.when(phase == NC)
+                def _():
+                    # lane m's scores are complete: masked softmax + zero
+                    # its accumulator row
+                    pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (s_pad, 128), 0)
+                    valid = pos < s_src
+                    sc = jnp.where(valid, csc[0:s_pad, :], -1e9)
+                    mx = jnp.max(sc, axis=0, keepdims=True)
+                    pr = jnp.where(valid, jnp.exp(sc - mx), 0.0)
+                    csc[0:s_pad, :] = pr / jnp.sum(pr, axis=0,
+                                                   keepdims=True)
+                    cabuf[pl.ds(m, 1), :] = jnp.zeros((1, d), jnp.float32)
+
+                j = phase - NC
+                csc[pl.ds(j * CH, CH), :] = (
+                    csc[pl.ds(j * CH, CH), :]
+                    * vs_ref[0, 0, 0, 0].reshape(CH, 1))
+
+                def tile(i, acc):
+                    pr = csc[pl.ds(j * CH + i * SUB, SUB), :]
+                    pexp = jnp.dot(pr, hht,
+                                   preferred_element_type=jnp.float32)
+                    vv = cv_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    return acc + jnp.sum(pexp * vv, axis=0, keepdims=True)
+
+                av = jax.lax.fori_loop(0, nsub, tile,
+                                       jnp.zeros((1, d), jnp.float32))
+                cabuf[pl.ds(m, 1), :] = cabuf[pl.ds(m, 1), :] + av
+
+        @pl.when(c == C_CO)
+        def _():
+            quantize_rows(cabuf[:])
+
+        for j in range(2):
+            @pl.when(c == C_CO + j)
+            def _(j=j):
+                resid[:, j * CH:(j + 1) * CH] = (
+                    resid[:, j * CH:(j + 1) * CH] + gemv_chunk()
+                    + b0[8:9, j * CH:(j + 1) * CH])
+
+        # ---- MLP --------------------------------------------------------
+        @pl.when(c == C_F1)
+        def _():
+            quantize_rows(layer_norm(resid[:], 9, 10))
+
+        for j in range(n_fc):
+            @pl.when(c == C_F1 + j)
+            def _(j=j):
+                brow = 13 + (j * CH) // d
+                bcol = (j * CH) % d
+                out = gemv_chunk() + b0[brow:brow + 1, bcol:bcol + CH]
+                h[:, j * CH:(j + 1) * CH] = jax.nn.gelu(out,
+                                                        approximate=True)
+
+        @pl.when(c == C_F2)
+        def _():
+            hf = h[:]
+            s = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+                            / 127.0, 1e-12)
+            hq8[:] = jnp.clip(jnp.round(hf / s), -127, 127).astype(jnp.int8)
+            hs_v[:] = s
+
+        for j in range(n_fc):
+            @pl.when(c == C_F2 + j)
+            def _(j=j):
+                acc = jax.lax.dot_general(
+                    hq8[:, j * CH:(j + 1) * CH], w_ref[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)         # [8, d]
+                upd = acc.astype(jnp.float32) * b0[12:13, :] * hs_v[:]
+                if j == n_fc - 1:
+                    upd = upd + b0[11:12, :]
+                resid[:] = resid[:] + upd
+
+        @pl.when((lyr == L - 1) & (c == STEPS - 1))
+        def _():
+            y_ref[:] = resid[:]
+
+    # ---- index maps -------------------------------------------------------
+    # weight chunk: q/k/v = chunks 0..5, o/cq = 6..9, co.. = 10..; pinned
+    # to the upcoming chunk while the per-lane attention steps run
+    def w_chunk(c):
+        return jnp.where(
+            c < C_SA, c,
+            jnp.where(c < C_X, jnp.clip(c - n, 6, 9),
+                      jnp.where(c < C_CO, 10, c - n - 2 * n * NC)))
+
+    def w_idx(l, c):
+        return (l, w_chunk(c), 0)
+
+    def ws_idx(l, c):
+        return (l, w_chunk(c), 0, 0)
+
+    # per-lane self cache: pinned to the upcoming lane's block
+    def sa_lane(c):
+        return jnp.clip(c - C_SA, 0, n - 1)
+
+    def kc_idx(l, c):
+        return (sa_lane(c), l, 0, 0)
+
+    # per-lane cross streams (lane-major, NC score chunks then NC PV)
+    def x_lane(c):
+        return jnp.clip((c - C_X) // (2 * NC), 0, n - 1)
+
+    def ck_chunk(c):
+        return jnp.clip((c - C_X) % (2 * NC), 0, NC - 1)
+
+    def cv_chunk(c):
+        return jnp.clip((c - C_X) % (2 * NC) - NC, 0, NC - 1)
+
+    def ck_idx(l, c):
+        return (x_lane(c), l, ck_chunk(c), 0)
+
+    def cks_idx(l, c):
+        return (x_lane(c), l, ck_chunk(c), 0, 0)
+
+    def cv_idx(l, c):
+        return (x_lane(c), l, cv_chunk(c), 0)
+
+    def cvs_idx(l, c):
+        return (x_lane(c), l, cv_chunk(c), 0, 0)
+
+    return kernel, STEPS, CH, dict(
+        w_idx=w_idx, ws_idx=ws_idx, kc_idx=kc_idx, ck_idx=ck_idx,
+        cks_idx=cks_idx, cv_idx=cv_idx, cvs_idx=cvs_idx)
+
+
+def fused_stack_lanes(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
+                      x, offsets, *, cfg, s_src: int,
+                      interpret: bool = False):
+    """Run the full decoder layer stack for ONE token on EACH of n lanes.
+
+    x: [8, d] f32 — rows 0..n-1 are the n lanes' embedded tokens (+
+    positional rows), rows n..7 dead; kcache/vcache: [n, L, S_max, d]
+    bf16 position-major per-lane self caches (lane-major, the stacking
+    order of parallel/continuous.py); ck/cv + ks/vs: per-lane packed
+    cross K/V ([n, L, Sp, d] int8 / [n, L, Sp] f32); offsets: [8] int32
+    per-lane write positions (rows >= n ignored).
+    Returns (y [8, d] f32, newk [L, 8, d] f32, newv [L, 8, d] f32) —
+    column m of newk/newv is lane m's new self K/V row, to scatter at
+    ``offsets[m]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = cfg.d_model
+    L = cfg.decoder_layers
+    ffn = cfg.decoder_ffn_dim
+    n, _, s_max, _ = kcache.shape
+    s_pad = ck.shape[2]
+    assert s_max % SUB == 0 and s_pad % SUB == 0 and 1 <= n <= 8
+
+    kernel, STEPS, CH, idx = _build_kernel_lanes(
+        d=d, heads=cfg.decoder_attention_heads, ffn=ffn, s_max=s_max,
+        s_src=s_src, s_pad=s_pad, L=L, n=n)
+
+    NC = s_pad // CH
+    grid = (L, STEPS)
+    out_shapes = (
+        jax.ShapeDtypeStruct((8, d), jnp.float32),
+        jax.ShapeDtypeStruct((L, 8, d), jnp.float32),
+        jax.ShapeDtypeStruct((L, 8, d), jnp.float32),
+    )
+    y, nk, nv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda l, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, d), idx["w_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, CH), idx["ws_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack.biaspack.shape[1], d),
+                         lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CH, d), idx["ck_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, CH), idx["cks_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CH, d), idx["cv_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, CH), idx["cvs_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_max, d), idx["kc_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_max, d), idx["kc_idx"],
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((8, d), jnp.float32),      # resid
+            pltpu.VMEM((8, d), jnp.int8),          # xq8
+            pltpu.VMEM((8, 1), jnp.float32),       # xs_v (per-row scales)
+            pltpu.VMEM((8, d), jnp.float32),       # qbuf
+            pltpu.VMEM((8, d), jnp.float32),       # kbuf
+            pltpu.VMEM((8, d), jnp.float32),       # vbuf
+            pltpu.VMEM((8, d), jnp.float32),       # q2buf
+            pltpu.VMEM((8, d), jnp.float32),       # abuf (self-attn out)
+            pltpu.VMEM((8, d), jnp.float32),       # cabuf (cross out)
+            pltpu.VMEM((8, ffn), jnp.float32),     # h
+            pltpu.VMEM((8, ffn), jnp.int8),        # hq8
+            pltpu.VMEM((8, 1), jnp.float32),       # hs_v
+            pltpu.VMEM((max(s_max, s_pad), 128), jnp.float32),  # csc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * 14 * d * d * L,
+            bytes_accessed=(pack.wstream.size + ck.size + cv.size
+                            + kcache.size * 2 + vcache.size * 2),
+            transcendentals=8 * ffn * L,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(offsets, jnp.int32).reshape(1, 8), x,
+      pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.biaspack,
+      ck, ks.reshape(n, L, NC, 1, CH), cv, vs.reshape(n, L, NC, 1, CH),
       kcache, vcache)
     return y, nk, nv
