@@ -52,9 +52,11 @@ def _enable_compile_cache():
     # floor 0: cache EVERY XLA executable. Measured (r4, headline mode
     # cold with JAX_EXPLAIN_CACHE_MISSES): 77 compiles, every one < 5 s,
     # so the default 5 s floor wrote NOTHING and re-runs re-paid ~40-60 s
-    # of small XLA compiles. (The remaining ~200 s of a whisper cold
-    # start is the remote Mosaic kernel compile at first execution,
-    # which no jax cache can cover — see docs/DESIGN.md.)
+    # of small XLA compiles. With floor 0 the cache entry serializes the
+    # LOADED executable including the Mosaic kernel binary, so warm
+    # re-runs also skip the minutes-long remote Mosaic compile that
+    # otherwise happens at first execution (r5 measured: whisper_fused
+    # 1540 s cold -> 168.6 s warm; see docs/DESIGN.md).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -684,6 +686,7 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
     rng = np.random.default_rng(0)
     audio = rng.standard_normal(W.CHUNK_LENGTH_SAMPLES).astype(
         np.float32) * 0.1
+    fused_route = {"fused": False}   # set by measure() from the engine
 
     def measure(n_live: int) -> tuple[float, float]:
         """tok/s and ms/tick with ``n_live`` streams in the SAME
@@ -692,6 +695,7 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
         is what a real server pays when traffic is light."""
         srv = ContinuousSTT(model, slots=slots, max_tokens=440,
                             step_tokens=step_tokens)
+        fused_route["fused"] = srv.fused
         # disable the EOT stop (set before the first tick traces): every
         # lane must stay live the whole measurement on random weights
         srv.engine.stop_token = -1
@@ -723,6 +727,7 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
             "ms_per_tick_batch": round(tick_batch * 1000, 1),
             "ms_per_tick_solo": round(tick_solo * 1000, 1),
             "step_tokens": step_tokens,
+            "fused": fused_route["fused"],
             "device": str(__import__("jax").devices()[0]),
         },
     }

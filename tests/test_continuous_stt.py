@@ -137,6 +137,60 @@ def test_serve_stt_slots(model):
 
 
 @pytest.fixture(scope="module")
+def w8_model():
+    """Kernel-supported dims + w8a8 decoder tree: routes the fused
+    serving tick in interpret mode (same fixture shape as
+    test_fused_decoder.test_whisper_generate_routes_fused_and_matches_xla)."""
+    from tpu_audio.core import quant
+    from tpu_audio.models.stt import whisper as W
+
+    cfg = W.WhisperConfig(num_mel_bins=80, d_model=256, encoder_layers=1,
+                          encoder_attention_heads=4, encoder_ffn_dim=1024,
+                          decoder_layers=2, decoder_attention_heads=4,
+                          decoder_ffn_dim=1024, vocab_size=128,
+                          max_source_positions=1500,
+                          max_target_positions=64)
+    params = W.init_params(cfg, seed=5, dtype=jnp.float32)
+    params["model"]["decoder"] = quant.quantize_tree(
+        params["model"]["decoder"], scheme="w8a8")
+    m = W.Whisper(cfg, params, dtype=jnp.float32)
+    m.tokenizer = FakeWhisperTokenizer(vocab=cfg.vocab_size)
+    return m
+
+
+def test_continuous_stt_fused_matches_xla_engine(w8_model, monkeypatch):
+    """The fused serving tick (one fused_stack_lanes call per step shared
+    by all live lanes) produces the SAME greedy tokens as the XLA w8a8
+    engine for staggered concurrent requests — covering the lanes kernel
+    end-to-end through admission, bucketed underload ticks (1 live lane),
+    the full tick (2 lanes), per-lane cross K/V quantization, in-kernel
+    prefill, and the engine's freeze/admission machinery."""
+    from tpu_audio.parallel.continuous_stt import ContinuousSTT
+
+    rng = np.random.default_rng(2)
+    clips = [rng.standard_normal(8000).astype(np.float32) * 0.2
+             for _ in range(3)]
+    max_tokens = 6
+
+    def run(fused):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_DECODER",
+                           "interpret" if fused else "0")
+        srv = ContinuousSTT(w8_model, slots=2, max_tokens=max_tokens,
+                            step_tokens=2, min_tick_tokens=2,
+                            fused=fused)
+        assert srv.fused == bool(fused)
+        r0 = srv.submit(clips[0], language="en")
+        srv.step()                      # bucket-1 tick: r0 alone
+        r1 = srv.submit(clips[1], language="fr")
+        r2 = srv.submit(clips[2], language="en")   # queues for a lane
+        srv.drain()
+        return [srv.engine.requests[r.request_id].tokens
+                for r in (r0, r1, r2)]
+
+    assert run(True) == run(False)
+
+
+@pytest.fixture(scope="module")
 def qwen_model(tmp_path_factory):
     from fixtures import make_qwen3_asr_fixture
     from tpu_audio.models.stt import load_model

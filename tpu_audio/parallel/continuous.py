@@ -147,6 +147,13 @@ class ContinuousBatcher:
     - ``cache_factory(valid_from) ->`` a fresh batch=1 cache
     - ``token_map``: sampled logits-space index -> model token id
       (restricted heads); the repetition history stays in logits space.
+    - ``batch_step_fn(params, cache, last [n], ctx) -> (logits [n, V],
+      cache)``: lane-aware alternative to ``step_fn`` — receives the
+      WHOLE stacked lane state (cache/ctx leaves ``[n, ...]``, ``n`` the
+      current tick's static lane-bucket size) instead of being vmapped
+      row-wise, so a single kernel can share work across lanes (the
+      M-lane monolithic Pallas decoder shares its HBM weight sweep over
+      every live lane). The engine still owns offsets/sampling/freezing.
 
     Per-request conditioning (encoder-decoder serving): pass
     ``context_template`` (a pytree of zero arrays shaped like ONE
@@ -180,6 +187,7 @@ class ContinuousBatcher:
                  prefill_buckets: tuple[int, ...] = (32, 64, 128, 256),
                  seed: int = 0, cache_dtype=None,
                  step_fn: Callable | None = None,
+                 batch_step_fn: Callable | None = None,
                  prefill_fn: Callable | None = None,
                  cache_factory: Callable | None = None,
                  token_map: Callable | None = None,
@@ -221,7 +229,7 @@ class ContinuousBatcher:
             lead = jax.tree.leaves(params)[0]
             cache_dtype = lead.dtype
 
-        if step_fn is None:
+        if step_fn is None and batch_step_fn is None:
             if cfg is None:
                 raise ValueError("pass cfg for the default llama step")
 
@@ -268,9 +276,17 @@ class ContinuousBatcher:
             # at [slots] for the full tick and at [b] for bucketed ticks
             old_offset = state.cache.offset
             valid = state.active  # this step's samples count iff live
-            logits, cache = jax.vmap(
-                row_step, in_axes=(None, 0, 0, 0 if has_ctx else None))(
-                params, state.cache, state.last, state.ctx)
+            if batch_step_fn is not None:
+                # lane-aware step (e.g. the M-lane monolithic Pallas
+                # decoder, ops/pallas_fused_decoder.fused_stack_lanes):
+                # takes the WHOLE stacked state so one kernel can share
+                # its weight sweep across every live lane
+                logits, cache = batch_step_fn(
+                    params, state.cache, state.last, state.ctx)
+            else:
+                logits, cache = jax.vmap(
+                    row_step, in_axes=(None, 0, 0, 0 if has_ctx else None))(
+                    params, state.cache, state.last, state.ctx)
             logits = logits.astype(jnp.float32)
             if logits_hook is not None:
                 logits = jax.vmap(logits_hook)(logits, state.n_new)

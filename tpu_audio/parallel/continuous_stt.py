@@ -28,12 +28,13 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.core import kv_cache
+from tpu_audio.core import kv_cache, nn
 from tpu_audio.core.generation import STTOutput, STTSegment
 from tpu_audio.core.sampling import SamplingParams
 from tpu_audio.models.stt import whisper as W
@@ -41,6 +42,20 @@ from tpu_audio.parallel.continuous import (ContinuousBatcher,
                                            EngineWorkerBase, GenRequest)
 
 __all__ = ["ContinuousSTT", "ContinuousQwen3ASR", "STTEngineWorker"]
+
+
+class _FusedLaneRow(NamedTuple):
+    """One serving lane's decode state for the M-lane monolithic Pallas
+    decoder (ops/pallas_fused_decoder.fused_stack_lanes): position-major
+    bf16 self cache (the kernel's native layout — full 128-lane rows, no
+    head reshapes) + the engine's offset/valid_from contract. The
+    engine stacks rows on a leading slot axis like any cache pytree."""
+
+    k: jnp.ndarray           # [L, s_max, d] bf16, position-major
+    v: jnp.ndarray           # [L, s_max, d] bf16
+    offset: jnp.ndarray      # [] int32 — tokens cached so far
+    valid_from: jnp.ndarray  # [] int32 — always 0 (whisper prompts
+    #                          have one fixed length; never left-padded)
 
 
 @dataclasses.dataclass
@@ -65,7 +80,7 @@ class ContinuousSTT:
                  max_tokens: int = 224, step_tokens: int = 8,
                  temperature: float = 0.0, seed: int = 0,
                  min_tick_tokens: int | None = None,
-                 pipeline: bool = True):
+                 pipeline: bool = True, fused: str | bool = "auto"):
         from tpu_audio.core.generation import AudioGenerationError
 
         if model.tokenizer is None:
@@ -91,43 +106,56 @@ class ContinuousSTT:
             logits = logits + suppress
             return jnp.where(n_new == 0, logits + begin, logits)
 
-        def step_fn(params, tok_ids, cache, ctx):
-            ck, cv = ctx
-            logits, cache = W.decoder_step(
-                params, tok_ids, cache.offset, cache,
-                ck[:, None], cv[:, None], cfg)
-            return logits[:, -1], cache
-
-        def prefill_fn(params, ids, cache, ctx):
-            ck, cv = ctx
-
-            def one(cache, t):
-                _, cache = W.decoder_step(
-                    params, t[None, None], cache.offset, cache,
+        # Fused serving tick (VERDICT r4 item 2): when the model routes
+        # through the monolithic Pallas decoder (w8a8 tree on TPU, or
+        # interpret mode under test), every live lane decodes through ONE
+        # fused_stack_lanes call per step — the HBM weight sweep that
+        # dominates decode is paid once per step, not once per lane. The
+        # kernel is capped at 8 lanes (its activation rows are the MXU's
+        # [8, d] dot shape).
+        self.fused = bool(fused) and slots <= 8 and model._fused_supported()
+        if self.fused:
+            engine_kw = self._build_fused(cfg, max_total, src)
+        else:
+            def step_fn(params, tok_ids, cache, ctx):
+                ck, cv = ctx
+                logits, cache = W.decoder_step(
+                    params, tok_ids, cache.offset, cache,
                     ck[:, None], cv[:, None], cfg)
-                return cache, None
+                return logits[:, -1], cache
 
-            cache, _ = jax.lax.scan(one, cache, ids[0])
-            return None, cache
+            def prefill_fn(params, ids, cache, ctx):
+                ck, cv = ctx
 
-        def cache_factory(valid_from):
-            return kv_cache.init_cache(
-                cfg.decoder_layers, 1, nh, hd, max_total, model.dtype,
-                valid_from=valid_from)
+                def one(cache, t):
+                    _, cache = W.decoder_step(
+                        params, t[None, None], cache.offset, cache,
+                        ck[:, None], cv[:, None], cfg)
+                    return cache, None
 
-        ctx_template = (
-            jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
-            jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
-        )
+                cache, _ = jax.lax.scan(one, cache, ids[0])
+                return None, cache
+
+            def cache_factory(valid_from):
+                return kv_cache.init_cache(
+                    cfg.decoder_layers, 1, nh, hd, max_total, model.dtype,
+                    valid_from=valid_from)
+
+            ctx_template = (
+                jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
+                jnp.zeros((cfg.decoder_layers, nh, src, hd), model.dtype),
+            )
+            engine_kw = dict(step_fn=step_fn, prefill_fn=prefill_fn,
+                             cache_factory=cache_factory,
+                             context_template=ctx_template)
         self.engine = ContinuousBatcher(
-            model.params, slots=slots, max_len=max_total,
-            stop_token=tok.eot,
+            engine_kw.pop("params", model.params), slots=slots,
+            max_len=max_total, stop_token=tok.eot,
             sampling=SamplingParams(temperature=temperature),
             prefill_buckets=(prompt_len,), seed=seed,
-            cache_dtype=model.dtype, step_fn=step_fn,
-            prefill_fn=prefill_fn, cache_factory=cache_factory,
-            step_tokens=step_tokens, context_template=ctx_template,
-            logits_hook=logits_hook,
+            cache_dtype=model.dtype,
+            step_tokens=step_tokens, logits_hook=logits_hook,
+            **engine_kw,
             # Underload throughput (VERDICT r3 item 2): every tick decodes
             # >= 64 tokens across its live lanes so the fixed per-tick
             # cost (~40 ms dispatch+fetch on a tunneled chip — the relay
@@ -143,21 +171,125 @@ class ContinuousSTT:
         self.window = W.CHUNK_LENGTH_SAMPLES  # serving cap per request
         self._meta: dict[int, _Meta] = {}
 
+    def _build_fused(self, cfg, max_total: int, src: int) -> dict:
+        """Engine pieces for the fused-tick path: the per-lane cache is
+        the kernel's position-major bf16 layout (:class:`_FusedLaneRow`),
+        the per-lane context is the request's int8-quantized cross K/V,
+        prefill teacher-forces the prompt through the B=1 kernel (same
+        numerics as the offline fused loop, whisper._decode_loop_fused),
+        and the decode tick runs ``fused_stack_lanes`` — one weight sweep
+        shared by all live lanes, per-lane attention in the grid
+        timeline. Greedy tokens are bit-identical to the XLA w8a8 engine
+        (tested, test_continuous_stt.py)."""
+        from tpu_audio.ops import pallas_fused_decoder as F
+
+        model = self.model
+        d = cfg.d_model
+        L = cfg.decoder_layers
+        s_max = -(-max_total // F.SUB) * F.SUB
+        sp = -(-src // (d // 2)) * (d // 2)
+        interp = W._fused_decoder_mode() == "interpret"
+        # the pack rides as part of the engine's params ARGUMENT (a
+        # closure capture would bake ~0.7 GB of int8 weights into every
+        # tick executable as lowering constants)
+        engine_params = (model.params, model.fused_decoder_pack())
+
+        def step(params, cache, last, ctx):
+            params, pack = params
+            p = params["model"]["decoder"]
+            ck, ks, cv, vs = ctx
+            n = last.shape[0]                     # static lane bucket
+            off = cache.offset
+            x = nn.embedding(p["embed_tokens"], last[None])[0]
+            pos = p["embed_positions"]["weight"][off]
+            x8 = jnp.zeros((8, d), jnp.float32).at[:n].set(
+                x.astype(jnp.float32) + pos.astype(jnp.float32))
+            off8 = jnp.zeros((8,), jnp.int32).at[:n].set(off)
+            y, nk, nv = F.fused_stack_lanes(
+                pack, ck, ks, cv, vs, cache.k, cache.v, x8, off8,
+                cfg=cfg, s_src=src, interpret=interp)
+
+            def put(kc, row, o):
+                return jax.lax.dynamic_update_slice(
+                    kc, row[:, None].astype(kc.dtype), (0, o, 0))
+
+            newk = jax.vmap(put)(
+                cache.k, jnp.transpose(nk[:, :n], (1, 0, 2)), off)
+            newv = jax.vmap(put)(
+                cache.v, jnp.transpose(nv[:, :n], (1, 0, 2)), off)
+            h = nn.layer_norm(p["layer_norm"], y[:n])
+            logits = nn.embedding_as_linear(
+                p["embed_tokens"], h.astype(model.dtype))
+            return logits.astype(jnp.float32), cache._replace(
+                k=newk, v=newv)
+
+        def prefill_fn(params, ids, cache, ctx):
+            params, pack = params
+            p = params["model"]["decoder"]
+            ck, ks, cv, vs = ctx
+            T = ids.shape[1]
+
+            def one(carry, ti):
+                kc, vc = carry
+                t, i = ti
+                x = nn.embedding(p["embed_tokens"], t[None, None])[0, 0]
+                pos = jax.lax.dynamic_slice_in_dim(
+                    p["embed_positions"]["weight"], i, 1, axis=0)[0]
+                x8 = jnp.zeros((8, d), jnp.float32).at[0].set(
+                    x.astype(jnp.float32) + pos.astype(jnp.float32))
+                _, nk, nv = F.fused_stack(
+                    pack, ck, ks, cv, vs, kc, vc, x8, i,
+                    cfg=cfg, s_src=src, interpret=interp)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, nk[:, 0:1].astype(kc.dtype), (0, i, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, nv[:, 0:1].astype(vc.dtype), (0, i, 0))
+                return (kc, vc), None
+
+            (kc, vc), _ = jax.lax.scan(
+                one, (cache.k, cache.v), (ids[0], jnp.arange(T)))
+            return None, cache._replace(k=kc, v=vc,
+                                        offset=jnp.int32(T))
+
+        def cache_factory(valid_from):
+            return _FusedLaneRow(
+                k=jnp.zeros((L, s_max, d), jnp.bfloat16),
+                v=jnp.zeros((L, s_max, d), jnp.bfloat16),
+                offset=jnp.int32(0),
+                valid_from=jnp.asarray(valid_from, jnp.int32))
+
+        ctx_template = (
+            jnp.zeros((L, sp, d), jnp.int8),      # cross K int8
+            jnp.zeros((L, sp), jnp.float32),      # per-position K scales
+            jnp.zeros((L, sp, d), jnp.int8),      # cross V int8
+            jnp.zeros((L, sp), jnp.float32),      # per-position V scales
+        )
+        return dict(params=engine_params, batch_step_fn=step,
+                    prefill_fn=prefill_fn, cache_factory=cache_factory,
+                    context_template=ctx_template)
+
     def submit(self, audio, language: str | None = None,
                task: str = "transcribe", max_tokens: int | None = None,
                seed: int = 0) -> GenRequest:
         """Encode one <=30 s request and queue its decode. Longer audio
         is truncated to the 30 s window (the reported segment covers the
         transcribed span only); long-form chunking composes on top."""
+        from tpu_audio.ops import pallas_fused_decoder as F
+
         audio = np.asarray(audio, np.float32).reshape(-1)[: self.window]
         feats = self.model.encoder_features(audio)
         enc = self.model._encode(self.model.params, feats)
         ck, cv = W._cross_kv(self.model.params, enc, self.model.config)
+        if self.fused:
+            context = F.quantize_cross_kv(
+                ck, cv, chunk=self.model.config.d_model // 2)
+        else:
+            context = (ck[:, 0], cv[:, 0])
         prompt = self.model.tokenizer.build_prompt_tokens(language, task)
         req = self.engine.submit(
             np.asarray(prompt, np.int32),
             max_new=min(max_tokens or self.max_tokens, self.max_tokens),
-            seed=seed, context=(ck[:, 0], cv[:, 0]))
+            seed=seed, context=context)
         self._meta[req.request_id] = _Meta(
             audio_seconds=len(audio) / W.SAMPLE_RATE,
             t_submit=time.perf_counter())
