@@ -315,6 +315,31 @@ def test_fused_stack_lanes_matches_b1(setup):
                       - np.asarray(nv1)[:, 0]).max() < 1e-5
 
 
+def test_fused_stack_chunk_sizes_match(setup):
+    """The r5 default weight chunk (ch=d, one grid step per projection)
+    must match the r4 chunking (ch=d//2) bit-for-bit — same math, only
+    the grid timeline differs. Covers both NW branches of the step
+    timeline and the decoupled cross chunk."""
+    cfg, params, enc, _, pack, cross8 = setup
+    ck, ks, cv, vs = cross8
+    d = cfg.d_model
+    rng = np.random.default_rng(11)
+    kc = jnp.asarray(rng.standard_normal(
+        (cfg.decoder_layers, 64, d)) * 0.2, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal(
+        (cfg.decoder_layers, 64, d)) * 0.2, jnp.bfloat16)
+    x = jnp.zeros((8, d), jnp.float32).at[0].set(
+        jnp.asarray(rng.standard_normal(d) * 0.5))
+    outs = {}
+    for ch in (d // 2, d):
+        outs[ch] = F.fused_stack(
+            pack, ck, ks, cv, vs, kc, vc, x, 7, cfg=cfg,
+            s_src=cfg.max_source_positions, interpret=True, ch=ch)
+    for a, b in zip(outs[d // 2], outs[d]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-5
+
+
 def test_whisper_generate_routes_fused_and_matches_xla(monkeypatch):
     """End-to-end through Whisper.generate(): the auto-routed fused decode
     (interpret mode) must produce the SAME greedy tokens as the XLA w8

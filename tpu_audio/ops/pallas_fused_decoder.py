@@ -18,8 +18,11 @@ and this repo's XLA scan in stt/whisper.py:decoder_step):
 - **Uniform weight stream**: per layer, q/k/v/o/cross-q/cross-o
   ([d, d] each) + fc1 ([4d, d]) + fc2 stored input-major ([4d, d], so
   its chunks ACCUMULATE into the full output instead of producing output
-  slices) concatenate into a [14d, d] int8 row-stream — 28 chunks of
-  [d/2, d]. Cross K/V ride separate per-request int8 inputs whose block
+  slices) concatenate into a [14d, d] int8 row-stream — 14 chunks of
+  [d, d] by default (r5; r4 used 28 chunks of [d/2, d] — the kernel is
+  grid-step-rate-bound, not HBM-bound, so fewer/bigger steps win; the
+  chunk is the ``ch`` parameter). Cross K/V ride separate per-request
+  int8 inputs (chunked [d/2, d] independently of ``ch``) whose block
   index maps PIN to the upcoming chunk outside their stage window, so
   nothing is ever re-fetched.
 - **Activations never leave VMEM**: the residual, LN outputs, q/k/v,
@@ -175,20 +178,30 @@ def quantize_cross_kv(cross_k, cross_v, chunk: int):
 
 
 def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
-                  s_src: int, s_pad: int, L: int):
-    """The kernel body, closed over all static dims. Grid = (L, STEPS)."""
+                  s_src: int, s_pad: int, L: int, ch: int):
+    """The kernel body, closed over all static dims. Grid = (L, STEPS).
+
+    ``ch`` is the weight-stream chunk (rows per grid step). r4 shipped
+    ``ch = d//2``; r5 measured the kernel is grid-step-rate-bound, not
+    HBM-bound (base and large-v3 both ~1.9 ms/step despite 66x the
+    weight bytes), so the default grew to ``ch = d`` — one chunk per
+    projection, ~0.6x the grid steps. The CROSS-attention chunk ``CC``
+    stays ``d//2`` (it sets the packed cross-K/V layout,
+    :func:`quantize_cross_kv`, which callers cache per request)."""
     from jax.experimental import pallas as pl
 
     hd = d // heads
-    CH = d // 2
-    NC = s_pad // CH
+    CH = ch                    # weight-stream chunk
+    NW = d // CH               # weight chunks per d output rows (1 or 2)
+    CC = d // 2                # cross-K/V stream chunk
+    NC = s_pad // CC
     n_fc = ffn // CH
     # step timeline within a layer
-    C_Q, C_K, C_V, C_O, C_CQ = 0, 2, 4, 6, 8
-    C_CK = 10
+    C_Q, C_K, C_V, C_O, C_CQ = 0, NW, 2 * NW, 3 * NW, 4 * NW
+    C_CK = 5 * NW
     C_CV = C_CK + NC
     C_CO = C_CV + NC
-    C_F1 = C_CO + 2
+    C_F1 = C_CO + NW
     C_F2 = C_F1 + n_fc
     STEPS = C_F2 + n_fc
     nb_fc1 = ffn // d
@@ -249,7 +262,7 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
 
         for c0, buf, brow in ((C_Q, qbuf, 2), (C_K, kbuf, -1),
                               (C_V, vbuf, 3)):
-            for j in range(2):
+            for j in range(NW):
                 @pl.when(c == c0 + j)
                 def _(buf=buf, j=j, brow=brow):
                     out = gemv_chunk()
@@ -303,7 +316,7 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
             nv_ref[0] = vbuf[:]
             quantize_row0(jnp.where(row0, jnp.broadcast_to(av, (8, d)), 0.0))
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_O + j)
             def _(j=j):
                 resid[:, j * CH:(j + 1) * CH] = (
@@ -315,7 +328,7 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
         def _():
             quantize_row0(layer_norm(resid[:], 5, 6))
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_CQ + j)
             def _(j=j):
                 q2buf[:, j * CH:(j + 1) * CH] = (
@@ -326,12 +339,12 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
             def _(j=j):
                 hh = hsum()
                 q2row = q2buf[0:1, :] * sm
-                nsub = CH // SUB
+                nsub = CC // SUB
 
                 def tile(i, _):
                     kk = ck_ref[0, pl.ds(i * SUB, SUB), :].astype(
                         jnp.float32)
-                    csc[pl.ds(j * CH + i * SUB, SUB), :] = jnp.dot(
+                    csc[pl.ds(j * CC + i * SUB, SUB), :] = jnp.dot(
                         kk * q2row, hh, preferred_element_type=jnp.float32)
                     return 0
 
@@ -339,9 +352,9 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
                 # per-position K scale, applied to the whole chunk's score
                 # rows in one static-slice pass (Mosaic has no value-level
                 # dynamic_slice to do it inside the tile loop)
-                csc[j * CH:(j + 1) * CH, :] = (
-                    csc[j * CH:(j + 1) * CH, :]
-                    * ks_ref[0, 0].reshape(CH, 1))
+                csc[j * CC:(j + 1) * CC, :] = (
+                    csc[j * CC:(j + 1) * CC, :]
+                    * ks_ref[0, 0].reshape(CC, 1))
 
         @pl.when(c == C_CV)
         def _():
@@ -358,15 +371,15 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
             @pl.when(c == C_CV + j)
             def _(j=j):
                 hht = hsum_t()
-                nsub = CH // SUB
+                nsub = CC // SUB
                 # fold the per-position V scale into the prob rows once:
                 # sum_s p[s] * (v[s]*vs[s]) == sum_s (p[s]*vs[s]) * v[s]
-                csc[j * CH:(j + 1) * CH, :] = (
-                    csc[j * CH:(j + 1) * CH, :]
-                    * vs_ref[0, 0].reshape(CH, 1))
+                csc[j * CC:(j + 1) * CC, :] = (
+                    csc[j * CC:(j + 1) * CC, :]
+                    * vs_ref[0, 0].reshape(CC, 1))
 
                 def tile(i, acc):
-                    pr = csc[pl.ds(j * CH + i * SUB, SUB), :]
+                    pr = csc[pl.ds(j * CC + i * SUB, SUB), :]
                     pexp = jnp.dot(pr, hht,
                                    preferred_element_type=jnp.float32)
                     vv = cv_ref[0, pl.ds(i * SUB, SUB), :].astype(
@@ -381,7 +394,7 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
         def _():
             quantize_row0(jnp.where(row0, cabuf[:], 0.0))
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_CO + j)
             def _(j=j):
                 resid[:, j * CH:(j + 1) * CH] = (
@@ -450,18 +463,21 @@ def _build_kernel(*, d: int, heads: int, ffn: int, s_max: int,
     def cvs_idx(l, c):
         return (l, jnp.clip(c - C_CV, 0, NC - 1), 0, 0)
 
-    return kernel, STEPS, CH, dict(
+    return kernel, STEPS, (CH, CC), dict(
         w_idx=w_idx, ws_idx=ws_idx, ck_idx=ck_idx, cks_idx=cks_idx,
         cv_idx=cv_idx, cvs_idx=cvs_idx)
 
 
 def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
-                x, offset, *, cfg, s_src: int, interpret: bool = False):
+                x, offset, *, cfg, s_src: int, interpret: bool = False,
+                ch: int | None = None):
     """Run the full decoder layer stack for ONE token.
 
     x: [8, d] f32 (embedded token + position, live row 0);
     kcache/vcache: [L, S_max, d] bf16 position-major (valid < offset);
     ck/cv + ks/vs: packed cross K/V from :func:`quantize_cross_kv`.
+    ``ch`` overrides the weight-stream chunk (default ``d``; ``d//2``
+    reproduces the r4 kernel — see _build_kernel).
     Returns (y [8, d] f32, newk [L, 8, d] f32, newv [L, 8, d] f32) — the
     caller scatters newk/newv[:, 0] into the caches at ``offset``.
     """
@@ -475,9 +491,9 @@ def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
     s_pad = ck.shape[1]
     assert s_max % SUB == 0 and s_pad % SUB == 0
 
-    kernel, STEPS, CH, idx = _build_kernel(
+    kernel, STEPS, (CH, CC), idx = _build_kernel(
         d=d, heads=cfg.decoder_attention_heads, ffn=ffn, s_max=s_max,
-        s_src=s_src, s_pad=s_pad, L=L)
+        s_src=s_src, s_pad=s_pad, L=L, ch=(d if ch is None else ch))
 
     grid = (L, STEPS)
     out_shapes = (
@@ -499,13 +515,13 @@ def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pack.biaspack.shape[1], d),
                          lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, d), idx["ck_idx"],
+            pl.BlockSpec((1, CC, d), idx["ck_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, CH), idx["cks_idx"],
+            pl.BlockSpec((1, 1, 1, CC), idx["cks_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, d), idx["cv_idx"],
+            pl.BlockSpec((1, CC, d), idx["cv_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, CH), idx["cvs_idx"],
+            pl.BlockSpec((1, 1, 1, CC), idx["cvs_idx"],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_max, d), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -547,7 +563,7 @@ def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
         interpret=interpret,
     )(jnp.asarray(offset, jnp.int32).reshape(1, 1), x,
       pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.biaspack,
-      ck, ks.reshape(L, -1, 1, CH), cv, vs.reshape(L, -1, 1, CH),
+      ck, ks.reshape(L, -1, 1, CC), cv, vs.reshape(L, -1, 1, CC),
       kcache, vcache)
     return y, nk, nv
 
@@ -567,25 +583,29 @@ def fused_stack(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
 
 
 def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
-                        s_src: int, s_pad: int, L: int, n: int):
+                        s_src: int, s_pad: int, L: int, n: int, ch: int):
     """Kernel body for ``n`` live lanes (static, 1..8). Grid = (L, STEPS).
 
-    Timeline per layer: q(2) k(2) v(2) | self-attn (n, one lane each) |
-    o(2) cq(2) | cross (n*2*NC, lane-major: NC score chunks then NC PV
-    chunks per lane) | co(2) fc1(n_fc) fc2(n_fc)."""
+    Timeline per layer: q(NW) k(NW) v(NW) | self-attn (n, one lane each)
+    | o(NW) cq(NW) | cross (n*2*NC, lane-major: NC score chunks then NC
+    PV chunks per lane) | co(NW) fc1(n_fc) fc2(n_fc). ``ch`` is the
+    weight-stream chunk (see _build_kernel — default d, NW = 1); the
+    cross chunk CC stays d//2 (packed cross-K/V layout)."""
     from jax.experimental import pallas as pl
 
     hd = d // heads
-    CH = d // 2
-    NC = s_pad // CH
+    CH = ch
+    NW = d // CH
+    CC = d // 2
+    NC = s_pad // CC
     n_fc = ffn // CH
-    C_Q, C_K, C_V = 0, 2, 4
-    C_SA = 6                      # n per-lane self-attention steps
+    C_Q, C_K, C_V = 0, NW, 2 * NW
+    C_SA = 3 * NW                 # n per-lane self-attention steps
     C_O = C_SA + n
-    C_CQ = C_O + 2
-    C_X = C_CQ + 2                # n * 2*NC per-lane cross steps
+    C_CQ = C_O + NW
+    C_X = C_CQ + NW               # n * 2*NC per-lane cross steps
     C_CO = C_X + n * 2 * NC
-    C_F1 = C_CO + 2
+    C_F1 = C_CO + NW
     C_F2 = C_F1 + n_fc
     STEPS = C_F2 + n_fc
     nb_fc1 = ffn // d
@@ -643,7 +663,7 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
 
         for c0, buf, brow in ((C_Q, qbuf, 2), (C_K, kbuf, -1),
                               (C_V, vbuf, 3)):
-            for j in range(2):
+            for j in range(NW):
                 @pl.when(c == c0 + j)
                 def _(buf=buf, j=j, brow=brow):
                     out = gemv_chunk()
@@ -706,7 +726,7 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
                 nv_ref[0] = vbuf[:]
                 quantize_rows(abuf[:])
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_O + j)
             def _(j=j):
                 resid[:, j * CH:(j + 1) * CH] = (
@@ -718,7 +738,7 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
         def _():
             quantize_rows(layer_norm(resid[:], 5, 6))
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_CQ + j)
             def _(j=j):
                 q2buf[:, j * CH:(j + 1) * CH] = (
@@ -731,7 +751,7 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
             phase = t % (2 * NC)
             hh = hsum()
             hht = hsum_t()
-            nsub = CH // SUB
+            nsub = CC // SUB
 
             @pl.when(phase < NC)
             def _():
@@ -741,14 +761,14 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
                 def tile(i, _):
                     kk = ck_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
                         jnp.float32)
-                    csc[pl.ds(phase * CH + i * SUB, SUB), :] = jnp.dot(
+                    csc[pl.ds(phase * CC + i * SUB, SUB), :] = jnp.dot(
                         kk * q2row, hh, preferred_element_type=jnp.float32)
                     return 0
 
                 jax.lax.fori_loop(0, nsub, tile, 0)
-                csc[pl.ds(phase * CH, CH), :] = (
-                    csc[pl.ds(phase * CH, CH), :]
-                    * ks_ref[0, 0, 0, 0].reshape(CH, 1))
+                csc[pl.ds(phase * CC, CC), :] = (
+                    csc[pl.ds(phase * CC, CC), :]
+                    * ks_ref[0, 0, 0, 0].reshape(CC, 1))
 
             @pl.when(phase >= NC)
             def _():
@@ -767,12 +787,12 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
                     cabuf[pl.ds(m, 1), :] = jnp.zeros((1, d), jnp.float32)
 
                 j = phase - NC
-                csc[pl.ds(j * CH, CH), :] = (
-                    csc[pl.ds(j * CH, CH), :]
-                    * vs_ref[0, 0, 0, 0].reshape(CH, 1))
+                csc[pl.ds(j * CC, CC), :] = (
+                    csc[pl.ds(j * CC, CC), :]
+                    * vs_ref[0, 0, 0, 0].reshape(CC, 1))
 
                 def tile(i, acc):
-                    pr = csc[pl.ds(j * CH + i * SUB, SUB), :]
+                    pr = csc[pl.ds(j * CC + i * SUB, SUB), :]
                     pexp = jnp.dot(pr, hht,
                                    preferred_element_type=jnp.float32)
                     vv = cv_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
@@ -787,7 +807,7 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
         def _():
             quantize_rows(cabuf[:])
 
-        for j in range(2):
+        for j in range(NW):
             @pl.when(c == C_CO + j)
             def _(j=j):
                 resid[:, j * CH:(j + 1) * CH] = (
@@ -838,8 +858,8 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
     def w_chunk(c):
         return jnp.where(
             c < C_SA, c,
-            jnp.where(c < C_X, jnp.clip(c - n, 6, 9),
-                      jnp.where(c < C_CO, 10, c - n - 2 * n * NC)))
+            jnp.where(c < C_X, jnp.clip(c - n, 3 * NW, 5 * NW - 1),
+                      jnp.where(c < C_CO, 5 * NW, c - n - 2 * n * NC)))
 
     def w_idx(l, c):
         return (l, w_chunk(c), 0)
@@ -876,14 +896,14 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
     def cvs_idx(l, c):
         return (x_lane(c), l, cv_chunk(c), 0, 0)
 
-    return kernel, STEPS, CH, dict(
+    return kernel, STEPS, (CH, CC), dict(
         w_idx=w_idx, ws_idx=ws_idx, kc_idx=kc_idx, ck_idx=ck_idx,
         cks_idx=cks_idx, cv_idx=cv_idx, cvs_idx=cvs_idx)
 
 
 def fused_stack_lanes(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
                       x, offsets, *, cfg, s_src: int,
-                      interpret: bool = False):
+                      interpret: bool = False, ch: int | None = None):
     """Run the full decoder layer stack for ONE token on EACH of n lanes.
 
     x: [8, d] f32 — rows 0..n-1 are the n lanes' embedded tokens (+
@@ -906,11 +926,12 @@ def fused_stack_lanes(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
     s_pad = ck.shape[2]
     assert s_max % SUB == 0 and s_pad % SUB == 0 and 1 <= n <= 8
 
-    kernel, STEPS, CH, idx = _build_kernel_lanes(
+    kernel, STEPS, (CH, CC), idx = _build_kernel_lanes(
         d=d, heads=cfg.decoder_attention_heads, ffn=ffn, s_max=s_max,
-        s_src=s_src, s_pad=s_pad, L=L, n=n)
+        s_src=s_src, s_pad=s_pad, L=L, n=n,
+        ch=(d if ch is None else ch))
 
-    NC = s_pad // CH
+    NC = s_pad // CC
     grid = (L, STEPS)
     out_shapes = (
         jax.ShapeDtypeStruct((8, d), jnp.float32),
@@ -931,13 +952,13 @@ def fused_stack_lanes(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pack.biaspack.shape[1], d),
                          lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CH, d), idx["ck_idx"],
+            pl.BlockSpec((1, 1, CC, d), idx["ck_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, CH), idx["cks_idx"],
+            pl.BlockSpec((1, 1, 1, 1, CC), idx["cks_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CH, d), idx["cv_idx"],
+            pl.BlockSpec((1, 1, CC, d), idx["cv_idx"],
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, CH), idx["cvs_idx"],
+            pl.BlockSpec((1, 1, 1, 1, CC), idx["cvs_idx"],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s_max, d), idx["kc_idx"],
                          memory_space=pltpu.VMEM),
@@ -980,6 +1001,6 @@ def fused_stack_lanes(pack: FusedPack, ck, ks, cv, vs, kcache, vcache,
         interpret=interpret,
     )(jnp.asarray(offsets, jnp.int32).reshape(1, 8), x,
       pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.biaspack,
-      ck, ks.reshape(n, L, NC, 1, CH), cv, vs.reshape(n, L, NC, 1, CH),
+      ck, ks.reshape(n, L, NC, 1, CC), cv, vs.reshape(n, L, NC, 1, CC),
       kcache, vcache)
     return y, nk, nv
