@@ -265,3 +265,33 @@ def test_fused_llama_cached_k_is_rotated(setup):
     ref = np.asarray(k).reshape(-1)
     got = np.asarray(nk)[0, 0]
     assert np.abs(got - ref).max() < 2e-2 * np.abs(ref).max()
+
+
+def test_fused_llama_chunk_sizes_match():
+    """ch=1024 (the r5 preferred chunk, _best_chunk at real Orpheus/Vyvo
+    dims) must match ch=512 (the r4 chunk, what the tiny default fixture
+    selects) bit-for-bit — dims here divide both."""
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=8, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128)
+    assert FL._best_chunk(1024, 1024, 2048) == 1024
+    params = llama.init_random_params(cfg, seed=9, dtype=jnp.float32)
+    pack = FL.pack_llama_weights(params, cfg)
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    rng = np.random.default_rng(3)
+    kc = jnp.asarray(rng.standard_normal(
+        (cfg.num_hidden_layers, 64, dkv)) * 0.2, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal(
+        (cfg.num_hidden_layers, 64, dkv)) * 0.2, jnp.bfloat16)
+    x = jnp.zeros((8, d), jnp.float32).at[0].set(
+        jnp.asarray(rng.standard_normal(d) * 0.5))
+    outs = {}
+    for ch in (512, 1024):
+        outs[ch] = FL.fused_llama_stack(pack, kc, vc, x, 9, cfg=cfg,
+                                        interpret=True, ch=ch)
+    for a, b in zip(outs[512], outs[1024]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-5

@@ -53,7 +53,10 @@ __all__ = ["supported", "pack_llama_weights", "fused_llama_stack",
            "LlamaFusedPack", "S_MAX_CAP"]
 
 SUB = 64        # row tile for [*, d] f32 attention temporaries
-CH = 512        # weight-stream chunk rows
+CH = 512        # minimum weight-stream chunk rows (supported() floor)
+CH_MAX = 1024   # preferred chunk: the kernel is grid-step-rate-bound
+#                 (see pallas_fused_decoder r5 note), so _best_chunk picks
+#                 the largest common divisor chunk <= CH_MAX
 # position-major cache rows held in VMEM: at Orpheus dims (dkv=1024) a
 # 2048-row K (or V) block is 4 MB bf16, 16 MB total double-buffered —
 # comfortably inside the 128 MB VMEM alongside the 3 MB weight stream
@@ -67,6 +70,14 @@ class LlamaFusedPack(NamedTuple):
     row_scales: jnp.ndarray  # [L, R] f32 (1.0 over the down section)
     normpack: jnp.ndarray    # [L, 8, d] f32 (norm weights, down scale)
     winv: jnp.ndarray        # [1, 128] f32 lane table: inv_freq[l % 64]
+
+
+def _best_chunk(d: int, dkv: int, ffn: int) -> int:
+    """Largest chunk in {1024, 512} dividing every stream stage."""
+    for c in (CH_MAX, CH):
+        if d % c == 0 and dkv % c == 0 and ffn % c == 0:
+            return c
+    raise ValueError(f"no valid chunk for d={d} dkv={dkv} ffn={ffn}")
 
 
 def supported(cfg) -> bool:
@@ -182,12 +193,14 @@ def _pack_impl(lp, *, cfg) -> LlamaFusedPack:
 
 
 def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
-                  s_max: int, L: int, eps: float, qk_norm: bool = False):
+                  s_max: int, L: int, eps: float, qk_norm: bool = False,
+                  ch: int = CH):
     from jax.experimental import pallas as pl
 
     hd = 128
     dkv = n_kv * hd
     rep = n_heads // n_kv
+    CH = ch                       # shadows the module floor constant
     nq, nk, nv, no = d // CH, dkv // CH, dkv // CH, d // CH
     ng = nd = ffn // CH
     C_Q = 0
@@ -398,7 +411,8 @@ def _build_kernel(*, d: int, n_heads: int, n_kv: int, ffn: int,
 
 
 def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
-                      cfg, valid_from=0, interpret: bool = False):
+                      cfg, valid_from=0, interpret: bool = False,
+                      ch: int | None = None):
     """One token through the whole llama layer stack.
 
     x: [8, d] f32 (embedded token, live row 0); kcache/vcache:
@@ -417,11 +431,13 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
     dkv = cfg.num_key_value_heads * 128
     s_max = kcache.shape[1]
     assert s_max % SUB == 0 and s_max <= S_MAX_CAP
+    if ch is None:
+        ch = _best_chunk(d, dkv, ffn)
 
     kernel, STEPS, _ = _build_kernel(
         d=d, n_heads=cfg.num_attention_heads,
         n_kv=cfg.num_key_value_heads, ffn=ffn, s_max=s_max, L=L,
-        eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm)
+        eps=cfg.rms_norm_eps, qk_norm=cfg.qk_norm, ch=ch)
 
     # weight-chunk widths vary by stage (d for q/o/gate/up/down-chunks,
     # dkv for k/v) — blocks are uniformly [CH, d] with k/v rows stored
@@ -440,8 +456,8 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, d), lambda l, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, d), w_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, CH), lambda l, c: (l, c, 0, 0),
+            pl.BlockSpec((1, ch, d), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, ch), lambda l, c: (l, c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, d), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -490,6 +506,6 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
         interpret=interpret,
     )(jnp.stack([jnp.asarray(offset, jnp.int32),
                  jnp.asarray(valid_from, jnp.int32)]).reshape(1, 2), x,
-      pack.wstream, pack.row_scales.reshape(L, -1, 1, CH), pack.normpack,
+      pack.wstream, pack.row_scales.reshape(L, -1, 1, ch), pack.normpack,
       pack.winv, kcache, vcache)
     return y, nk, nv
