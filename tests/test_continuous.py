@@ -667,3 +667,56 @@ def test_tick_k_guarantees_live_tokens():
     # the old bucket-of-4 division gave 16 steps (x3 = 48 < 64)
     assert tick_k(eng, 3) == 24
     assert tick_k(SimpleNamespace(min_tick_tokens=None, step_tokens=8), 3) == 8
+
+
+def test_continuous_tts_fused_matches_xla_engine(monkeypatch):
+    """The M-lane fused llama serving tick produces the SAME greedy
+    tokens as the vmapped XLA w8a8 engine for staggered requests —
+    covers lane admission, bucketed underload ticks, left-pad prefill
+    conversion, and the band-free head path."""
+    from types import SimpleNamespace
+
+    from tpu_audio.core import quant
+    from tpu_audio.models.tts import llama_tts
+    from tpu_audio.parallel.continuous import ContinuousTTS
+
+    cfg = llama_tts.LlamaTTSConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=256)
+    params = llama.init_random_params(cfg, seed=13, dtype=jnp.float32)
+    params = quant.quantize_tree(params, scheme="w8a8")
+    toks = llama_tts.OrpheusTokens(
+        start_of_human=1, end_of_human=2, end_of_text=3, start_of_speech=4,
+        end_of_speech=5, pad_token=0, audio_start=6, audio_end=7,
+        audio_token_offset=10, codebook_size=4)
+    tokenizer = SimpleNamespace(
+        encode=lambda s: SimpleNamespace(ids=[10 + (ord(c) % 30)
+                                              for c in s]))
+    codec = SimpleNamespace(
+        config=None,
+        decode=lambda codes: np.zeros((1, 2048 * max(1, len(codes[0][0]))),
+                                      np.float32))
+    gen = llama_tts.AudioGenerateParameters(
+        max_tokens=6, temperature=0.0, repetition_penalty=1.0)
+
+    def run(mode):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_LLAMA", mode)
+        m = llama_tts.LlamaTTS(cfg, params, tokenizer=tokenizer,
+                               codec=codec, tokens=toks,
+                               dtype=jnp.float32)
+        srv = ContinuousTTS(m, slots=2, generation_parameters=gen,
+                            prefill_buckets=(16, 32), step_tokens=2,
+                            max_len=64)
+        assert srv.fused == (mode == "interpret")
+        r0 = srv.submit("hello there")
+        srv.step()
+        r1 = srv.submit("hi")
+        r2 = srv.submit("a third request queues")
+        while not srv.idle:
+            srv.step()
+        return [srv.engine.requests[r.request_id].tokens
+                for r in (r0, r1, r2)]
+
+    assert run("interpret") == run("0")

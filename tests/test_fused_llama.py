@@ -295,3 +295,91 @@ def test_fused_llama_chunk_sizes_match():
     for a, b in zip(outs[512], outs[1024]):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-5
+
+
+def test_fused_llama_lanes_matches_b1():
+    """Every live lane of the M-lane serving kernel must match a B=1
+    ``fused_llama_stack`` run fed the same per-lane inputs (per-row
+    activation quantization keeps lane rows independent). Covers
+    distinct per-lane offsets (incl. 0 = empty cache), left-pad starts
+    (valid_from), per-lane caches, qk_norm off."""
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128)
+    params = llama.init_random_params(cfg, seed=7, dtype=jnp.float32)
+    pack = FL.pack_llama_weights(params, cfg)
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    L = cfg.num_hidden_layers
+    n, s_max = 3, 64
+    rng = np.random.default_rng(5)
+    offsets = np.zeros((8,), np.int32)
+    offsets[:n] = [9, 0, 33]
+    starts = np.zeros((8,), np.int32)
+    starts[:n] = [2, 0, 0]
+    kc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    x = (rng.standard_normal((8, d)) * 0.5).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+
+    y, nk, nv = FL.fused_llama_stack_lanes(
+        pack, kc, vc, xj, offsets, starts, cfg=cfg, interpret=True)
+
+    for m in range(n):
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(xj[m])
+        y1, nk1, nv1 = FL.fused_llama_stack(
+            pack, kc[m], vc[m], x8, int(offsets[m]), cfg=cfg,
+            valid_from=int(starts[m]), interpret=True)
+        ref = np.asarray(y1)[0]
+        got = np.asarray(y)[m]
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5, (
+            m, np.abs(got - ref).max() / scale)
+        assert np.abs(np.asarray(nk)[:, m]
+                      - np.asarray(nk1)[:, 0]).max() < 1e-5
+        assert np.abs(np.asarray(nv)[:, m]
+                      - np.asarray(nv1)[:, 0]).max() < 1e-5
+
+
+def test_fused_llama_lanes_qk_norm():
+    """Lanes kernel with Qwen3-style per-head q/k RMSNorm (VyvoTTS
+    backbone) matches B=1 per lane."""
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128, qk_norm=True)
+    params = llama.init_random_params(cfg, seed=8, dtype=jnp.float32)
+    pack = FL.pack_llama_weights(params, cfg)
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    L = cfg.num_hidden_layers
+    n, s_max = 2, 64
+    rng = np.random.default_rng(6)
+    offsets = np.zeros((8,), np.int32)
+    offsets[:n] = [5, 17]
+    starts = np.zeros((8,), np.int32)
+    kc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    x = (rng.standard_normal((8, d)) * 0.5).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+    y, nk, nv = FL.fused_llama_stack_lanes(
+        pack, kc, vc, xj, offsets, starts, cfg=cfg, interpret=True)
+    for m in range(n):
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(xj[m])
+        y1, nk1, nv1 = FL.fused_llama_stack(
+            pack, kc[m], vc[m], x8, int(offsets[m]), cfg=cfg,
+            interpret=True)
+        ref = np.asarray(y1)[0]
+        got = np.asarray(y)[m]
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+        assert np.abs(np.asarray(nk)[:, m]
+                      - np.asarray(nk1)[:, 0]).max() < 1e-5

@@ -53,6 +53,17 @@ class FusedDecodeKV(NamedTuple):
     valid_from: jnp.ndarray
 
 
+class FusedLaneRow(NamedTuple):
+    """One ContinuousTTS serving lane's decode state for the M-lane
+    fused kernel: position-major self cache (K rows post-RoPE) + the
+    engine's offset/valid_from contract."""
+
+    k: jnp.ndarray           # [L, s_max, dkv], position-major
+    v: jnp.ndarray           # [L, s_max, dkv]
+    offset: jnp.ndarray      # [] int32 — tokens cached so far
+    valid_from: jnp.ndarray  # [] int32 — first attendable row (left pad)
+
+
 def _fused_llama_mode() -> str:
     """``TPU_AUDIO_FUSED_LLAMA``: ``0`` off, ``1``/``auto`` route w8a8
     checkpoints through the monolithic Pallas decode kernel on TPU,
@@ -458,6 +469,93 @@ class LlamaTTS:
             self._fused_pack = FL.pack_llama_weights(self.params,
                                                      self.config)
         return self._fused_pack
+
+    def _fused_lane_hooks(self, max_len: int):
+        """Engine hooks routing :class:`parallel.continuous.ContinuousTTS`
+        ticks through the M-lane monolithic Pallas kernel
+        (ops/pallas_fused_llama.fused_llama_stack_lanes): one weight
+        sweep per decode step shared by every live lane. Returns None
+        when the model/shape is unsupported (dims, non-w8a8 tree, cache
+        beyond the VMEM cap) — the engine then uses the vmapped XLA
+        tick. Greedy/sampled tokens are bit-identical to the XLA engine
+        (tested, test_continuous.py)."""
+        from tpu_audio.ops import pallas_fused_llama as FL
+
+        cfg = self.config
+        if not self._fused_supported():
+            return None
+        s_max = -(-max_len // FL.SUB) * FL.SUB
+        if s_max > FL.S_MAX_CAP:
+            return None
+        L = cfg.num_hidden_layers
+        dkv = cfg.num_key_value_heads * 128
+        d = cfg.hidden_size
+        interp = _fused_llama_mode() == "interpret"
+        dtype = self.dtype
+        band = self.audio_band_head
+        engine_params = {"params": self.params,
+                         "fused_pack": self.fused_decoder_pack()}
+
+        def batch_step_fn(ep, cache, last, ctx):
+            params = ep["params"]
+            n = last.shape[0]                     # static lane bucket
+            x = nn.embedding(params["model"]["embed_tokens"], last[None])[0]
+            if cfg.embedding_multiplier != 1.0:
+                x = x * cfg.embedding_multiplier
+            x8 = jnp.zeros((8, d), jnp.float32).at[:n].set(
+                x.astype(jnp.float32))
+            off8 = jnp.zeros((8,), jnp.int32).at[:n].set(cache.offset)
+            st8 = jnp.zeros((8,), jnp.int32).at[:n].set(cache.valid_from)
+            y, nk, nv = FL.fused_llama_stack_lanes(
+                ep["fused_pack"], cache.k, cache.v, x8, off8, st8,
+                cfg=cfg, interpret=interp)
+
+            def put(kc, row, o):
+                return jax.lax.dynamic_update_slice(
+                    kc, row[:, None].astype(kc.dtype), (0, o, 0))
+
+            newk = jax.vmap(put)(
+                cache.k, jnp.transpose(nk[:, :n], (1, 0, 2)), cache.offset)
+            newv = jax.vmap(put)(
+                cache.v, jnp.transpose(nv[:, :n], (1, 0, 2)), cache.offset)
+            h = nn.rms_norm(params["model"]["norm"], y[:n].astype(dtype),
+                            cfg.rms_norm_eps)
+            if band:
+                logits = nn.linear(params["band_head"], h)
+            elif "lm_head" in params and not cfg.tie_word_embeddings:
+                logits = nn.linear(params["lm_head"], h)
+            else:
+                logits = nn.embedding_as_linear(
+                    params["model"]["embed_tokens"], h)
+            if cfg.logits_scaling != 1.0:
+                logits = logits / cfg.logits_scaling
+            return logits.astype(jnp.float32), cache._replace(
+                k=newk, v=newv)
+
+        def prefill_fn(ep, ids, cache):
+            # XLA batched prefill into a standard cache (one pass over
+            # the whole padded prompt), then a pure transpose into the
+            # kernel's position-major layout — llama.forward caches
+            # post-RoPE K, exactly what the kernel expects (same
+            # conversion as the offline _to_fused_cache)
+            std = llama.make_cache(cfg, 1, s_max, dtype=dtype,
+                                   valid_from=cache.valid_from)
+            _, std = llama.forward(ep["params"], ids, std, cfg)
+            kc = std.k[:, 0].transpose(0, 2, 1, 3).reshape(L, s_max, dkv)
+            vc = std.v[:, 0].transpose(0, 2, 1, 3).reshape(L, s_max, dkv)
+            return None, cache._replace(
+                k=kc.astype(cache.k.dtype), v=vc.astype(cache.v.dtype),
+                offset=jnp.asarray(std.offset, jnp.int32))
+
+        def cache_factory(valid_from):
+            return FusedLaneRow(
+                k=jnp.zeros((L, s_max, dkv), dtype),
+                v=jnp.zeros((L, s_max, dkv), dtype),
+                offset=jnp.int32(0),
+                valid_from=jnp.asarray(valid_from, jnp.int32))
+
+        return dict(params=engine_params, batch_step_fn=batch_step_fn,
+                    prefill_fn=prefill_fn, cache_factory=cache_factory)
 
     def _get_decoder(self, params: AudioGenerateParameters,
                      fused: bool = False):

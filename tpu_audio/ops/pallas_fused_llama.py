@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["supported", "pack_llama_weights", "fused_llama_stack",
-           "LlamaFusedPack", "S_MAX_CAP"]
+           "fused_llama_stack_lanes", "LlamaFusedPack", "S_MAX_CAP"]
 
 SUB = 64        # row tile for [*, d] f32 attention temporaries
 CH = 512        # minimum weight-stream chunk rows (supported() floor)
@@ -508,4 +508,367 @@ def fused_llama_stack(pack: LlamaFusedPack, kcache, vcache, x, offset, *,
                  jnp.asarray(valid_from, jnp.int32)]).reshape(1, 2), x,
       pack.wstream, pack.row_scales.reshape(L, -1, 1, ch), pack.normpack,
       pack.winv, kcache, vcache)
+    return y, nk, nv
+
+
+# ---------------------------------------------------------------------------
+# M-lane serving variant (sibling of pallas_fused_decoder.fused_stack_lanes):
+# one kernel decodes one token for EVERY live lane of a continuous-batching
+# engine (parallel/continuous.py ContinuousTTS), sharing the single weight
+# sweep across lanes. The [8, d] int8 MXU activation rows that carry 7 dead
+# padding rows at B=1 carry one row per lane (per-ROW dynamic scales); the
+# per-lane state (position-major self cache, write offset, left-pad start)
+# unrolls into the grid timeline — attention runs one lane per grid step
+# with that lane's cache block pinned by the index map. RoPE + qk_norm for
+# ALL rows run in one grid step on the [8*heads, 128] view with per-lane
+# angle tables precomputed XLA-side from the offsets.
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel_lanes(*, d: int, n_heads: int, n_kv: int, ffn: int,
+                        s_max: int, L: int, eps: float, n: int,
+                        qk_norm: bool = False, ch: int = CH):
+    from jax.experimental import pallas as pl
+
+    hd = 128
+    dkv = n_kv * hd
+    rep = n_heads // n_kv
+    CH = ch
+    nq, nk_c, nv_c, no = d // CH, dkv // CH, dkv // CH, d // CH
+    ng = nd = ffn // CH
+    C_Q = 0
+    C_K = C_Q + nq
+    C_V = C_K + nk_c
+    C_R = C_V + nv_c              # 1 step: qk_norm + RoPE, all rows
+    C_SA = C_R + 1                # n per-lane attention steps
+    C_O = C_SA + n
+    C_G = C_O + no
+    C_U = C_G + ng
+    C_D = C_U + ng
+    STEPS = C_D + nd
+    KO = nq + nk_c + nv_c         # o-projection's first weight chunk
+    sm = 1.0 / math.sqrt(hd)
+
+    def hsum(dtype=jnp.float32):    # [dkv, 128] one-hot kv-head folder
+        return (jax.lax.broadcasted_iota(jnp.int32, (dkv, 128), 0) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (dkv, 128), 1)
+                ).astype(dtype)
+
+    def hsum_t(dtype=jnp.float32):  # [128, dkv]
+        return (jax.lax.broadcasted_iota(jnp.int32, (128, dkv), 1) // hd ==
+                jax.lax.broadcasted_iota(jnp.int32, (128, dkv), 0)
+                ).astype(dtype)
+
+    def kernel(off_ref, x_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+               w_ref, ws_ref, norm_ref,
+               kc_ref, vc_ref,
+               y_ref, nk_ref, nv_ref,
+               resid, xq8, xs_v, qbuf, kbuf, vbuf, abuf, h, hq8, hs_v,
+               csc):
+        from jax.experimental.pallas import tpu as pltpu
+
+        lyr = pl.program_id(0)
+        c = pl.program_id(1)
+        nrm = norm_ref[0]
+
+        def quantize_rows(x):
+            """Per-ROW dynamic int8 quantization (each lane its own
+            scale; dead rows quantize garbage harmlessly)."""
+            s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                            / 127.0, 1e-12)
+            xq8[:] = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+            xs_v[:] = s
+
+        def rms_norm(x, wrow):
+            y = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1,
+                                           keepdims=True) + eps)
+            return y * nrm[wrow:wrow + 1, :]
+
+        def gemv_chunk():
+            acc = jax.lax.dot_general(
+                xq8[:], w_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * ws_ref[0, 0] * xs_v[:]
+
+        def head_rms_rows(xm, rows, wrow, width):
+            """Per-head RMSNorm on [rows, 128] (a [8, width] buffer slice
+            viewed head-major); weight row tiled across the 8 lanes."""
+            if not qk_norm:
+                return xm
+            y = xm * jax.lax.rsqrt(
+                jnp.mean(xm * xm, axis=1, keepdims=True) + eps)
+            w = jnp.tile(nrm[wrow:wrow + 1, :width].reshape(-1, 128),
+                         (8, 1))
+            return y * w
+
+        def rope_rows(xm, cos_t, sin_t):
+            """Half-split RoPE on [rows, 128] with per-row angle tables
+            (precomputed XLA-side: row r*H+h carries lane r's angle)."""
+            sign = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < 64,
+                -1.0, 1.0)
+            rot = pltpu.roll(xm, shift=64, axis=1)
+            return xm * cos_t + rot * (sign * sin_t)
+
+        # ---- projections ------------------------------------------------
+        @pl.when(c == C_Q)
+        def _():
+            @pl.when(lyr == 0)
+            def _():
+                resid[:] = x_ref[:]
+            quantize_rows(rms_norm(resid[:], 0))
+
+        for j in range(nq):
+            @pl.when(c == C_Q + j)
+            def _(j=j):
+                qbuf[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        for c0, buf, cnt in ((C_K, kbuf, nk_c), (C_V, vbuf, nv_c)):
+            for j in range(cnt):
+                @pl.when(c == c0 + j)
+                def _(buf=buf, j=j):
+                    buf[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        # ---- qk_norm + RoPE for all rows, new K/V out -------------------
+        @pl.when(c == C_R)
+        def _():
+            km = kbuf[:, :dkv].reshape(8 * n_kv, 128)
+            km = head_rms_rows(km, 8 * n_kv, 4, dkv)
+            km = rope_rows(km, ck_ref[:], sk_ref[:])
+            kbuf[:, :dkv] = km.reshape(8, dkv)
+            nk_ref[0] = kbuf[:, :dkv]
+            nv_ref[0] = vbuf[:, :dkv]
+            qm = qbuf[:].reshape(8 * n_heads, 128)
+            qm = head_rms_rows(qm, 8 * n_heads, 3, d)
+            qm = rope_rows(qm, cq_ref[:], sq_ref[:])
+            qbuf[:] = qm.reshape(8, d)
+
+        # ---- per-lane GQA attention (one lane per grid step) ------------
+        @pl.when((c >= C_SA) & (c < C_SA + n))
+        def _():
+            m = c - C_SA
+            off = off_ref[0, m]
+            start = off_ref[1, m]
+            hh = hsum()
+            hht = hsum_t()
+            krow = kbuf[pl.ds(m, 1), :dkv]
+            vrow = vbuf[pl.ds(m, 1), :dkv]
+            pos_s = jax.lax.broadcasted_iota(jnp.int32, (s_max, 128), 0)
+            pos_d = jax.lax.broadcasted_iota(jnp.int32, (SUB, dkv), 0)
+            nsub = s_max // SUB
+            for r in range(rep):
+                qr = qbuf[pl.ds(m, 1), r * dkv:(r + 1) * dkv] * sm
+
+                def score_tile(i, _, qr=qr):
+                    kk = kc_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    rp = pos_d + i * SUB
+                    kk = jnp.where(rp == off,
+                                   jnp.broadcast_to(krow, kk.shape), kk)
+                    csc[pl.ds(i * SUB, SUB), :] = jnp.dot(
+                        kk * qr, hh, preferred_element_type=jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(0, nsub, score_tile, 0)
+                sc = csc[0:s_max, :]
+                valid = (pos_s <= off) & (pos_s >= start)
+                sc = jnp.where(valid, sc, -1e9)
+                mx = jnp.max(sc, axis=0, keepdims=True)
+                p = jnp.where(valid, jnp.exp(sc - mx), 0.0)
+                csc[0:s_max, :] = p / jnp.sum(p, axis=0, keepdims=True)
+
+                def pv_tile(i, acc):
+                    pr = csc[pl.ds(i * SUB, SUB), :]
+                    pexp = jnp.dot(pr, hht,
+                                   preferred_element_type=jnp.float32)
+                    vv = vc_ref[0, 0, pl.ds(i * SUB, SUB), :].astype(
+                        jnp.float32)
+                    rp = pos_d + i * SUB
+                    vv = jnp.where(rp == off,
+                                   jnp.broadcast_to(vrow, vv.shape), vv)
+                    return acc + jnp.sum(pexp * vv, axis=0, keepdims=True)
+
+                av = jax.lax.fori_loop(0, nsub, pv_tile,
+                                       jnp.zeros((1, dkv), jnp.float32))
+                abuf[pl.ds(m, 1), r * dkv:(r + 1) * dkv] = av
+
+            @pl.when(m == n - 1)
+            def _():
+                quantize_rows(abuf[:])
+
+        for j in range(no):
+            @pl.when(c == C_O + j)
+            def _(j=j):
+                resid[:, j * CH:(j + 1) * CH] = (
+                    resid[:, j * CH:(j + 1) * CH] + gemv_chunk())
+
+        # ---- SwiGLU MLP -------------------------------------------------
+        @pl.when(c == C_G)
+        def _():
+            quantize_rows(rms_norm(resid[:], 1))
+
+        for j in range(ng):
+            @pl.when(c == C_G + j)
+            def _(j=j):
+                h[:, j * CH:(j + 1) * CH] = gemv_chunk()
+
+        for j in range(ng):
+            @pl.when(c == C_U + j)
+            def _(j=j):
+                g = h[:, j * CH:(j + 1) * CH]
+                u = gemv_chunk()
+                h[:, j * CH:(j + 1) * CH] = g * jax.nn.sigmoid(g) * u
+
+        @pl.when(c == C_D)
+        def _():
+            hf = h[:]
+            s = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+                            / 127.0, 1e-12)
+            hq8[:] = jnp.clip(jnp.round(hf / s), -127, 127).astype(jnp.int8)
+            hs_v[:] = s
+
+        for j in range(nd):
+            @pl.when(c == C_D + j)
+            def _(j=j):
+                acc = jax.lax.dot_general(
+                    hq8[:, j * CH:(j + 1) * CH], w_ref[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                resid[:] = resid[:] + acc.astype(jnp.float32) * (
+                    nrm[2:3, :] * hs_v[:])
+
+        @pl.when((lyr == L - 1) & (c == STEPS - 1))
+        def _():
+            y_ref[:] = resid[:]
+
+    # weight chunk: linear through q/k/v, pinned at o's first chunk (KO)
+    # across the rope + per-lane attention steps, then linear again
+    def w_chunk(c):
+        return jnp.where(c < C_R, c,
+                         jnp.clip(c - (1 + n), KO,
+                                  KO + no + 2 * ng + nd - 1))
+
+    def w_idx(l, c):
+        return (l, w_chunk(c), 0)
+
+    def ws_idx(l, c):
+        return (l, w_chunk(c), 0, 0)
+
+    def sa_lane(c):
+        return jnp.clip(c - C_SA, 0, n - 1)
+
+    def kc_idx(l, c):
+        return (sa_lane(c), l, 0, 0)
+
+    return kernel, STEPS, dict(w_idx=w_idx, ws_idx=ws_idx, kc_idx=kc_idx)
+
+
+def fused_llama_stack_lanes(pack: LlamaFusedPack, kcache, vcache, x,
+                            offsets, starts, *, cfg,
+                            interpret: bool = False,
+                            ch: int | None = None):
+    """One token through the whole llama stack for EACH of n lanes.
+
+    x: [8, d] f32 — rows 0..n-1 are the lanes' embedded tokens (rows
+    n..7 dead); kcache/vcache: [n, L, s_max, dkv] bf16 position-major
+    per-lane caches (K rows post-RoPE); offsets/starts: [8] int32
+    per-lane write position / first attendable row (left-pad mask,
+    rows >= n ignored). Returns (y [8, d] f32 pre-final-norm,
+    newk [L, 8, dkv], newv [L, 8, dkv]) — column m is lane m's new
+    (rotated) K / V row, to scatter at ``offsets[m]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = cfg.hidden_size
+    L = cfg.num_hidden_layers
+    ffn = cfg.intermediate_size
+    n_heads = cfg.num_attention_heads
+    n_kv = cfg.num_key_value_heads
+    dkv = n_kv * 128
+    nl, _, s_max, _ = kcache.shape
+    assert s_max % SUB == 0 and s_max <= S_MAX_CAP and 1 <= nl <= 8
+    if ch is None:
+        ch = _best_chunk(d, dkv, ffn)
+
+    kernel, STEPS, idx = _build_kernel_lanes(
+        d=d, n_heads=n_heads, n_kv=n_kv, ffn=ffn, s_max=s_max, L=L,
+        eps=cfg.rms_norm_eps, n=nl, qk_norm=cfg.qk_norm, ch=ch)
+
+    offsets = jnp.asarray(offsets, jnp.int32).reshape(8)
+    starts = jnp.asarray(starts, jnp.int32).reshape(8)
+    # per-lane RoPE angle tables, expanded head-major XLA-side so the
+    # kernel's [8*H, 128] views line up row-for-row
+    ang = offsets[:, None].astype(jnp.float32) * pack.winv      # [8, 128]
+    cq = jnp.repeat(jnp.cos(ang), n_heads, axis=0)              # [8H, 128]
+    sq = jnp.repeat(jnp.sin(ang), n_heads, axis=0)
+    ckt = jnp.repeat(jnp.cos(ang), n_kv, axis=0)                # [8kv, 128]
+    skt = jnp.repeat(jnp.sin(ang), n_kv, axis=0)
+
+    y, nk, nv = pl.pallas_call(
+        kernel,
+        grid=(L, STEPS),
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda l, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_heads, 128), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_heads, 128), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_kv, 128), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_kv, 128), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch, d), idx["w_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, ch), idx["ws_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_max, dkv), idx["kc_idx"],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_max, dkv), idx["kc_idx"],
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, d), lambda l, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, dkv), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, dkv), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, dkv), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, d), jnp.float32),      # resid
+            pltpu.VMEM((8, d), jnp.int8),          # xq8
+            pltpu.VMEM((8, 1), jnp.float32),       # xs_v (per-row)
+            pltpu.VMEM((8, d), jnp.float32),       # qbuf (perm order)
+            pltpu.VMEM((8, d), jnp.float32),       # kbuf (dkv valid)
+            pltpu.VMEM((8, d), jnp.float32),       # vbuf (dkv valid)
+            pltpu.VMEM((8, d), jnp.float32),       # abuf (perm order)
+            pltpu.VMEM((8, ffn), jnp.float32),     # h
+            pltpu.VMEM((8, ffn), jnp.int8),        # hq8
+            pltpu.VMEM((8, 1), jnp.float32),       # hs_v
+            pltpu.VMEM((s_max, 128), jnp.float32),  # csc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * pack.wstream.shape[1] * d * L,
+            bytes_accessed=(pack.wstream.size
+                            + kcache.size * 2 + vcache.size * 2),
+            transcendentals=8 * ffn * L,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.stack([offsets, starts]), x, cq, sq, ckt, skt,
+      pack.wstream, pack.row_scales.reshape(L, -1, 1, ch), pack.normpack,
+      kcache, vcache)
     return y, nk, nv

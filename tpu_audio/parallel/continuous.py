@@ -641,7 +641,8 @@ class ContinuousTTS:
                  generation_parameters=None, seed: int = 0,
                  max_len: int | None = None,
                  prefill_buckets: tuple[int, ...] = (64, 128, 256, 512),
-                 step_tokens: int = 7, pipeline: bool = True):
+                 step_tokens: int = 7, pipeline: bool = True,
+                 fused: str | bool = "auto"):
         from tpu_audio.core.generation import AudioGenerationError
 
         if model.tokenizer is None:
@@ -657,16 +658,29 @@ class ContinuousTTS:
             temperature=p.temperature, top_p=p.top_p, top_k=p.top_k,
             repetition_penalty=p.repetition_penalty,
             repetition_context_size=p.repetition_context_size)
-        self.engine = ContinuousBatcher(
-            model.params, model.config, slots=slots, max_len=max_len,
-            stop_token=model.tokens.end_of_speech, sampling=sampling,
-            prefill_buckets=prefill_buckets, seed=seed,
-            cache_dtype=model.dtype,
+        # M-lane fused tick (w8a8 checkpoints on TPU, or interpret mode
+        # under test): one Pallas kernel decodes every live lane per
+        # step, sharing the HBM weight sweep — see llama_tts.
+        # _fused_lane_hooks. Falls back to the vmapped XLA tick when
+        # unsupported (dims, dtype, VMEM cap, slots > 8).
+        hooks = (model._fused_lane_hooks(max_len)
+                 if bool(fused) and slots <= 8
+                 and hasattr(model, "_fused_lane_hooks") else None)
+        self.fused = hooks is not None
+        engine_kw = hooks if self.fused else dict(
+            params=model.params,
             step_fn=model._step_fn,
             prefill_fn=model._prefill_fn,
             cache_factory=lambda valid_from: llama.make_cache(
                 model.config, 1, max_len, dtype=model.dtype,
-                valid_from=valid_from),
+                valid_from=valid_from))
+        self.engine = ContinuousBatcher(
+            engine_kw.pop("params"), model.config, slots=slots,
+            max_len=max_len,
+            stop_token=model.tokens.end_of_speech, sampling=sampling,
+            prefill_buckets=prefill_buckets, seed=seed,
+            cache_dtype=model.dtype,
+            **engine_kw,
             token_map=model._token_map,
             pad_token=model.tokens.pad_token,
             # one SNAC code group per tick: frame-aligned emission with
