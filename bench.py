@@ -733,6 +733,80 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
     }
 
 
+def bench_serving_fused_tts(slots: int = 4, step_tokens: int = 16,
+                            ticks: int = 6) -> dict:
+    """Orpheus-3B continuous serving through the M-lane fused llama
+    kernel (ops/pallas_fused_llama.fused_llama_stack_lanes via
+    LlamaTTS._fused_lane_hooks): every live lane decodes through ONE
+    pallas_call per step, sharing the int8 weight sweep. Same
+    measurement shape as ``serve`` (aggregate tok/s at slots=N vs a
+    single stream in a slots=1 engine); w8a8 weights — the recommended
+    serving config the offline `tts w8`/`tts fused` rows use."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.core import quant
+    from tpu_audio.core.sampling import SamplingParams
+    from tpu_audio.models import llama
+    from tpu_audio.models.tts import llama_tts
+    from tpu_audio.parallel.continuous import ContinuousBatcher
+
+    cfg = llama_tts.LlamaTTSConfig(
+        vocab_size=156940, hidden_size=3072, num_hidden_layers=28,
+        num_attention_heads=24, num_key_value_heads=8,
+        intermediate_size=8192, max_position_embeddings=4096)
+    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                                      on_device=True)
+    params = quant.quantize_tree(params, scheme="w8a8")
+    model = llama_tts.LlamaTTS(cfg, params, tokenizer=None, codec=None,
+                               dtype=jnp.bfloat16)
+    sampling = SamplingParams(temperature=0.6, top_p=0.9, top_k=512)
+    max_new = step_tokens * (ticks + 2)
+    max_len = 64 + max_new + step_tokens + 2
+    hooks = model._fused_lane_hooks(max_len)
+    if hooks is None:
+        raise RuntimeError("fused lane hooks unsupported here (needs a "
+                           "TPU backend + w8a8 tree)")
+    rng = np.random.default_rng(0)
+
+    def measure(n_slots: int) -> float:
+        hk = dict(hooks)
+        eng = ContinuousBatcher(
+            hk.pop("params"), cfg, slots=n_slots, stop_token=-1,
+            sampling=sampling, max_len=max_len, prefill_buckets=(64,),
+            seed=0, step_tokens=step_tokens, **hk)
+        for s in range(n_slots):
+            eng.submit(rng.integers(100, 4000, size=60).astype(np.int32),
+                       max_new=max_new, seed=s)
+        eng.step()  # compile prefill + tick; admits all lanes
+        eng.step()  # steady state
+        t0 = time.perf_counter()
+        for _ in range(ticks):
+            eng.step()
+        return (time.perf_counter() - t0) / ticks
+
+    tick_solo = measure(1)
+    tick_batch = measure(slots)
+    tok_s = slots * step_tokens / tick_batch
+    solo_tok_s = step_tokens / tick_solo
+    mult = tok_s / solo_tok_s
+    return {
+        "metric": f"orpheus3b_serving_fused_tok_s_slots{slots}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(mult, 2),
+        "detail": {
+            "single_stream_tok_s": round(solo_tok_s, 1),
+            "throughput_multiple": round(mult, 2),
+            "ms_per_tick_batch": round(tick_batch * 1000, 1),
+            "ms_per_tick_solo": round(tick_solo * 1000, 1),
+            "step_tokens": step_tokens,
+            "per_stream_tok_s_batched": round(tok_s / slots, 1),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+
+
 def bench_qwen3_tts_ttfb(chunk_frames: int = 12, repeats: int = 3,
                          prefix_len: int = 32, talker_dims: dict | None = None,
                          codec_dims: dict | None = None) -> dict:
@@ -1229,6 +1303,7 @@ _ALL_MODES = [
     ("whisper_fused", ["large-v3", "fused", "w8e"], 400),
     ("tts_fused", ["tts", "fused"], 300),
     ("serve_stt", ["serve_stt"], 150),
+    ("serve_fused", ["serve_fused"], 400),
     ("tts", ["tts", "w8"], 60),
     ("vad", ["vad"], 400),
     ("vad_silero", ["vad_silero"], 40),
@@ -1379,7 +1454,14 @@ def bench_all(budget_s: float | None = None) -> dict:
             results[name] = r
             skipped.append((name, argv, est_s))
             continue
-        _attempt(name, argv, est_s, timeout_s=remaining)
+        # cap each attempt at 3x its estimate (not the whole remaining
+        # budget): a mode that HANGS — e.g. the fused modes when the
+        # axon remote Mosaic-compile service is degraded (observed r5,
+        # ~21 min stuck at 10% CPU) — then burns a bounded slice and the
+        # sweep still captures everything after it. 3x comfortably
+        # covers the observed honest overruns (r4 median ~1.3x).
+        _attempt(name, argv, est_s,
+                 timeout_s=min(remaining, max(120.0, est_s * 3.0)))
 
     # SECOND PASS (VERDICT r4 item 4): reclaim leftover budget for modes
     # the estimates rejected. r4 ended with 425 s idle while serve sat
@@ -1391,7 +1473,8 @@ def bench_all(budget_s: float | None = None) -> dict:
         remaining = budget_s - (time.perf_counter() - start)
         if remaining < 90:
             break
-        _attempt(name, argv, est_s, timeout_s=remaining - 30)
+        _attempt(name, argv, est_s,
+                 timeout_s=min(remaining - 30, max(120.0, est_s * 3.0)))
 
     primary = results.get(_ALL_MODES[0][0])
     also = [results[n] for n, _, _ in _ALL_MODES[1:] if n in results]
@@ -1450,6 +1533,8 @@ def main():
             result = bench_qwen3_tts_ttfb()
         elif mode == "serve":
             result = bench_serving_throughput()
+        elif mode == "serve_fused":
+            result = bench_serving_fused_tts()
         elif mode == "serve_stt":
             result = bench_serving_stt()
         elif mode == "serve_qwen3":
