@@ -1251,6 +1251,38 @@ def _run_sub_bench(argv: list[str], timeout_s: int = 900) -> dict:
         f"{proc.stderr[-300:]}")
 
 
+_MOSAIC_MODES = {"whisper_fused", "tts_fused", "serve_stt", "serve_fused"}
+
+
+def _mosaic_service_ok(timeout_s: int = 150) -> bool:
+    """Probe the axon remote Mosaic-compile service with a trivial,
+    never-cached kernel (random constant baked into the body -> fresh
+    HLO every call) in a subprocess. The fused bench modes depend on
+    that service for first-execution kernel compiles; when it degrades
+    (observed r5: runs stuck 20+ min at ~10% CPU) they hang rather than
+    fail, so the sweep probes once and reports a skip instead."""
+    import subprocess
+
+    salt = int.from_bytes(os.urandom(4), "little") % 1000000 + 2
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "def k(x_ref, o_ref):\n"
+        f"    o_ref[...] = x_ref[...] * {salt}.0\n"
+        "out = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128),"
+        " jnp.float32))(jnp.ones((8, 128), jnp.float32))\n"
+        "out.block_until_ready()\n"
+        "print('MOSAIC_OK', flush=True)\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        return "MOSAIC_OK" in proc.stdout
+    except Exception:  # noqa: BLE001 — timeout/crash == service not ok
+        return False
+
+
 def _compact_line(r: dict, max_bytes: int = 600) -> str:
     """One small self-contained json line for a sub-bench result.
 
@@ -1442,8 +1474,20 @@ def bench_all(budget_s: float | None = None) -> dict:
         return r
 
     skipped: list[tuple[str, list, float]] = []
+    mosaic_ok: bool | None = None  # probed lazily, once per sweep
     for i, (name, argv, static_est_s) in enumerate(_ALL_MODES):
         est_s = _est(name, static_est_s)
+        if name in _MOSAIC_MODES:
+            if mosaic_ok is None:
+                mosaic_ok = _mosaic_service_ok()
+            if not mosaic_ok:
+                r = {"metric": name, "value": -1.0, "unit": "skipped",
+                     "vs_baseline": 0.0,
+                     "detail": {"reason": "mosaic_service_down"}}
+                print(_compact_line(r), flush=True)
+                results[name] = r
+                skipped.append((name, argv, est_s))
+                continue
         remaining = budget_s - (time.perf_counter() - start)
         if i > 0 and est_s * _overrun() > remaining:
             r = {"metric": name, "value": -1.0, "unit": "skipped",
@@ -1469,10 +1513,16 @@ def bench_all(budget_s: float | None = None) -> dict:
     # lines; each attempt is capped at the remaining budget, so the worst
     # case (a timeout) burns only time that was otherwise idle — and its
     # error line still tells the judge the mode was attempted.
+    mosaic_retry: bool | None = None
     for name, argv, est_s in sorted(skipped, key=lambda t: t[2]):
         remaining = budget_s - (time.perf_counter() - start)
         if remaining < 90:
             break
+        if name in _MOSAIC_MODES:
+            if mosaic_retry is None:
+                mosaic_retry = _mosaic_service_ok()
+            if not mosaic_retry:
+                continue
         _attempt(name, argv, est_s,
                  timeout_s=min(remaining - 30, max(120.0, est_s * 3.0)))
 
