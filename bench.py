@@ -1251,7 +1251,8 @@ def _run_sub_bench(argv: list[str], timeout_s: int = 900) -> dict:
         f"{proc.stderr[-300:]}")
 
 
-_MOSAIC_MODES = {"whisper_fused", "tts_fused", "serve_stt", "serve_fused"}
+_MOSAIC_MODES = {"whisper_fused", "tts_fused", "whisper_fused_small",
+                 "serve_stt", "serve_fused"}
 
 
 def _mosaic_service_ok(timeout_s: int = 150) -> bool:
@@ -1334,6 +1335,10 @@ _ALL_MODES = [
     # from the last completed run decides scheduling.
     ("whisper_fused", ["large-v3", "fused", "w8e"], 400),
     ("tts_fused", ["tts", "fused"], 300),
+    # cheap fused-kernel insurance line: whisper-small compiles ~4x
+    # faster than large-v3, so a driver sweep squeezed by a degraded
+    # Mosaic service still lands ONE on-chip fused-kernel proof
+    ("whisper_fused_small", ["small", "fused", "w8e"], 150),
     ("serve_stt", ["serve_stt"], 150),
     ("serve_fused", ["serve_fused"], 400),
     ("tts", ["tts", "w8"], 60),
