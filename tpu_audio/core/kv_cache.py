@@ -464,3 +464,18 @@ def attention_mask(cache, q_len: int) -> jnp.ndarray:
     causal = key_pos[None, :] <= query_pos[:, None]
     valid = key_pos[None, :] >= cache.valid_from
     return (causal & valid)[None, None]
+
+
+class FusedLaneRow(NamedTuple):
+    """One continuous-serving lane's decode state for an M-lane fused
+    Pallas decoder (ops/pallas_fused_decoder.fused_stack_lanes /
+    ops/pallas_fused_llama.fused_llama_stack_lanes): position-major
+    self-attention cache in the kernel's native layout plus the
+    engine's offset/valid_from contract (parallel/continuous.py reads
+    ``offset`` to freeze finished lanes and ``valid_from`` for left-pad
+    masking; both fused serving backends share this one type)."""
+
+    k: jnp.ndarray           # [L, s_max, dk] position-major cache
+    v: jnp.ndarray           # [L, s_max, dk]
+    offset: jnp.ndarray      # [] int32 — tokens cached so far
+    valid_from: jnp.ndarray  # [] int32 — first attendable row

@@ -53,15 +53,9 @@ class FusedDecodeKV(NamedTuple):
     valid_from: jnp.ndarray
 
 
-class FusedLaneRow(NamedTuple):
-    """One ContinuousTTS serving lane's decode state for the M-lane
-    fused kernel: position-major self cache (K rows post-RoPE) + the
-    engine's offset/valid_from contract."""
-
-    k: jnp.ndarray           # [L, s_max, dkv], position-major
-    v: jnp.ndarray           # [L, s_max, dkv]
-    offset: jnp.ndarray      # [] int32 — tokens cached so far
-    valid_from: jnp.ndarray  # [] int32 — first attendable row (left pad)
+# ContinuousTTS lane cache rows use the engines' shared fused-lane
+# contract (k/v are [L, s_max, dkv] position-major, K rows post-RoPE)
+FusedLaneRow = kv_cache.FusedLaneRow
 
 
 def _fused_llama_mode() -> str:
@@ -540,7 +534,12 @@ class LlamaTTS:
             # conversion as the offline _to_fused_cache)
             std = llama.make_cache(cfg, 1, s_max, dtype=dtype,
                                    valid_from=cache.valid_from)
-            _, std = llama.forward(ep["params"], ids, std, cfg)
+            # return_hidden: skip the full-vocab head over the whole
+            # padded prompt — the output is discarded either way, and in
+            # band-head mode the tied head would stream the ~1 GB
+            # embedding matrix per admission
+            _, std = llama.forward(ep["params"], ids, std, cfg,
+                                   return_hidden=True)
             kc = std.k[:, 0].transpose(0, 2, 1, 3).reshape(L, s_max, dkv)
             vc = std.v[:, 0].transpose(0, 2, 1, 3).reshape(L, s_max, dkv)
             return None, cache._replace(
@@ -599,10 +598,15 @@ class LlamaTTS:
             # back to the XLA layout mid-generation and continues there
             # (the cheap tail of a long request, after the fused kernel
             # already carried the prompt-heavy early chunks).
-            use_fused = bucket + 2 <= FL.S_MAX_CAP
+            cap = -(-min(max_total, FL.S_MAX_CAP) // FL.SUB) * FL.SUB
+            # the FIRST decode chunk must fit under the cap, else the
+            # mid-generation fallback fires before a single fused step
+            # and the pack + two layout conversions are pure waste
+            # (non-streaming generate() has chunk_tokens == max_tokens)
+            use_fused = (bucket + min(chunk_tokens, params.max_tokens)
+                         + 1 <= cap)
             if use_fused:
-                fused_cap = -(-min(max_total, FL.S_MAX_CAP)
-                              // FL.SUB) * FL.SUB
+                fused_cap = cap
         cache = llama.make_cache(self.config, 1,
                                  fused_cap if use_fused else max_total,
                                  self.dtype)

@@ -874,15 +874,23 @@ def _build_kernel_lanes(*, d: int, heads: int, ffn: int, s_max: int,
     def kc_idx(l, c):
         return (sa_lane(c), l, 0, 0)
 
-    # per-lane cross streams (lane-major, NC score chunks then NC PV)
+    # per-lane cross streams (lane-major, NC score chunks then NC PV).
+    # Clamp c into the cross WINDOW before the div/mod: outside it the
+    # raw modulo would cycle the block index every grid step and
+    # re-fetch [CC, d] cross chunks the step never reads (review r5 —
+    # at large-v3 n=8 that spurious traffic would roughly double the
+    # kernel's HBM bytes); clamped, the blocks stay pinned.
+    def _xw(c):
+        return jnp.clip(c - C_X, 0, n * 2 * NC - 1)
+
     def x_lane(c):
-        return jnp.clip((c - C_X) // (2 * NC), 0, n - 1)
+        return _xw(c) // (2 * NC)
 
     def ck_chunk(c):
-        return jnp.clip((c - C_X) % (2 * NC), 0, NC - 1)
+        return jnp.clip(_xw(c) % (2 * NC), 0, NC - 1)
 
     def cv_chunk(c):
-        return jnp.clip((c - C_X) % (2 * NC) - NC, 0, NC - 1)
+        return jnp.clip(_xw(c) % (2 * NC) - NC, 0, NC - 1)
 
     def ck_idx(l, c):
         return (x_lane(c), l, ck_chunk(c), 0)

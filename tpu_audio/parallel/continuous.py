@@ -663,6 +663,8 @@ class ContinuousTTS:
         # step, sharing the HBM weight sweep — see llama_tts.
         # _fused_lane_hooks. Falls back to the vmapped XLA tick when
         # unsupported (dims, dtype, VMEM cap, slots > 8).
+        if isinstance(fused, str):  # "auto"/"1" enable; "0"/"off"... disable
+            fused = fused.lower() not in ("0", "off", "false", "no", "")
         hooks = (model._fused_lane_hooks(max_len)
                  if bool(fused) and slots <= 8
                  and hasattr(model, "_fused_lane_hooks") else None)

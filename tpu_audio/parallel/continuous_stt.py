@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -44,18 +43,10 @@ from tpu_audio.parallel.continuous import (ContinuousBatcher,
 __all__ = ["ContinuousSTT", "ContinuousQwen3ASR", "STTEngineWorker"]
 
 
-class _FusedLaneRow(NamedTuple):
-    """One serving lane's decode state for the M-lane monolithic Pallas
-    decoder (ops/pallas_fused_decoder.fused_stack_lanes): position-major
-    bf16 self cache (the kernel's native layout — full 128-lane rows, no
-    head reshapes) + the engine's offset/valid_from contract. The
-    engine stacks rows on a leading slot axis like any cache pytree."""
-
-    k: jnp.ndarray           # [L, s_max, d] bf16, position-major
-    v: jnp.ndarray           # [L, s_max, d] bf16
-    offset: jnp.ndarray      # [] int32 — tokens cached so far
-    valid_from: jnp.ndarray  # [] int32 — always 0 (whisper prompts
-    #                          have one fixed length; never left-padded)
+# whisper lane cache rows use the engines' shared fused-lane contract
+# (k/v are [L, s_max, d] bf16 position-major; valid_from is always 0 —
+# whisper prompts have one fixed length and are never left-padded)
+_FusedLaneRow = kv_cache.FusedLaneRow
 
 
 @dataclasses.dataclass
@@ -113,6 +104,8 @@ class ContinuousSTT:
         # dominates decode is paid once per step, not once per lane. The
         # kernel is capped at 8 lanes (its activation rows are the MXU's
         # [8, d] dot shape).
+        if isinstance(fused, str):  # "auto"/"1" enable; "0"/"off"... disable
+            fused = fused.lower() not in ("0", "off", "false", "no", "")
         self.fused = bool(fused) and slots <= 8 and model._fused_supported()
         if self.fused:
             engine_kw = self._build_fused(cfg, max_total, src)
@@ -193,6 +186,13 @@ class ContinuousSTT:
         # closure capture would bake ~0.7 GB of int8 weights into every
         # tick executable as lowering constants)
         engine_params = (model.params, model.fused_decoder_pack())
+        # jitted per-request cross-K/V quantization: eager it is ~16
+        # separate dispatches on [L, ~1920, d] arrays — on a tunneled
+        # chip each pays a fixed round-trip, pure admission latency
+        from tpu_audio.core.jitting import ajit
+
+        self._quantize_ctx = ajit(
+            lambda k, v: F.quantize_cross_kv(k, v, chunk=d // 2))
 
         def step(params, cache, last, ctx):
             params, pack = params
@@ -281,8 +281,7 @@ class ContinuousSTT:
         enc = self.model._encode(self.model.params, feats)
         ck, cv = W._cross_kv(self.model.params, enc, self.model.config)
         if self.fused:
-            context = F.quantize_cross_kv(
-                ck, cv, chunk=self.model.config.d_model // 2)
+            context = self._quantize_ctx(ck, cv)
         else:
             context = (ck[:, 0], cv[:, 0])
         prompt = self.model.tokenizer.build_prompt_tokens(language, task)
