@@ -224,6 +224,11 @@ class ContinuousSTT:
                 k=newk, v=newv)
 
         def prefill_fn(params, ids, cache, ctx):
+            # teacher-force the (3-4 token) prompt through the LANES
+            # kernel at n=1 — the SAME Mosaic module as the engine's
+            # 1-live-lane decode tick, so a cold serving start compiles
+            # one fewer kernel instance (numerics identical to the B=1
+            # fused_stack, tested lanes-vs-B1)
             params, pack = params
             p = params["model"]["decoder"]
             ck, ks, cv, vs = ctx
@@ -237,8 +242,10 @@ class ContinuousSTT:
                     p["embed_positions"]["weight"], i, 1, axis=0)[0]
                 x8 = jnp.zeros((8, d), jnp.float32).at[0].set(
                     x.astype(jnp.float32) + pos.astype(jnp.float32))
-                _, nk, nv = F.fused_stack(
-                    pack, ck, ks, cv, vs, kc, vc, x8, i,
+                off8 = jnp.zeros((8,), jnp.int32).at[0].set(i)
+                _, nk, nv = F.fused_stack_lanes(
+                    pack, ck[None], ks[None], cv[None], vs[None],
+                    kc[None], vc[None], x8, off8,
                     cfg=cfg, s_src=src, interpret=interp)
                 kc = jax.lax.dynamic_update_slice(
                     kc, nk[:, 0:1].astype(kc.dtype), (0, i, 0))
