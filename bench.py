@@ -1532,6 +1532,15 @@ def bench_all(budget_s: float | None = None) -> dict:
                  timeout_s=min(remaining - 30, max(120.0, est_s * 3.0)))
 
     primary = results.get(_ALL_MODES[0][0])
+    # one end-of-sweep headline retry: a degraded-tunnel wave at sweep
+    # start (observed r5: ~30 min windows where every model-sized job
+    # times out) must not cost the primary metric if the wave passed
+    if (primary is None or not _is_real_metric(primary)):
+        name, argv, static_est_s = _ALL_MODES[0]
+        remaining = budget_s - (time.perf_counter() - start)
+        if remaining > 120:
+            primary = _attempt(name, argv, _est(name, static_est_s),
+                               timeout_s=remaining - 30)
     also = [results[n] for n, _, _ in _ALL_MODES[1:] if n in results]
     if primary is None or not _is_real_metric(primary):
         primary = {"metric": "whisper_large-v3_headline_failed",
