@@ -383,3 +383,49 @@ def test_fused_llama_lanes_qk_norm():
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
         assert np.abs(np.asarray(nk)[:, m]
                       - np.asarray(nk1)[:, 0]).max() < 1e-5
+
+
+def test_use_fused_requires_first_chunk_to_fit(monkeypatch):
+    """Non-streaming generate (chunk_tokens == max_tokens) whose first
+    chunk cannot fit the fused VMEM cap must never START fused — the
+    r4 gate packed a second int8 weight copy and did two cache layout
+    conversions only to fall back before a single fused step."""
+    from types import SimpleNamespace
+
+    from tpu_audio.core import quant
+    from tpu_audio.models.tts import llama_tts
+
+    cfg = llama_tts.LlamaTTSConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=256)
+    params = llama.init_random_params(cfg, seed=15, dtype=jnp.float32)
+    params = quant.quantize_tree(params, scheme="w8a8")
+    toks = llama_tts.OrpheusTokens(
+        start_of_human=1, end_of_human=2, end_of_text=3, start_of_speech=4,
+        end_of_speech=5, pad_token=0, audio_start=6, audio_end=7,
+        audio_token_offset=10, codebook_size=4)
+    tokenizer = SimpleNamespace(
+        encode=lambda s: SimpleNamespace(ids=[10 + (ord(c) % 30)
+                                              for c in s]))
+    import tpu_audio.ops.pallas_fused_llama as FL_mod
+    monkeypatch.setattr(FL_mod, "S_MAX_CAP", 128)
+    monkeypatch.setenv("TPU_AUDIO_FUSED_LLAMA", "interpret")
+    m = llama_tts.LlamaTTS(cfg, params, tokenizer=tokenizer,
+                           codec=None, tokens=toks, dtype=jnp.float32)
+    assert m._fused_supported()
+
+    # bucket 64 + 80 tokens + 1 > cap 128: one big chunk -> no fused start
+    gen = llama_tts.AudioGenerateParameters(
+        max_tokens=80, temperature=0.0, repetition_penalty=1.0)
+    for _ in m._run_generation("hi", None, None, None, gen,
+                               chunk_tokens=80):
+        pass
+    assert m._fused_pack is None, "fused pack built despite no fused step"
+
+    # small chunks fit: fused starts (pack built), falls back mid-gen
+    for _ in m._run_generation("hi", None, None, None, gen,
+                               chunk_tokens=8):
+        pass
+    assert m._fused_pack is not None
