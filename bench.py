@@ -595,8 +595,8 @@ def bench_qwen3_serving(slots: int = 4, ticks: int = 8) -> dict:
 
 
 def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
-                             ticks: int = 6, lm_dims: dict | None = None
-                             ) -> dict:
+                             ticks: int = 6, lm_dims: dict | None = None,
+                             fused: bool = False) -> dict:
     """Continuous-batching serving throughput on Orpheus-3B-shaped decode.
 
     Measures aggregate sampled tokens/s with ``slots`` concurrent
@@ -606,7 +606,13 @@ def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
     weight sweep feeds all lanes at once, so aggregate throughput scales
     near-linearly in slots while per-stream latency stays ~flat. No
     reference analog (the reference is single-request); baseline is our
-    own single-stream rate."""
+    own single-stream rate.
+
+    ``fused=True`` (the ``serve_fused`` mode) runs the SAME measurement
+    with w8a8 weights through the M-lane fused llama kernel
+    (ops/pallas_fused_llama.fused_llama_stack_lanes via
+    LlamaTTS._fused_lane_hooks) — the recommended serving config the
+    offline `tts w8`/`tts fused` rows use."""
     import jax
     import jax.numpy as jnp
 
@@ -614,23 +620,43 @@ def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
     from tpu_audio.models import llama
     from tpu_audio.parallel.continuous import ContinuousBatcher
 
-    cfg = llama.LlamaConfig(**(lm_dims or dict(
+    dims = lm_dims or dict(
         vocab_size=156940, hidden_size=3072, num_hidden_layers=28,
         num_attention_heads=24, num_key_value_heads=8,
         intermediate_size=8192, max_position_embeddings=4096,
-    )))
-    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
-                                      on_device=True)
+    )
     sampling = SamplingParams(temperature=0.6, top_p=0.9, top_k=512)
     max_new = step_tokens * (ticks + 2)
+    max_len = 64 + max_new + step_tokens + 2
     rng = np.random.default_rng(0)
+
+    if fused:
+        from tpu_audio.core import quant
+        from tpu_audio.models.tts import llama_tts
+
+        cfg = llama_tts.LlamaTTSConfig(**dims)
+        params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                                          on_device=True)
+        params = quant.quantize_tree(params, scheme="w8a8")
+        model = llama_tts.LlamaTTS(cfg, params, tokenizer=None,
+                                   codec=None, dtype=jnp.bfloat16)
+        hooks = model._fused_lane_hooks(max_len)
+        if hooks is None:
+            raise RuntimeError("fused lane hooks unsupported here (needs "
+                               "a TPU backend + w8a8 tree)")
+    else:
+        cfg = llama.LlamaConfig(**dims)
+        params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                                          on_device=True)
+        hooks = None
 
     def measure(n_slots: int) -> float:
         """Steady-state seconds per tick with every lane occupied."""
+        hk = dict(hooks) if hooks is not None else {"params": params}
         eng = ContinuousBatcher(
-            params, cfg, slots=n_slots, stop_token=-1, sampling=sampling,
-            max_len=64 + max_new + step_tokens + 2,
-            prefill_buckets=(64,), seed=0, step_tokens=step_tokens)
+            hk.pop("params"), cfg, slots=n_slots, stop_token=-1,
+            sampling=sampling, max_len=max_len,
+            prefill_buckets=(64,), seed=0, step_tokens=step_tokens, **hk)
         for s in range(n_slots):
             eng.submit(rng.integers(100, 4000, size=60).astype(np.int32),
                        max_new=max_new, seed=s)
@@ -646,8 +672,9 @@ def bench_serving_throughput(slots: int = 4, step_tokens: int = 16,
     tok_s = slots * step_tokens / tick_batch
     solo_tok_s = step_tokens / tick_solo
     mult = tok_s / solo_tok_s
+    tag = "_fused" if fused else ""
     return {
-        "metric": f"orpheus3b_serving_tok_s_slots{slots}",
+        "metric": f"orpheus3b_serving{tag}_tok_s_slots{slots}",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(mult, 2),  # aggregate vs single-stream
@@ -728,80 +755,6 @@ def bench_serving_stt(slots: int = 4, step_tokens: int = 8,
             "ms_per_tick_solo": round(tick_solo * 1000, 1),
             "step_tokens": step_tokens,
             "fused": fused_route["fused"],
-            "device": str(__import__("jax").devices()[0]),
-        },
-    }
-
-
-def bench_serving_fused_tts(slots: int = 4, step_tokens: int = 16,
-                            ticks: int = 6) -> dict:
-    """Orpheus-3B continuous serving through the M-lane fused llama
-    kernel (ops/pallas_fused_llama.fused_llama_stack_lanes via
-    LlamaTTS._fused_lane_hooks): every live lane decodes through ONE
-    pallas_call per step, sharing the int8 weight sweep. Same
-    measurement shape as ``serve`` (aggregate tok/s at slots=N vs a
-    single stream in a slots=1 engine); w8a8 weights — the recommended
-    serving config the offline `tts w8`/`tts fused` rows use."""
-    import jax
-    import jax.numpy as jnp
-
-    from tpu_audio.core import quant
-    from tpu_audio.core.sampling import SamplingParams
-    from tpu_audio.models import llama
-    from tpu_audio.models.tts import llama_tts
-    from tpu_audio.parallel.continuous import ContinuousBatcher
-
-    cfg = llama_tts.LlamaTTSConfig(
-        vocab_size=156940, hidden_size=3072, num_hidden_layers=28,
-        num_attention_heads=24, num_key_value_heads=8,
-        intermediate_size=8192, max_position_embeddings=4096)
-    params = llama.init_random_params(cfg, seed=0, dtype=jnp.bfloat16,
-                                      on_device=True)
-    params = quant.quantize_tree(params, scheme="w8a8")
-    model = llama_tts.LlamaTTS(cfg, params, tokenizer=None, codec=None,
-                               dtype=jnp.bfloat16)
-    sampling = SamplingParams(temperature=0.6, top_p=0.9, top_k=512)
-    max_new = step_tokens * (ticks + 2)
-    max_len = 64 + max_new + step_tokens + 2
-    hooks = model._fused_lane_hooks(max_len)
-    if hooks is None:
-        raise RuntimeError("fused lane hooks unsupported here (needs a "
-                           "TPU backend + w8a8 tree)")
-    rng = np.random.default_rng(0)
-
-    def measure(n_slots: int) -> float:
-        hk = dict(hooks)
-        eng = ContinuousBatcher(
-            hk.pop("params"), cfg, slots=n_slots, stop_token=-1,
-            sampling=sampling, max_len=max_len, prefill_buckets=(64,),
-            seed=0, step_tokens=step_tokens, **hk)
-        for s in range(n_slots):
-            eng.submit(rng.integers(100, 4000, size=60).astype(np.int32),
-                       max_new=max_new, seed=s)
-        eng.step()  # compile prefill + tick; admits all lanes
-        eng.step()  # steady state
-        t0 = time.perf_counter()
-        for _ in range(ticks):
-            eng.step()
-        return (time.perf_counter() - t0) / ticks
-
-    tick_solo = measure(1)
-    tick_batch = measure(slots)
-    tok_s = slots * step_tokens / tick_batch
-    solo_tok_s = step_tokens / tick_solo
-    mult = tok_s / solo_tok_s
-    return {
-        "metric": f"orpheus3b_serving_fused_tok_s_slots{slots}",
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(mult, 2),
-        "detail": {
-            "single_stream_tok_s": round(solo_tok_s, 1),
-            "throughput_multiple": round(mult, 2),
-            "ms_per_tick_batch": round(tick_batch * 1000, 1),
-            "ms_per_tick_solo": round(tick_solo * 1000, 1),
-            "step_tokens": step_tokens,
-            "per_stream_tok_s_batched": round(tok_s / slots, 1),
             "device": str(__import__("jax").devices()[0]),
         },
     }
@@ -1539,8 +1492,10 @@ def bench_all(budget_s: float | None = None) -> dict:
         name, argv, static_est_s = _ALL_MODES[0]
         remaining = budget_s - (time.perf_counter() - start)
         if remaining > 120:
-            primary = _attempt(name, argv, _est(name, static_est_s),
-                               timeout_s=remaining - 30)
+            est_s = _est(name, static_est_s)
+            primary = _attempt(name, argv, est_s,
+                               timeout_s=min(remaining - 30,
+                                             max(120.0, est_s * 3.0)))
     also = [results[n] for n, _, _ in _ALL_MODES[1:] if n in results]
     if primary is None or not _is_real_metric(primary):
         primary = {"metric": "whisper_large-v3_headline_failed",
@@ -1598,7 +1553,7 @@ def main():
         elif mode == "serve":
             result = bench_serving_throughput()
         elif mode == "serve_fused":
-            result = bench_serving_fused_tts()
+            result = bench_serving_throughput(fused=True)
         elif mode == "serve_stt":
             result = bench_serving_stt()
         elif mode == "serve_qwen3":

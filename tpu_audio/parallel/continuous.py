@@ -102,6 +102,16 @@ class _BatchState(NamedTuple):
     ctx: object = None       # per-lane conditioning pytree [slots, ...]
 
 
+def coerce_fused_flag(fused) -> bool:
+    """Normalize the engines' ``fused: str | bool`` knob: "auto"/"1"/
+    truthy enable, "0"/"off"/"false"/"no"/"disabled"/"none"/"" disable
+    (bool(str) alone would ENABLE for any non-empty string)."""
+    if isinstance(fused, str):
+        return fused.lower() not in ("0", "off", "false", "no",
+                                     "disabled", "none", "")
+    return bool(fused)
+
+
 def _sample_one(logits: jnp.ndarray, key, s: SamplingParams) -> jnp.ndarray:
     """Sample one token from ``logits [V]`` (same distribution as
     core.ar_loop's chunked decoder; the repetition penalty is applied by
@@ -663,10 +673,8 @@ class ContinuousTTS:
         # step, sharing the HBM weight sweep — see llama_tts.
         # _fused_lane_hooks. Falls back to the vmapped XLA tick when
         # unsupported (dims, dtype, VMEM cap, slots > 8).
-        if isinstance(fused, str):  # "auto"/"1" enable; "0"/"off"... disable
-            fused = fused.lower() not in ("0", "off", "false", "no", "")
         hooks = (model._fused_lane_hooks(max_len)
-                 if bool(fused) and slots <= 8
+                 if coerce_fused_flag(fused) and slots <= 8
                  and hasattr(model, "_fused_lane_hooks") else None)
         self.fused = hooks is not None
         engine_kw = hooks if self.fused else dict(

@@ -104,9 +104,10 @@ class ContinuousSTT:
         # dominates decode is paid once per step, not once per lane. The
         # kernel is capped at 8 lanes (its activation rows are the MXU's
         # [8, d] dot shape).
-        if isinstance(fused, str):  # "auto"/"1" enable; "0"/"off"... disable
-            fused = fused.lower() not in ("0", "off", "false", "no", "")
-        self.fused = bool(fused) and slots <= 8 and model._fused_supported()
+        from tpu_audio.parallel.continuous import coerce_fused_flag
+
+        self.fused = (coerce_fused_flag(fused) and slots <= 8
+                      and model._fused_supported())
         if self.fused:
             engine_kw = self._build_fused(cfg, max_total, src)
         else:
