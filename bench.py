@@ -1457,13 +1457,16 @@ def bench_all(budget_s: float | None = None) -> dict:
             skipped.append((name, argv, est_s))
             continue
         # cap each attempt at 3x its estimate (not the whole remaining
-        # budget): a mode that HANGS — e.g. the fused modes when the
-        # axon remote Mosaic-compile service is degraded (observed r5,
-        # ~21 min stuck at 10% CPU) — then burns a bounded slice and the
-        # sweep still captures everything after it. 3x comfortably
-        # covers the observed honest overruns (r4 median ~1.3x).
+        # budget), with a 240 s floor: a mode that HANGS — e.g. the
+        # fused modes when the axon remote Mosaic-compile service is
+        # degraded (observed r5, ~21 min stuck at 10% CPU) — burns a
+        # bounded slice and the sweep still captures everything after
+        # it; the floor absorbs transient tunnel hiccups (~60-120 s)
+        # on modes whose warm wall is tiny (observed: a 22 s dfn run
+        # spiking past a 120 s cap). 3x covers honest overruns
+        # (r4 median ~1.3x).
         _attempt(name, argv, est_s,
-                 timeout_s=min(remaining, max(120.0, est_s * 3.0)))
+                 timeout_s=min(remaining, max(240.0, est_s * 3.0)))
 
     # SECOND PASS (VERDICT r4 item 4): reclaim leftover budget for modes
     # the estimates rejected. r4 ended with 425 s idle while serve sat
@@ -1482,7 +1485,7 @@ def bench_all(budget_s: float | None = None) -> dict:
             if not mosaic_retry:
                 continue
         _attempt(name, argv, est_s,
-                 timeout_s=min(remaining - 30, max(120.0, est_s * 3.0)))
+                 timeout_s=min(remaining - 30, max(240.0, est_s * 3.0)))
 
     primary = results.get(_ALL_MODES[0][0])
     # one end-of-sweep headline retry: a degraded-tunnel wave at sweep
@@ -1495,7 +1498,7 @@ def bench_all(budget_s: float | None = None) -> dict:
             est_s = _est(name, static_est_s)
             primary = _attempt(name, argv, est_s,
                                timeout_s=min(remaining - 30,
-                                             max(120.0, est_s * 3.0)))
+                                             max(240.0, est_s * 3.0)))
     also = [results[n] for n, _, _ in _ALL_MODES[1:] if n in results]
     if primary is None or not _is_real_metric(primary):
         primary = {"metric": "whisper_large-v3_headline_failed",
