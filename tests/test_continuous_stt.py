@@ -266,3 +266,31 @@ def test_serve_qwen3_asr_slots(qwen_model):
         assert "text" in out and isinstance(out["text"], str)
     finally:
         srv.shutdown()
+
+
+def test_continuous_stt_fused_cancel_midstream(w8_model, monkeypatch):
+    """Cancelling one request mid-generation under the fused tick frees
+    its lane (the kernel keeps running garbage for the freed lane, the
+    engine ignores it) and the surviving request still matches the XLA
+    engine token-for-token."""
+    from tpu_audio.parallel.continuous_stt import ContinuousSTT
+
+    rng = np.random.default_rng(9)
+    a0 = rng.standard_normal(8000).astype(np.float32) * 0.2
+    a1 = rng.standard_normal(8000).astype(np.float32) * 0.2
+
+    def run(fused):
+        monkeypatch.setenv("TPU_AUDIO_FUSED_DECODER",
+                           "interpret" if fused else "0")
+        srv = ContinuousSTT(w8_model, slots=2, max_tokens=8,
+                            step_tokens=2, min_tick_tokens=2,
+                            fused=fused)
+        r0 = srv.submit(a0, language="en")
+        r1 = srv.submit(a1, language="en")
+        srv.step()
+        srv.step()
+        assert srv.cancel(r1.request_id)
+        srv.drain()
+        return srv.engine.requests[r0.request_id].tokens
+
+    assert run(True) == run(False)

@@ -371,3 +371,48 @@ def test_whisper_generate_routes_fused_and_matches_xla(monkeypatch):
         return [s.tokens for s in out.segments]
 
     assert run("interpret") == run("0")
+
+
+def test_fused_stack_lanes_full_bucket_n8(setup):
+    """n=8 (the kernel's lane cap / a full slots=8 tick): every lane
+    matches its B=1 reference — exercises the full grid timeline (8
+    self-attention steps, 8 lane-major cross windows) and the index-map
+    pinning at the bucket boundary."""
+    cfg, params, enc, _, pack, _ = setup
+    rng = np.random.default_rng(21)
+    d = cfg.d_model
+    L = cfg.decoder_layers
+    n = 8
+    s_max = 64
+    offsets = np.asarray([5, 0, 33, 12, 1, 63, 7, 20], np.int32)
+    kc = jnp.asarray(rng.standard_normal((n, L, s_max, d)) * 0.2,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((n, L, s_max, d)) * 0.2,
+                     jnp.bfloat16)
+    lanes_cross = []
+    for m in range(n):
+        e = jnp.asarray(rng.standard_normal(
+            (1, cfg.max_source_positions, d)).astype(np.float32) * 0.3)
+        k, v = W._cross_kv(params, e, cfg)
+        lanes_cross.append(F.quantize_cross_kv(k, v, chunk=d // 2))
+    ck = jnp.stack([c[0] for c in lanes_cross])
+    ks = jnp.stack([c[1] for c in lanes_cross])
+    cv = jnp.stack([c[2] for c in lanes_cross])
+    vs = jnp.stack([c[3] for c in lanes_cross])
+    x = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32) * 0.5)
+
+    y, nk, nv = F.fused_stack_lanes(
+        pack, ck, ks, cv, vs, kc, vc, x, offsets,
+        cfg=cfg, s_src=cfg.max_source_positions, interpret=True)
+
+    for m in range(n):
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(x[m])
+        y1, nk1, nv1 = F.fused_stack(
+            pack, ck[m], ks[m], cv[m], vs[m], kc[m], vc[m],
+            x8, int(offsets[m]), cfg=cfg,
+            s_src=cfg.max_source_positions, interpret=True)
+        ref = np.asarray(y1)[0]
+        got = np.asarray(y)[m]
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5, m
+        assert np.abs(np.asarray(nk)[:, m]
+                      - np.asarray(nk1)[:, 0]).max() < 1e-5
