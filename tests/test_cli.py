@@ -638,3 +638,21 @@ def test_serve_qwen3_tts_slots_continuous(tmp_path):
                 assert w.getframerate() == model.sample_rate
     finally:
         srv.shutdown()
+
+
+def test_warmup_cli_slots_serving_graphs(tmp_path, capsys):
+    """--slots N also compiles the continuous-serving tick graphs (every
+    lane bucket) — the cold-start item a serving deployment pays."""
+    import json as _json
+
+    from fixtures import FakeWhisperTokenizer, make_whisper_fixture, \
+        write_fixture_tokenizer
+    from tpu_audio.cli import warmup
+
+    model_dir = make_whisper_fixture(tmp_path / "w")
+    write_fixture_tokenizer(model_dir)
+    warmup.main(["--model", str(model_dir), "--seconds", "1",
+                 "--slots", "2", "--cache-dir", str(tmp_path / "cache")])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["task"] == "stt"
+    assert out["serving_compile_s"] > 0

@@ -12,7 +12,7 @@ seconds. The reference has no analog (MLX compiles per-process lazily,
 Usage:
     python -m tpu_audio.cli.warmup --model DIR [--task auto]
         [--seconds 30] [--text "..."] [--max-tokens 256]
-        [--cache-dir .jax_cache] [--verify]
+        [--slots N] [--cache-dir .jax_cache] [--verify]
 
 ``--verify`` re-runs the same shapes a second time and reports the warm
 wall time so the cache hit can be confirmed.
@@ -85,6 +85,44 @@ def _drive(task: str, model, args) -> None:
                 "them through their own generate API")
 
 
+def _warm_serving(task: str, model, args) -> bool:
+    """Compile the continuous-serving tick graphs (``--slots N``): every
+    lane-bucket decode graph, the prefill bucket(s), and — for w8a8
+    checkpoints on TPU — the M-lane fused Pallas kernels, whose remote
+    Mosaic compiles are the most expensive cold-start item a serving
+    deployment pays (minutes per kernel instance; see docs/DESIGN.md).
+    Occupancy is raised one request at a time so each power-of-two lane
+    bucket traces. Returns False when the task/model has no serving
+    engine."""
+    import numpy as np
+
+    if task == "stt" and hasattr(model, "_suppress_masks"):
+        from tpu_audio.parallel.continuous_stt import ContinuousSTT
+
+        srv = ContinuousSTT(model, slots=args.slots, max_tokens=8,
+                            step_tokens=2, min_tick_tokens=2)
+        audio = np.zeros(16000, np.float32)
+        for _ in range(args.slots):
+            srv.submit(audio, language="en")
+            srv.step()
+        srv.drain()
+        return True
+    if task == "tts" and hasattr(model, "_fused_lane_hooks"):
+        from tpu_audio.parallel.continuous import ContinuousTTS
+
+        gp = model.default_generation_parameters()
+        gp.max_tokens = 16
+        srv = ContinuousTTS(model, slots=args.slots,
+                            generation_parameters=gp)
+        for _ in range(args.slots):
+            srv.submit(args.text)
+            srv.step()
+        for _ in srv.run():
+            pass
+        return True
+    return False
+
+
 def warm_model(model_dir: str, task: str, args) -> dict:
     import importlib
 
@@ -101,6 +139,13 @@ def warm_model(model_dir: str, task: str, args) -> dict:
     cold_s = time.perf_counter() - t1
     out = {"task": task, "load_s": round(load_s, 2),
            "compile_and_run_s": round(cold_s, 2)}
+    if getattr(args, "slots", 0):
+        t_srv = time.perf_counter()
+        if _warm_serving(task, model, args):
+            out["serving_compile_s"] = round(
+                time.perf_counter() - t_srv, 2)
+        else:
+            out["serving_compile_s"] = None  # no engine for this task
     if args.verify:
         # drop the in-process executable cache so the verify run exercises
         # the PERSISTENT cache deserialization path — the thing a shipped
@@ -129,6 +174,11 @@ def main(argv=None) -> None:
                         help="warmup text for TTS")
     parser.add_argument("--max-tokens", type=int, default=256,
                         help="TTS decode-chunk bucket to compile")
+    parser.add_argument("--slots", type=int, default=0,
+                        help="also compile the continuous-serving tick "
+                             "graphs for N lanes (whisper STT / "
+                             "Orpheus-family TTS), incl. the fused "
+                             "M-lane Pallas kernels for w8a8 models")
     parser.add_argument("--cache-dir", default=".jax_cache")
     parser.add_argument("--verify", action="store_true",
                         help="run each shape twice and report the warm time")
