@@ -208,7 +208,7 @@ class _LIDBatcher:
 def build_server(model, task: str, model_name: str,
                  host: str = "127.0.0.1", port: int = 8080,
                  slots: int = 1, generation_parameters=None,
-                 step_tokens: int = 7):
+                 step_tokens: int = 7, fused: str = "auto"):
     """Construct (but don't start) the ThreadingHTTPServer for ``model``.
 
     ``slots > 1`` on a TTS task routes the speech endpoints through a
@@ -239,7 +239,7 @@ def build_server(model, task: str, model_name: str,
             worker = TTSEngineWorker(
                 model, slots=slots,
                 generation_parameters=generation_parameters,
-                step_tokens=step_tokens)
+                step_tokens=step_tokens, fused=fused)
     elif slots > 1 and task == "stt":
         from tpu_audio.models.stt.qwen3_asr import Qwen3ASR
         from tpu_audio.models.stt.whisper import Whisper
@@ -248,10 +248,13 @@ def build_server(model, task: str, model_name: str,
             from tpu_audio.parallel.continuous_stt import (
                 ContinuousQwen3ASR, STTEngineWorker)
 
+            stt_kw = ({} if isinstance(model, Qwen3ASR)
+                      else {"fused": fused})
             stt_worker = STTEngineWorker(
                 model, slots=slots, step_tokens=step_tokens,
                 engine_cls=(ContinuousQwen3ASR
-                            if isinstance(model, Qwen3ASR) else None))
+                            if isinstance(model, Qwen3ASR) else None),
+                **stt_kw)
     lid_batcher = (_LIDBatcher(model)
                    if task == "lid" and hasattr(model, "predict_batch")
                    else None)
@@ -575,6 +578,13 @@ def main(argv=None) -> None:
                         help="continuous-batching decode lanes for TTS "
                              "(>1 lets concurrent requests share the "
                              "trunk; sampling params become per-server)")
+    parser.add_argument("--fused", default="auto",
+                        choices=("auto", "off"),
+                        help="M-lane fused Pallas serving tick for w8a8 "
+                             "whisper/Orpheus-family models (auto routes "
+                             "when supported; off forces the XLA tick — "
+                             "e.g. to skip the one-time Mosaic kernel "
+                             "compile on a cold cache)")
     parser.add_argument("--step-tokens", type=int, default=7,
                         help="decode tokens per jitted tick under "
                              "--slots (amortizes dispatch overhead; "
@@ -620,7 +630,8 @@ def main(argv=None) -> None:
                                 max_tokens=256, verify=False)
         W._drive(task, model, ns)
     server = build_server(model, task, args.model, args.host, args.port,
-                          slots=args.slots, step_tokens=args.step_tokens)
+                          slots=args.slots, step_tokens=args.step_tokens,
+                          fused=args.fused)
     print(json.dumps({"serving": args.model, "task": task,
                       "addr": f"http://{args.host}:{args.port}"}))
     server.serve_forever()
