@@ -720,3 +720,13 @@ def test_continuous_tts_fused_matches_xla_engine(monkeypatch):
                 for r in (r0, r1, r2)]
 
     assert run("interpret") == run("0")
+
+
+def test_coerce_fused_flag():
+    from tpu_audio.parallel.continuous import coerce_fused_flag
+
+    for on in ("auto", "1", "on", True, 1):
+        assert coerce_fused_flag(on) is True, on
+    for off in ("0", "off", "false", "no", "disabled", "none", "",
+                False, 0, None):
+        assert coerce_fused_flag(off) is False, off
