@@ -429,3 +429,46 @@ def test_use_fused_requires_first_chunk_to_fit(monkeypatch):
                                chunk_tokens=8):
         pass
     assert m._fused_pack is not None
+
+
+def test_fused_llama_lanes_n4_matches_b1():
+    """n=4 — the lane bucket the serve_fused bench actually measures at
+    slots=4: every lane matches its B=1 reference (distinct offsets,
+    incl. the 0 = empty-cache edge and a left-pad start)."""
+    cfg = llama.LlamaConfig(
+        hidden_size=1024, num_hidden_layers=2, intermediate_size=2048,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+        vocab_size=96, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=128)
+    params = llama.init_random_params(cfg, seed=17, dtype=jnp.float32)
+    pack = FL.pack_llama_weights(params, cfg)
+    d = cfg.hidden_size
+    dkv = cfg.num_key_value_heads * 128
+    L = cfg.num_hidden_layers
+    n, s_max = 4, 64
+    rng = np.random.default_rng(12)
+    offsets = np.zeros((8,), np.int32)
+    offsets[:n] = [3, 0, 40, 63]
+    starts = np.zeros((8,), np.int32)
+    starts[:n] = [0, 0, 8, 0]
+    kc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((n, L, s_max, dkv)) * 0.2,
+                     jnp.bfloat16)
+    x = (rng.standard_normal((8, d)) * 0.5).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+    y, nk, nv = FL.fused_llama_stack_lanes(
+        pack, kc, vc, xj, offsets, starts, cfg=cfg, interpret=True)
+    for m in range(n):
+        x8 = jnp.zeros((8, d), jnp.float32).at[0].set(xj[m])
+        y1, nk1, nv1 = FL.fused_llama_stack(
+            pack, kc[m], vc[m], x8, int(offsets[m]), cfg=cfg,
+            valid_from=int(starts[m]), interpret=True)
+        ref = np.asarray(y1)[0]
+        got = np.asarray(y)[m]
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5, m
+        assert np.abs(np.asarray(nk)[:, m]
+                      - np.asarray(nk1)[:, 0]).max() < 1e-5
+        assert np.abs(np.asarray(nv)[:, m]
+                      - np.asarray(nv1)[:, 0]).max() < 1e-5
